@@ -1,0 +1,244 @@
+"""Exponentially-weighted recurrence kernels — fresh NumPy implementations of
+the reference's EWM semantics (/root/reference/src/pyg_timeseries/_ewm.py:
+_ewma :30-52, _ewmrms :55-108, _ewmstd :112-183, _ewmskew :1128-1159; decay
+convention _w in _math.py:5-12).
+
+Semantics reproduced (no code copied; the loop below is a single generic
+moment-trail sweep, a different construction from the reference's five
+specialized kernels):
+
+* decay weight ``w = n/(n+1)`` for n >= 1, else ``n`` as a raw fraction;
+* NaN rows emit NaN and leave the state untouched;
+* a row in a *new* time unit decays all moments by ``p = w**(Δtime)`` (p = w
+  when no clock) then adds its contribution ``v_i = (1-w)*wgt_i``;
+* a row in the *same* time unit REPLACES the previous row's contribution —
+  the in-bucket-refresh semantics the rollup tiers rely on;
+* emission gates: ``min_periods`` on the count of time units ``n1`` and
+  ``min_sample`` on the decayed mass ``n0`` (std/skew).
+
+The kernel is a sequential left-to-right scalar recurrence ON PURPOSE: float
+rounding then makes resumption exact — running (head, then tail from the
+head's state) is bit-identical to running the full series, the reference's
+central invariant (tests/test_ts_states.py:94-125).  A vectorized closed form
+(w**i * cumsum(v/w**j)) is numerically unstable and breaks bit-exact resume.
+
+The loop stores the moment trail per row and computes outputs vectorized
+afterwards — identical floats to computing inside the loop, but the Python
+loop body stays minimal.  State is 9 float64 scalars, packable to an
+``array<double>`` Spark column (STATE_LEN).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+STATE_LEN = 10
+# state layout: [t, t0, t1, t2, t3, w2, n0, n1, pv, pa] where (pv, pa) are the
+# previous valid row's (weight contribution, value) — carried so that a resume
+# split inside a time bucket still replaces the right contribution.  (The
+# reference's kernels reset i0=0 on resume, which makes an intra-bucket first
+# row a no-op — _ewm.py:37,41-44; we fix that; splits at bucket boundaries are
+# unaffected.)
+_T, _T0, _T1, _T2, _T3, _W2, _N0, _N1, _PV, _PA = range(STATE_LEN)
+
+
+def decay_weight(n: float) -> float:
+    """w = n/(n+1) for n >= 1 else raw fraction n (reference _math.py:5-12)."""
+    if n >= 1:
+        return n / (n + 1.0)
+    if 0 < n < 1:
+        return float(n)
+    raise ValueError("n must be >= 1 (days) or in (0,1) (raw fraction)")
+
+
+def fresh_state() -> np.ndarray:
+    s = np.zeros(STATE_LEN, dtype=np.float64)
+    s[_T] = np.nan
+    return s
+
+
+def _ewm_sweep(
+    a: np.ndarray,
+    w: float,
+    time: np.ndarray | None = None,
+    wgt: np.ndarray | None = None,
+    state: np.ndarray | None = None,
+    upto: int = 1,
+    track_w2: bool = False,
+):
+    """Generic moment-trail sweep.
+
+    Returns (trail, state_out) where ``trail`` is an (n_rows, 8) float64 array
+    holding [t0, t1, t2, t3, w2, n0, n1, valid] AFTER processing each row
+    (NaN rows carry valid=0; their trail entries are unused).
+    """
+    n_rows = a.shape[0]
+    s = fresh_state() if state is None else np.asarray(state, dtype=np.float64).copy()
+    t, t0, t1, t2, t3, w2, n0, n1 = (
+        s[_T], s[_T0], s[_T1], s[_T2], s[_T3], s[_W2], s[_N0], s[_N1],
+    )
+    one_minus_w = 1.0 - w
+    trail = np.zeros((n_rows, 8), dtype=np.float64)
+    # previous valid row's contribution, for same-time replacement
+    pv = s[_PV]
+    pa = s[_PA]
+    have_time = time is not None
+    have_wgt = wgt is not None
+    up2 = upto >= 2
+    up3 = upto >= 3
+    av = a  # local alias for loop speed
+    for i in range(n_rows):
+        ai = av[i]
+        if ai != ai:  # NaN
+            continue
+        vi = one_minus_w * wgt[i] if have_wgt else one_minus_w
+        ti = time[i] if have_time else np.nan
+        if have_time and ti == t:
+            # same time unit: replace the previous contribution
+            t0 = t0 + vi - pv
+            t1 = t1 + vi * ai - pv * pa
+            if up2:
+                t2 = t2 + vi * ai * ai - pv * pa * pa
+            if up3:
+                t3 = t3 + vi * ai * ai * ai - pv * pa * pa * pa
+        else:
+            p = w if (not have_time or ti != ti or t != t) else w ** (ti - t)
+            n1 += 1.0
+            n0 = n0 * p + one_minus_w
+            t0 = t0 * p + vi
+            t1 = t1 * p + vi * ai
+            if up2:
+                t2 = t2 * p + vi * ai * ai
+            if up3:
+                t3 = t3 * p + vi * ai * ai * ai
+            if track_w2:
+                w2 = w2 * p * p + vi * vi
+            t = ti
+        pv = vi
+        pa = ai
+        row = trail[i]
+        row[0] = t0
+        row[1] = t1
+        row[2] = t2
+        row[3] = t3
+        row[4] = w2
+        row[5] = n0
+        row[6] = n1
+        row[7] = 1.0
+    s[_T], s[_T0], s[_T1], s[_T2], s[_T3] = t, t0, t1, t2, t3
+    s[_W2], s[_N0], s[_N1], s[_PV], s[_PA] = w2, n0, n1, pv, pa
+    return trail, s
+
+
+def _mask(res: np.ndarray, trail: np.ndarray) -> np.ndarray:
+    out = np.full(trail.shape[0], np.nan)
+    valid = trail[:, 7] == 1.0
+    out[valid] = res[valid]
+    return out
+
+
+def ewma(a, n, time=None, wgt=None, state=None, min_periods=0):
+    """EWM mean; reference _ewm.py:30-52.  Returns (res, state)."""
+    w = decay_weight(n)
+    trail, s = _ewm_sweep(a, w, time, wgt, state, upto=1)
+    t0, t1, n1 = trail[:, 0], trail[:, 1], trail[:, 6]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        res = np.where((t0 == 0) | (n1 < min_periods), np.nan, t1 / np.where(t0 == 0, np.nan, t0))
+    return _mask(res, trail), s
+
+
+def ewmrms(a, n, time=None, wgt=None, state=None, min_periods=0):
+    """EWM root-mean-square; reference _ewm.py:55-108 (plain path)."""
+    w = decay_weight(n)
+    trail, s = _ewm_sweep(a, w, time, wgt, state, upto=2)
+    t0, t2, n1 = trail[:, 0], trail[:, 2], trail[:, 6]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        res = np.where(
+            (t0 == 0) | (n1 < min_periods), np.nan,
+            np.sqrt(t2 / np.where(t0 == 0, np.nan, t0)),
+        )
+    return _mask(res, trail), s
+
+
+def _ewm_variance(trail, bias):
+    """variance_calculation_ewm (reference _math.py:49-66)."""
+    t0, t1, t2, w2 = trail[:, 0], trail[:, 1], trail[:, 2], trail[:, 4]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t0s = np.where(t0 <= 0, np.nan, t0)
+        variance = t2 / t0s - (t1 / t0s) ** 2
+        variance = np.where(variance < 0, np.nan, variance)
+        if not bias:
+            r = 1.0 - w2 / (t0s * t0s)
+            variance = np.where(r > 0, variance / r, np.nan)
+    return variance
+
+
+def ewmvar(a, n, time=None, wgt=None, state=None, min_periods=None, min_sample=None, bias=False):
+    """EWM variance; reference _ewm.py:112-183 with variance_calculation_ewm."""
+    min_sample, min_periods = _min_sample_periods(min_sample, min_periods, 3)
+    w = decay_weight(n)
+    trail, s = _ewm_sweep(a, w, time, wgt, state, upto=2, track_w2=True)
+    variance = _ewm_variance(trail, bias)
+    n0, n1 = trail[:, 5], trail[:, 6]
+    res = np.where((n0 < min_sample) | (n1 < min_periods), np.nan, variance)
+    return _mask(res, trail), s
+
+
+def ewmstd(a, n, time=None, wgt=None, state=None, min_periods=None, min_sample=None, bias=False):
+    """EWM std; reference _ewm.py:112-183 with stdev_calculation_ewm
+    (_math.py:32-47)."""
+    min_sample, min_periods = _min_sample_periods(min_sample, min_periods, 3)
+    w = decay_weight(n)
+    trail, s = _ewm_sweep(a, w, time, wgt, state, upto=2, track_w2=True)
+    variance = _ewm_variance(trail, bias)
+    n0, n1 = trail[:, 5], trail[:, 6]
+    with np.errstate(invalid="ignore"):
+        res = np.where((n0 < min_sample) | (n1 < min_periods), np.nan, np.sqrt(variance))
+    return _mask(res, trail), s
+
+
+def ewmskew(a, n, time=None, wgt=None, state=None, min_periods=None, min_sample=None, bias=False):
+    """EWM skew; reference _ewm.py:1128-1159 — note the reference rescales the
+    moment sums by d = 1 + days before skew_calculation."""
+    min_sample, min_periods = _min_sample_periods(min_sample, min_periods, 4)
+    w = decay_weight(n)
+    trail, s = _ewm_sweep(a, w, time, wgt, state, upto=3)
+    days = n if n > 1 else w / (1.0 - w)
+    d = 1.0 + days
+    t0, t1, t2, t3 = trail[:, 0] * d, trail[:, 1] * d, trail[:, 2] * d, trail[:, 3] * d
+    res = _skew_calc(t0, t1, t2, t3, bias)
+    n0, n1 = trail[:, 5], trail[:, 6]
+    res = np.where((n0 < min_sample) | (n1 < min_periods), np.nan, res)
+    return _mask(res, trail), s
+
+
+def _skew_calc(t0, t1, t2, t3, bias):
+    """skew_calculation (reference _math.py:122-135), vectorized."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        t0s = np.where(t0 == 0, np.nan, t0)
+        m1 = t1 / t0s
+        m2 = t2 / t0s - m1 * m1
+        m3 = t3 / t0s - 3 * m1 * (t2 / t0s) + 2 * m1 ** 3
+        biased = m3 / m2 ** 1.5
+        unbiased = biased * np.sqrt(t0 * (t0 - 1)) / (t0 - 2)
+        res = biased if bias else np.where(t0 <= 2, biased, unbiased)
+        return np.where(m2 > 0, res, np.nan)
+
+
+def _min_sample_periods(min_sample, min_periods, default_min_periods):
+    """Defaulting dance from reference _ewm.py:22-28."""
+    if min_periods is not None:
+        min_sample = 0.0 if min_sample is None else min_sample
+    else:
+        min_periods = default_min_periods
+        min_sample = 0.25 if min_sample is None else min_sample
+    return min_sample, min_periods
+
+
+KERNELS = {
+    "ewma": ewma,
+    "ewmrms": ewmrms,
+    "ewmstd": ewmstd,
+    "ewmvar": ewmvar,
+    "ewmskew": ewmskew,
+}

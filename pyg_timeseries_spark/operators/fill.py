@@ -1,0 +1,123 @@
+"""Gap-fill / NaN utilities — all Catalyst-native window expressions.
+
+Semantics match the reference's gap-fill family (SURVEY.md §2.1):
+  ffill   /root/reference/src/pyg_timeseries/_rolling.py:649-683 (_ffill1d 65-81)
+  bfill   _rolling.py:136-152, 630-646
+  fnna    _rolling.py:33-62, 561-597
+  na2v    _rolling.py:686-735
+  v2na    _rolling.py:738-782
+  init2v  _rolling.py:102-113, 787-813
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.operators._core import KEY, TS, VAL, wspec
+
+
+def ffill(
+    df: DataFrame,
+    n: int = 0,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str | None = None,
+) -> DataFrame:
+    """Forward-fill NULLs per key; ``n>0`` limits the fill run length.
+
+    Reference: _rolling.py:649-683 — state is (prev value, run length i);
+    here the state is implicit in ``last(ignorenulls)`` over the unbounded
+    preceding frame, which Spark evaluates incrementally in one pass.
+    """
+    out = out or v
+    w = wspec(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = F.last(v, ignorenulls=True).over(w)
+    if n <= 0:
+        return df.withColumn(out, filled)
+    # run length since last valid row: group id increments at each non-null,
+    # row_number within the group - 1 = consecutive nulls so far.
+    grp = F.sum(F.col(v).isNotNull().cast("int")).over(w)
+    wg = Window.partitionBy(key, grp).orderBy(ts)
+    run = F.row_number().over(wg) - 1
+    return df.withColumn(out, F.when(F.col(v).isNotNull() | (run <= n), filled))
+
+
+def bfill(
+    df: DataFrame,
+    n: int = -1,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str | None = None,
+) -> DataFrame:
+    """Backward-fill NULLs per key (forward-looking — deliberately not
+    state-aware, matching the reference: _rolling.py:630-646)."""
+    out = out or v
+    w = wspec(key, ts).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled = F.first(v, ignorenulls=True).over(w)
+    if n <= 0:
+        return df.withColumn(out, filled)
+    grp = F.sum(F.col(v).isNotNull().cast("int")).over(w)
+    wg = Window.partitionBy(key, grp).orderBy(F.col(ts).desc())
+    run = F.row_number().over(wg) - 1
+    return df.withColumn(out, F.when(F.col(v).isNotNull() | (run <= n), filled))
+
+
+def na2v(df: DataFrame, new: float = 0.0, v: str = VAL, out: str | None = None) -> DataFrame:
+    """NULL → value (reference _rolling.py:686-735)."""
+    return df.withColumn(out or v, F.coalesce(F.col(v), F.lit(float(new))))
+
+
+def v2na(df: DataFrame, old: float = 0.0, v: str = VAL, out: str | None = None) -> DataFrame:
+    """value → NULL (reference _rolling.py:738-782)."""
+    return df.withColumn(out or v, F.when(F.col(v) != float(old), F.col(v)))
+
+
+def init2v(
+    df: DataFrame,
+    n: int,
+    new: float | None = None,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str | None = None,
+) -> DataFrame:
+    """Replace the first ``n`` *valid* values per key with ``new`` (default
+    NULL) — reference _rolling.py:102-113, 787-813."""
+    out = out or v
+    w = wspec(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valid_rank = F.sum(F.col(v).isNotNull().cast("int")).over(w)
+    repl = F.lit(None).cast("double") if new is None else F.lit(float(new))
+    return df.withColumn(
+        out,
+        F.when(F.col(v).isNotNull() & (valid_rank <= n), repl).otherwise(F.col(v)),
+    )
+
+
+def fnna(
+    df: DataFrame,
+    n: int = 1,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+) -> DataFrame:
+    """Timestamp of the nth non-NULL observation per key (n<0 counts from the
+    end) — reference _rolling.py:33-62, 561-597 returns the positional index;
+    in long format the natural identifier is the timestamp.
+
+    Returns one row per key: (key, ts).
+    """
+    valid = df.filter(F.col(v).isNotNull())
+    if n >= 0:
+        w = wspec(key, ts)
+        rn, target = F.row_number().over(w), n
+    else:
+        w = Window.partitionBy(key).orderBy(F.col(ts).desc())
+        rn, target = F.row_number().over(w), -n
+    return (
+        valid.withColumn("_rn", rn)
+        .filter(F.col("_rn") == target)
+        .select(key, ts)
+    )

@@ -1,0 +1,145 @@
+"""Rolling-window aggregates over the last n *valid* observations.
+
+Reference semantics (SURVEY.md §2.3, /root/reference/src/pyg_timeseries/
+_rolling.py:446-545): the window holds the last n valid values; output is
+gated (NULL) until n valid observations have been seen; NaN rows output NaN
+and do not consume window slots.
+
+Spark-native design: null-filter → count-n ROWS frame window → union null
+rows back (operators/_core.py).  Catalyst evaluates sliding SUM/AVG/MIN/MAX
+frames incrementally inside whole-stage codegen — the same O(1)-per-row
+cost as the reference's ring-buffer kernels, but distributed.  std/skew use
+the exact Σxᵏ algebra of the reference (functions/formulas.py) rather than
+builtins, so parity is formula-level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.functions.formulas import skew_calc, stdev_calc
+from pyg_timeseries_spark.operators._core import (
+    KEY, TS, VAL, apply_on_valid, w_rows,
+)
+
+
+def _rolling(df, n, key, ts, v, out, make_expr, gate_on_count=True):
+    w = w_rows(n, key, ts)
+    cnt = F.count(v).over(w)
+    expr = make_expr(w)
+    if gate_on_count:
+        expr = F.when(cnt >= n, expr)
+    return apply_on_valid(df, out, expr, v=v)
+
+
+def rolling_sum(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                out: str = "rolling_sum") -> DataFrame:
+    """Reference _rolling.py:1276 (same kernel as rolling_mean, denom=1)."""
+    return _rolling(df, n, key, ts, v, out, lambda w: F.sum(v).over(w))
+
+
+def rolling_mean(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                 out: str = "rolling_mean") -> DataFrame:
+    """Reference _rolling.py:446-464, 1061-1132."""
+    return _rolling(df, n, key, ts, v, out, lambda w: F.avg(v).over(w))
+
+
+def rolling_rms(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                out: str = "rolling_rms") -> DataFrame:
+    """sqrt(mean(v²)) — reference _rolling.py:473-491, 1134-1205."""
+    v2 = F.col(v) * F.col(v)
+    return _rolling(df, n, key, ts, v, out, lambda w: F.sqrt(F.avg(v2).over(w)))
+
+
+def rolling_std(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                out: str = "rolling_std") -> DataFrame:
+    """Unbiased std via the reference's sum algebra (stdev_calculation,
+    _math.py:16-21); kernel _rolling.py:498-517, 1278-1347."""
+    c = F.col(v)
+
+    def make(w):
+        t0 = F.count(v).over(w).cast("double")
+        t1 = F.sum(c).over(w)
+        t2 = F.sum(c * c).over(w)
+        return stdev_calc(t0, t1, t2)
+
+    return _rolling(df, n, key, ts, v, out, make)
+
+
+def rolling_skew(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                 bias: bool = False, out: str = "rolling_skew") -> DataFrame:
+    """Skew via Σ1..Σx³ + skew_calculation (_math.py:122-135); kernel
+    _rolling.py:525-545, 1349-1410."""
+    c = F.col(v)
+
+    def make(w):
+        t0 = F.count(v).over(w).cast("double")
+        t1 = F.sum(c).over(w)
+        t2 = F.sum(c * c).over(w)
+        t3 = F.sum(c * c * c).over(w)
+        return skew_calc(t0, t1, t2, t3, bias=bias)
+
+    return _rolling(df, n, key, ts, v, out, make)
+
+
+def rolling_min(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                out: str = "rolling_min") -> DataFrame:
+    """Reference _min.py:8-77 (bottleneck move_min → Spark sliding MIN)."""
+    return _rolling(df, n, key, ts, v, out, lambda w: F.min(v).over(w))
+
+
+def rolling_max(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                out: str = "rolling_max") -> DataFrame:
+    """Reference _max.py (mirror of _min.py)."""
+    return _rolling(df, n, key, ts, v, out, lambda w: F.max(v).over(w))
+
+
+def rolling_median(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                   out: str = "rolling_median") -> DataFrame:
+    """Reference _median.py:6-78 (bn.move_median).  Spark: exact
+    percentile over the count-n frame (linear interpolation, matching
+    np.quantile 'linear' which the reference pins, _stride.py:209-215)."""
+    return _rolling(
+        df, n, key, ts, v, out,
+        lambda w: F.expr(f"percentile({v}, 0.5)").over(w),
+    )
+
+
+def rolling_quantile(df: DataFrame, n: int, q: float, key: str = KEY, ts: str = TS,
+                     v: str = VAL, out: str = "rolling_quantile") -> DataFrame:
+    """Reference _stride.py:253-278 (two-heap incremental kernel :114-216).
+
+    Spark's exact ``percentile`` over a sliding frame re-sorts per row —
+    O(n log n) per output — but stays JVM-side and codegen'd; at the rollup
+    granularity this engine targets (bucketed series, n in the tens) that
+    beats shipping the group to a Python two-heap kernel.  For huge n a
+    pandas-UDF two-heap port is the escape hatch.
+    """
+    return _rolling(
+        df, n, key, ts, v, out,
+        lambda w: F.expr(f"percentile({v}, {q!r})").over(w),
+    )
+
+
+def rolling_rank(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
+                 out: str = "rolling_rank") -> DataFrame:
+    """Rank of the latest value within the trailing n valid values, scaled to
+    [-1, 1] (reference _rank.py:7-64, bottleneck move_rank semantics:
+    (#less - #greater) / (n - 1) over the window *excluding* the current row).
+    """
+    c = F.col(v)
+    # Frame rows must be compared against the *current* row's value, which a
+    # plain frame aggregate cannot see — collect the frame and filter it with
+    # a higher-order function (JVM-side, no Python).
+    w = w_rows(n, key, ts)
+    arr = F.collect_list(c).over(w)
+    cur = c
+    n_less = F.size(F.filter(arr, lambda x: x < cur))
+    n_greater = F.size(F.filter(arr, lambda x: x > cur))
+    denom = F.size(arr) - F.lit(1)
+    expr = F.when(
+        (F.count(v).over(w) >= n) & (denom > 0),
+        (n_less - n_greater).cast("double") / denom.cast("double"),
+    ).otherwise(F.when(F.count(v).over(w) >= n, F.lit(0.0)))
+    return apply_on_valid(df, out, expr, v=v)

@@ -1,0 +1,110 @@
+"""Whole-series reductions (``ts_*``) — one output row per key.
+
+Reference: /root/reference/src/pyg_timeseries/_ts.py (SURVEY.md §2.6).  The
+reference accumulates moment sums Σ1, Σx, Σx², Σx³ into a resumable vector
+(_ts.py:26-37); Spark's partial+final hash aggregation IS that model — the
+map-side partial aggregate is the moment vector, merged associatively across
+partitions.  All formulas come from functions/formulas.py for parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.functions.formulas import cor_calc, skew_calc, stdev_calc
+from pyg_timeseries_spark.operators._core import KEY, TS, VAL
+
+
+def _moments(df: DataFrame, key: str, v: str, upto: int = 3) -> DataFrame:
+    c = F.col(v)
+    aggs = [
+        F.count(c).cast("double").alias("t0"),
+        F.sum(c).alias("t1"),
+        F.sum(c * c).alias("t2"),
+    ]
+    if upto >= 3:
+        aggs.append(F.sum(c * c * c).alias("t3"))
+    return df.groupBy(key).agg(*aggs)
+
+
+def ts_count(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_count") -> DataFrame:
+    """Reference _ts.py:113-140."""
+    return df.groupBy(key).agg(F.count(v).alias(out))
+
+
+def ts_sum(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_sum") -> DataFrame:
+    """Reference _ts.py:141-200."""
+    return df.groupBy(key).agg(F.sum(v).alias(out))
+
+
+def ts_mean(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_mean") -> DataFrame:
+    """Reference _ts.py:201-278."""
+    return df.groupBy(key).agg(F.avg(v).alias(out))
+
+
+def ts_rms(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_rms") -> DataFrame:
+    """Reference _ts.py:350-400."""
+    c = F.col(v)
+    return df.groupBy(key).agg(F.sqrt(F.avg(c * c)).alias(out))
+
+
+def ts_std(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_std") -> DataFrame:
+    """Unbiased std via stdev_calculation (_math.py:16-21); _ts.py:401-460."""
+    m = _moments(df, key, v, upto=2)
+    return m.select(key, stdev_calc(F.col("t0"), F.col("t1"), F.col("t2")).alias(out))
+
+
+def ts_skew(df: DataFrame, key: str = KEY, v: str = VAL, bias: bool = False,
+            out: str = "ts_skew") -> DataFrame:
+    """Skew via skew_calculation (_math.py:122-135); _ts.py:461-528."""
+    m = _moments(df, key, v, upto=3)
+    return m.select(
+        key,
+        skew_calc(F.col("t0"), F.col("t1"), F.col("t2"), F.col("t3"), bias=bias).alias(out),
+    )
+
+
+def ts_min(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_min") -> DataFrame:
+    """Reference _ts.py:40-75."""
+    return df.groupBy(key).agg(F.min(v).alias(out))
+
+
+def ts_max(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_max") -> DataFrame:
+    """Reference _ts.py:76-108."""
+    return df.groupBy(key).agg(F.max(v).alias(out))
+
+
+def ts_median(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_median") -> DataFrame:
+    """Exact percentile, linear interpolation (reference _ts.py:18-24 uses
+    np.nanmedian — same interpolation)."""
+    return df.groupBy(key).agg(F.expr(f"percentile({v}, 0.5)").alias(out))
+
+
+def ts_cor(df: DataFrame, a: str, b: str, key: str = KEY, out: str = "ts_cor") -> DataFrame:
+    """Full-sample correlation of two columns per key, rows where either is
+    NULL skipped (reference _ts.py:281-347, cor_calculation _math.py:69-82)."""
+    ca, cb = F.col(a), F.col(b)
+    both = df.filter(ca.isNotNull() & cb.isNotNull())
+    m = both.groupBy(key).agg(
+        F.count(ca).cast("double").alias("t0"),
+        F.sum(ca).alias("a1"), F.sum(ca * ca).alias("a2"),
+        F.sum(cb).alias("b1"), F.sum(cb * cb).alias("b2"),
+        F.sum(ca * cb).alias("ab"),
+    )
+    return m.select(
+        key,
+        cor_calc(F.col("t0"), F.col("a1"), F.col("a2"),
+                 F.col("b1"), F.col("b2"), F.col("ab")).alias(out),
+    )
+
+
+def ts_interval(df: DataFrame, key: str = KEY, ts: str = TS, out: str = "ts_interval") -> DataFrame:
+    """Modal inter-observation gap per key, in seconds — the reference infers
+    the series' native bucket from the index (_ts.py:543-573)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(ts)
+    gap = (F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w))
+    gaps = df.select(key, gap.alias("gap")).filter(F.col("gap").isNotNull())
+    return gaps.groupBy(key).agg(F.mode("gap").alias(out))
