@@ -1,0 +1,158 @@
+"""Continuous-aggregate tier cascade: raw → 1m → 1h → 1d.
+
+The rollup row for a (source, bucket) carries *associative integer moment
+sums* so that (a) every tier is computed from the tier below, never from raw
+(cascading re-aggregation, SURVEY.md §7.0), and (b) merging an incremental
+delta into an existing rollup is the same algebra as computing from scratch —
+which is what makes the checkpoint invariant bit-for-bit: integer sums are
+exact and order-free, mirroring the reference's resumable moment vectors
+(/root/reference/src/pyg_timeseries/_ts.py:26-37).
+
+Token payloads flow through the cascade as ordered concatenation (the
+north-rule per-row invariant is token-array equality).  Ordering is made
+deterministic by sorting (ts, tokens) structs inside the aggregation —
+`collect_list` alone has no order guarantee across shuffles.
+
+Scale design (100 TB raw):
+* raw→1m is the hot stage: a single hash-aggregate keyed on
+  (source, minute-bucket) — Catalyst partial+final aggregation means each
+  input partition pre-combines locally before one shuffle of *bucket rows*
+  (≈ raw/60 at 1s cadence), not raw rows.
+* 1m→1h→1d shuffle bucket counts shrink 60× per tier; with AQE the shuffles
+  coalesce.
+* The skewed `source` is harmless at this stage because the aggregation key
+  is (source, bucket) — cardinality per key is bounded by the bucket width,
+  so no single reducer is hot.  Skew handling is only needed for the
+  *per-key sequential* operators (plans/partitioning.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TIERS = ("1m", "1h", "1d")
+_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+# parent tier each tier is computed from
+PARENT = {"1m": "raw", "1h": "1m", "1d": "1h"}
+
+ROLLUP_COLS = [
+    "source", "bucket", "cnt", "sum_n_tok", "sum2_n_tok", "sum3_n_tok",
+    "min_n_tok", "max_n_tok", "first_ts", "last_ts",
+]
+
+
+def bucket_col(ts_col: str, tier: str) -> F.Column:
+    return F.date_trunc(_TRUNC[tier], F.col(ts_col))
+
+
+def rollup_from_raw(
+    df: DataFrame,
+    tier: str = "1m",
+    ts: str = "ts",
+    v: str = "n_tok",
+    tokens: str | None = "tokens",
+    key: str = "source",
+) -> DataFrame:
+    """Aggregate raw sequences into one tier directly (used for tier '1m' and
+    as the oracle for cascade equivalence tests)."""
+    c = F.col(v).cast("long")
+    aggs = [
+        F.count(c).alias("cnt"),
+        F.sum(c).alias("sum_n_tok"),
+        F.sum(c * c).alias("sum2_n_tok"),
+        F.sum(c * c * c).alias("sum3_n_tok"),
+        F.min(c).alias("min_n_tok"),
+        F.max(c).alias("max_n_tok"),
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+    ]
+    if tokens:
+        # deterministic in-bucket order: sort (ts, tokens) structs, then concat
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(ts), F.col(tokens)))),
+                    lambda s: s.getField(tokens),
+                )
+            ).alias("tokens")
+        )
+    return (
+        df.groupBy(F.col(key).alias("source"), bucket_col(ts, tier).alias("bucket"))
+        .agg(*aggs)
+    )
+
+
+def rollup_cascade(child: DataFrame, tier: str, with_tokens: bool = True) -> DataFrame:
+    """Re-aggregate a finer rollup tier into a coarser one — exact because all
+    measures are associative (integer sums / min / max / ordered concat)."""
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+        F.sum("sum2_n_tok").alias("sum2_n_tok"),
+        F.sum("sum3_n_tok").alias("sum3_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    ]
+    if with_tokens and "tokens" in child.columns:
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "tokens"))),
+                    lambda s: s.getField("tokens"),
+                )
+            ).alias("tokens")
+        )
+    return (
+        child.groupBy("source", bucket_col("bucket", tier).alias("bucket"))
+        .agg(*aggs)
+    )
+
+
+def rollup_all_tiers(
+    raw: DataFrame,
+    ts: str = "ts",
+    v: str = "n_tok",
+    tokens: str | None = "tokens",
+    key: str = "source",
+) -> dict[str, DataFrame]:
+    """The full cascade raw→1m→1h→1d. Each tier derives from its parent."""
+    out: dict[str, DataFrame] = {}
+    out["1m"] = rollup_from_raw(raw, "1m", ts=ts, v=v, tokens=tokens, key=key)
+    out["1h"] = rollup_cascade(out["1m"], "1h", with_tokens=tokens is not None)
+    out["1d"] = rollup_cascade(out["1h"], "1d", with_tokens=tokens is not None)
+    return out
+
+
+def merge_rollup(existing: DataFrame, delta: DataFrame, with_tokens: bool = True) -> DataFrame:
+    """Merge an incremental rollup delta into an existing rollup table —
+    the continuous-aggregate refresh.  Buckets present in both are combined
+    with the same associative algebra (in-bucket refresh: the reference's
+    same-time-unit replace, _ewm.py:41-44, rendered at bucket granularity).
+
+    Token order across the union is (first_ts, tokens) — exact when delta
+    rows arrive time-ordered per source (the engine's append contract).
+    """
+    both = existing.unionByName(delta, allowMissingColumns=True)
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum_n_tok").alias("sum_n_tok"),
+        F.sum("sum2_n_tok").alias("sum2_n_tok"),
+        F.sum("sum3_n_tok").alias("sum3_n_tok"),
+        F.min("min_n_tok").alias("min_n_tok"),
+        F.max("max_n_tok").alias("max_n_tok"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    ]
+    if with_tokens and "tokens" in both.columns:
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("first_ts", "tokens"))),
+                    lambda s: s.getField("tokens"),
+                )
+            ).alias("tokens")
+        )
+    return both.groupBy("source", "bucket").agg(*aggs)

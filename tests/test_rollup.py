@@ -1,0 +1,83 @@
+"""Rollup cascade + incremental checkpoint invariants (north_rule core):
+tier-from-parent == tier-from-raw, and ingest(head)+ingest(tail) ==
+ingest(full), bit-for-bit including token arrays.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.datagen import sequences
+from pyg_timeseries_spark.plans.checkpoint import RollupStore
+from pyg_timeseries_spark.plans.rollup import (
+    rollup_all_tiers, rollup_cascade, rollup_from_raw,
+)
+
+N_ROWS = 30_000  # ~8 hours of 1s data on the hot source
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return sequences(spark, N_ROWS).persist()
+
+
+def rows_of(df):
+    """Canonical sorted row list with token arrays as tuples (exact compare)."""
+    pdf = df.toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+    if "tokens" in pdf.columns:
+        pdf["tokens"] = pdf["tokens"].apply(lambda a: tuple(a) if a is not None else None)
+    return list(map(tuple, pdf.itertuples(index=False)))
+
+
+def test_cascade_equals_direct(raw):
+    m1 = rollup_from_raw(raw, "1m")
+    for tier in ("1h", "1d"):
+        direct = rollup_from_raw(raw, tier)
+        via = m1
+        for t in (("1h",) if tier == "1h" else ("1h", "1d")):
+            via = rollup_cascade(via, t)
+        assert rows_of(direct) == rows_of(via), f"cascade mismatch at {tier}"
+
+
+def test_counts_conserved(raw):
+    tiers = rollup_all_tiers(raw)
+    n_raw = raw.count()
+    tok_raw = raw.select(F.sum("n_tok")).collect()[0][0]
+    for tier, df in tiers.items():
+        agg = df.select(F.sum("cnt"), F.sum("sum_n_tok"), F.sum(F.size("tokens"))).collect()[0]
+        assert agg[0] == n_raw, tier
+        assert agg[1] == tok_raw, tier
+        assert agg[2] == tok_raw, f"token payload lost at {tier}"
+
+
+def test_incremental_equals_full(spark, raw, tmp_path):
+    cut = F.lit("2024-01-01 03:00:00").cast("timestamp")
+    head = raw.filter(F.col("ts") < cut)
+    tail = raw.filter(F.col("ts") >= cut)
+
+    full_store = RollupStore(str(tmp_path / "full"), spark)
+    full_tiers = full_store.ingest(raw)
+
+    inc_store = RollupStore(str(tmp_path / "inc"), spark)
+    inc_store.ingest(head)
+    inc_tiers = inc_store.ingest(tail)
+
+    for tier in ("1m", "1h", "1d"):
+        assert rows_of(full_tiers[tier]) == rows_of(inc_tiers[tier]), (
+            f"incremental != full at tier {tier}"
+        )
+
+    # lineage was recorded for both batches
+    lin = inc_store.lineage().toPandas()
+    assert set(lin.batch_id) == {1, 2}
+    assert (lin.rows > 0).all()
+
+
+def test_retention_expiry(spark, raw, tmp_path):
+    store = RollupStore(str(tmp_path / "ttl"), spark)
+    store.ingest(raw)
+    before = store.read_table("rollup_1m").count()
+    store.expire("1m", keep_buckets=10)
+    after = store.read_table("rollup_1m")
+    per_src = after.groupBy("source").count().toPandas()
+    assert (per_src["count"] <= 10).all()
+    assert after.count() < before
