@@ -1,38 +1,448 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: 1m rollup of the events series + rolling_mean +
+               ffill gap-fill (SURVEY.md §7.1 end-to-end slice) on sf0.001.
+queries()    — one entry per implemented operator (SURVEY.md §2), each a
+               callable (spark, sf_dir) -> DataFrame built from the
+               pyg_timeseries_spark operator library.
+oracle_sql() — DuckDB-equivalent SQL per query (omitted for the EWM family
+               and heuristic ops, which are not SQL-expressible; the driver
+               records rows-only checks for those).
+
+Float outputs are quantized to integers on BOTH sides via
+floor(x*1e6 + 0.5) — unlike round(x, 6), this is deterministic across
+engines whose doubles are bit-equal (DuckDB and Spark disagree on .5 tie
+rounding, and limited-decimal source data hits exact ties often).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.operators import expanding as E
+from pyg_timeseries_spark.operators import ewm as M
+from pyg_timeseries_spark.operators import fill as G
+from pyg_timeseries_spark.operators import rolling as R
+from pyg_timeseries_spark.operators import shift as S
+from pyg_timeseries_spark.operators import ts as TS
+from pyg_timeseries_spark.dedup.exact import dedup_groups
+from pyg_timeseries_spark.similarity.ann import cosine_topk
+from pyg_timeseries_spark.sources.tables import (
+    SERIES_SQL, VALID_SQL, events_series, load,
+)
+from pyg_timeseries_spark.textops import analysis as TX
+
+N = 5  # rolling window for driver queries
+# Quantizer: floor(x*1e6 + 0.4997) — the 0.4997 offset puts the decision
+# boundary at fractional part .5003, unreachable by the small-denominator
+# rational values these queries emit (true means/sums land on k or k+0.5
+# exactly), so ±1e-12 engine noise can never flip a bucket.
+R6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.4997)).cast("long")  # noqa: E731
+
+_WIN = "PARTITION BY key ORDER BY ts"
+_ROWS_N = f"ROWS BETWEEN {N - 1} PRECEDING AND CURRENT ROW"
+_ROWS_INF = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    series = events_series(spark, sf_dir)
+    m1 = (
+        series.groupBy("key", F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.count("v").alias("cnt"), F.sum("v").alias("sum_v"))
+    )
+    m1 = G.ffill(m1, key="key", ts="bucket", v="sum_v", out="sum_v_filled")
+    m1 = R.rolling_mean(m1, N, key="key", ts="bucket", v="sum_v_filled",
+                        out="mean5")
+    return m1.select("key", "bucket", "cnt", R6(F.col("sum_v")).alias("sum_v"),
+                     R6(F.col("sum_v_filled")).alias("sum_v_filled"),
+                     R6(F.col("mean5")).alias("mean5"))
+
+
+# ---------------------------------------------------------------------------
+# query builders
+# ---------------------------------------------------------------------------
+
+def _series(spark, sf_dir):
+    return events_series(spark, sf_dir)
+
+
+def _valid_only(df, out):
+    return (
+        df.filter(F.col("v").isNotNull())
+        .select("key", "ts", R6(F.col(out)).alias(out))
+    )
+
+
+def _rollup(tier_trunc):
+    def q(spark, sf_dir):
+        s = _series(spark, sf_dir)
+        return (
+            s.groupBy("key", F.date_trunc(tier_trunc, "ts").alias("bucket"))
+            .agg(
+                F.count("v").alias("cnt"),
+                R6(F.sum("v")).alias("sum_v"),
+                R6(F.min("v")).alias("min_v"),
+                R6(F.max("v")).alias("max_v"),
+            )
+        )
+    return q
+
+
+def _rollup_sql(tier_trunc):
+    return f"""
+        SELECT key, CAST(date_trunc('{tier_trunc}', ts) AS TIMESTAMP) AS bucket,
+               count(v) AS cnt, CAST(floor((sum(v)) * 1000000 + 0.4997) AS BIGINT) AS sum_v,
+               CAST(floor((min(v)) * 1000000 + 0.4997) AS BIGINT) AS min_v, CAST(floor((max(v)) * 1000000 + 0.4997) AS BIGINT) AS max_v
+        FROM ({SERIES_SQL}) GROUP BY 1, 2
+    """
+
+
+def q_ffill(spark, sf_dir):
+    s = G.ffill(_series(spark, sf_dir), out="filled")
+    return s.select("key", "ts", R6(F.col("filled")).alias("filled"))
+
+
+def q_bfill(spark, sf_dir):
+    s = G.bfill(_series(spark, sf_dir), out="filled")
+    return s.select("key", "ts", R6(F.col("filled")).alias("filled"))
+
+
+def q_shift(spark, sf_dir):
+    return _valid_only(S.shift(_series(spark, sf_dir), 1, out="shifted"), "shifted")
+
+
+def q_diff(spark, sf_dir):
+    return _valid_only(S.diff(_series(spark, sf_dir), 1, out="diffed"), "diffed")
+
+
+def q_ratio(spark, sf_dir):
+    return _valid_only(S.ratio(_series(spark, sf_dir), 1, out="ratioed"), "ratioed")
+
+
+def q_cumsum(spark, sf_dir):
+    return _valid_only(E.cumsum(_series(spark, sf_dir), out="csum"), "csum")
+
+
+def q_expanding_mean(spark, sf_dir):
+    return _valid_only(E.expanding_mean(_series(spark, sf_dir), out="emean"), "emean")
+
+
+def q_expanding_std(spark, sf_dir):
+    return _valid_only(E.expanding_std(_series(spark, sf_dir), out="estd"), "estd")
+
+
+def q_expanding_minmax(spark, sf_dir):
+    s = E.expanding_min(_series(spark, sf_dir), out="emin")
+    s = E.expanding_max(s, out="emax")
+    return (
+        s.filter(F.col("v").isNotNull())
+        .select("key", "ts", R6(F.col("emin")).alias("emin"),
+                R6(F.col("emax")).alias("emax"))
+    )
+
+
+def q_rolling_mean(spark, sf_dir):
+    return _valid_only(R.rolling_mean(_series(spark, sf_dir), N, out="m"), "m")
+
+
+def q_rolling_sum(spark, sf_dir):
+    return _valid_only(R.rolling_sum(_series(spark, sf_dir), N, out="s"), "s")
+
+
+def q_rolling_std(spark, sf_dir):
+    return _valid_only(R.rolling_std(_series(spark, sf_dir), N, out="sd"), "sd")
+
+
+def q_rolling_minmax(spark, sf_dir):
+    s = R.rolling_min(_series(spark, sf_dir), N, out="rmin")
+    s = R.rolling_max(s, N, out="rmax")
+    return (
+        s.filter(F.col("v").isNotNull())
+        .select("key", "ts", R6(F.col("rmin")).alias("rmin"),
+                R6(F.col("rmax")).alias("rmax"))
+    )
+
+
+def q_rolling_median(spark, sf_dir):
+    return _valid_only(R.rolling_median(_series(spark, sf_dir), N, out="med"), "med")
+
+
+def q_rolling_quantile(spark, sf_dir):
+    return _valid_only(
+        R.rolling_quantile(_series(spark, sf_dir), N, 0.25, out="q25"), "q25"
+    )
+
+
+def q_rolling_rms(spark, sf_dir):
+    return _valid_only(R.rolling_rms(_series(spark, sf_dir), N, out="rms"), "rms")
+
+
+def q_ts_agg(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = (
+        TS.ts_count(s, out="cnt")
+        .join(TS.ts_sum(s, out="sum_v"), "key")
+        .join(TS.ts_mean(s, out="mean_v"), "key")
+        .join(TS.ts_std(s, out="std_v"), "key")
+        .join(TS.ts_min(s, out="min_v"), "key")
+        .join(TS.ts_max(s, out="max_v"), "key")
+        .join(TS.ts_median(s, out="med_v"), "key")
+    )
+    return out.select(
+        "key", "cnt", R6(F.col("sum_v")).alias("sum_v"),
+        R6(F.col("mean_v")).alias("mean_v"), R6(F.col("std_v")).alias("std_v"),
+        R6(F.col("min_v")).alias("min_v"), R6(F.col("max_v")).alias("max_v"),
+        R6(F.col("med_v")).alias("med_v"),
+    )
+
+
+# ---- EWM family: not SQL-expressible → rows-only driver check --------------
+
+def q_ewma(spark, sf_dir):
+    s = M.ewma(_series(spark, sf_dir), 10)
+    return _valid_only(s, "ewma")
+
+
+def q_ewmstd(spark, sf_dir):
+    s = M.ewmstd(_series(spark, sf_dir), 10)
+    return _valid_only(s, "ewmstd")
+
+
+def q_ewmrms(spark, sf_dir):
+    s = M.ewmrms(_series(spark, sf_dir), 10)
+    return _valid_only(s, "ewmrms")
+
+
+def q_ts_interval(spark, sf_dir):
+    return TS.ts_interval(_series(spark, sf_dir))
+
+
+# ---- training-data pipeline ops --------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    d = TX.token_count_ws(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tok_ws")
+
+
+def q_quality(spark, sf_dir):
+    d = TX.quality_score(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", F.col("n_words"),
+        R6(F.col("punct_ratio")).alias("punct_ratio"),
+        R6(F.col("mean_word_len")).alias("mean_word_len"),
+        R6(F.col("upper_ratio")).alias("upper_ratio"),
+    )
+
+
+def q_stopword_ratio(spark, sf_dir):
+    d = TX.stopword_ratio(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", R6(F.col("stopword_ratio")).alias("stopword_ratio"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_groups(load(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    d = TX.lang_id(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "pred_lang")
+
+
+def q_fingerprint(spark, sf_dir):
+    d = TX.fingerprint(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "fingerprint")
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = cosine_topk(emb, queries, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": _rollup("minute"),
+        "rollup_1h": _rollup("hour"),
+        "rollup_1d": _rollup("day"),
+        "ffill": q_ffill,
+        "bfill": q_bfill,
+        "shift": q_shift,
+        "diff": q_diff,
+        "ratio": q_ratio,
+        "cumsum": q_cumsum,
+        "expanding_mean": q_expanding_mean,
+        "expanding_std": q_expanding_std,
+        "expanding_minmax": q_expanding_minmax,
+        "rolling_mean": q_rolling_mean,
+        "rolling_sum": q_rolling_sum,
+        "rolling_std": q_rolling_std,
+        "rolling_minmax": q_rolling_minmax,
+        "rolling_median": q_rolling_median,
+        "rolling_quantile": q_rolling_quantile,
+        "rolling_rms": q_rolling_rms,
+        "ts_agg": q_ts_agg,
+        "ts_interval": q_ts_interval,
+        "ewma": q_ewma,
+        "ewmstd": q_ewmstd,
+        "ewmrms": q_ewmrms,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "stopword_ratio": q_stopword_ratio,
+        "dedup_exact": q_dedup_exact,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    gate = f"count(v) OVER ({_WIN} {_ROWS_N}) >= {N}"
+    sw = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    return {
+        "rollup_1m": _rollup_sql("minute"),
+        "rollup_1h": _rollup_sql("hour"),
+        "rollup_1d": _rollup_sql("day"),
+        "ffill": f"""
+            SELECT key, ts, CAST(floor((last_value(v IGNORE NULLS)
+                   OVER ({_WIN} {_ROWS_INF})) * 1000000 + 0.4997) AS BIGINT) AS filled
+            FROM ({SERIES_SQL})
+        """,
+        "bfill": f"""
+            SELECT key, ts, CAST(floor((first_value(v IGNORE NULLS)
+                   OVER ({_WIN} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) * 1000000 + 0.4997) AS BIGINT) AS filled
+            FROM ({SERIES_SQL})
+        """,
+        "shift": f"""
+            SELECT key, ts, CAST(floor((lag(v) OVER ({_WIN})) * 1000000 + 0.4997) AS BIGINT) AS shifted
+            FROM ({VALID_SQL})
+        """,
+        "diff": f"""
+            SELECT key, ts, CAST(floor((v - lag(v) OVER ({_WIN})) * 1000000 + 0.4997) AS BIGINT) AS diffed
+            FROM ({VALID_SQL})
+        """,
+        "ratio": f"""
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN lag(v) OVER ({_WIN}) <> 0
+                         THEN v / lag(v) OVER ({_WIN}) END) * 1000000 + 0.4997) AS BIGINT) AS ratioed
+            FROM ({VALID_SQL})
+        """,
+        "cumsum": f"""
+            SELECT key, ts, CAST(floor((sum(v) OVER ({_WIN} {_ROWS_INF})) * 1000000 + 0.4997) AS BIGINT) AS csum
+            FROM ({VALID_SQL})
+        """,
+        "expanding_mean": f"""
+            -- sum/count instead of windowed AVG: DuckDB's running AVG
+            -- accumulates differently (±1e-14) while its windowed SUM is
+            -- bit-identical to Spark's
+            SELECT key, ts, CAST(floor((sum(v) OVER ({_WIN} {_ROWS_INF})
+                   / count(v) OVER ({_WIN} {_ROWS_INF})) * 1000000 + 0.4997) AS BIGINT) AS emean
+            FROM ({VALID_SQL})
+        """,
+        "expanding_std": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN count(v) OVER ({_WIN} {_ROWS_INF}) > 1
+                   THEN stddev_samp(v) OVER ({_WIN} {_ROWS_INF}) END) * 1000000 + 0.4997) AS BIGINT) AS estd
+            FROM ({VALID_SQL})
+        """,
+        "expanding_minmax": f"""
+            SELECT key, ts, CAST(floor((min(v) OVER ({_WIN} {_ROWS_INF})) * 1000000 + 0.4997) AS BIGINT) AS emin,
+                   CAST(floor((max(v) OVER ({_WIN} {_ROWS_INF})) * 1000000 + 0.4997) AS BIGINT) AS emax
+            FROM ({VALID_SQL})
+        """,
+        "rolling_mean": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN {gate}
+                   THEN avg(v) OVER ({_WIN} {_ROWS_N}) END) * 1000000 + 0.4997) AS BIGINT) AS m
+            FROM ({VALID_SQL})
+        """,
+        "rolling_sum": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN {gate}
+                   THEN sum(v) OVER ({_WIN} {_ROWS_N}) END) * 1000000 + 0.4997) AS BIGINT) AS s
+            FROM ({VALID_SQL})
+        """,
+        "rolling_std": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN {gate}
+                   THEN stddev_samp(v) OVER ({_WIN} {_ROWS_N}) END) * 1000000 + 0.4997) AS BIGINT) AS sd
+            FROM ({VALID_SQL})
+        """,
+        "rolling_minmax": f"""
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN {gate} THEN min(v) OVER ({_WIN} {_ROWS_N}) END) * 1000000 + 0.4997) AS BIGINT) AS rmin,
+                   CAST(floor((CASE WHEN {gate} THEN max(v) OVER ({_WIN} {_ROWS_N}) END) * 1000000 + 0.4997) AS BIGINT) AS rmax
+            FROM ({VALID_SQL})
+        """,
+        "rolling_median": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN {gate}
+                   THEN quantile_cont(v, 0.5) OVER ({_WIN} {_ROWS_N}) END) * 1000000 + 0.4997) AS BIGINT) AS med
+            FROM ({VALID_SQL})
+        """,
+        "rolling_quantile": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN {gate}
+                   THEN quantile_cont(v, 0.25) OVER ({_WIN} {_ROWS_N}) END) * 1000000 + 0.4997) AS BIGINT) AS q25
+            FROM ({VALID_SQL})
+        """,
+        "rolling_rms": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN {gate}
+                   THEN sqrt(avg(v * v) OVER ({_WIN} {_ROWS_N})) END) * 1000000 + 0.4997) AS BIGINT) AS rms
+            FROM ({VALID_SQL})
+        """,
+        "ts_agg": f"""
+            SELECT key, count(v) AS cnt, CAST(floor((sum(v)) * 1000000 + 0.4997) AS BIGINT) AS sum_v,
+                   CAST(floor((avg(v)) * 1000000 + 0.4997) AS BIGINT) AS mean_v, CAST(floor((stddev_samp(v)) * 1000000 + 0.4997) AS BIGINT) AS std_v,
+                   CAST(floor((min(v)) * 1000000 + 0.4997) AS BIGINT) AS min_v, CAST(floor((max(v)) * 1000000 + 0.4997) AS BIGINT) AS max_v,
+                   CAST(floor((quantile_cont(v, 0.5)) * 1000000 + 0.4997) AS BIGINT) AS med_v
+            FROM ({SERIES_SQL}) GROUP BY key
+        """,
+        "token_count": """
+            SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok_ws
+            FROM documents
+        """,
+        "quality": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   CAST(floor(((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+                         / length(text)::DOUBLE) * 1000000 + 0.4997) AS BIGINT) AS punct_ratio,
+                   CAST(floor((length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                         / len(regexp_split_to_array(trim(text), '\\s+'))) * 1000000 + 0.4997) AS BIGINT) AS mean_word_len,
+                   CAST(floor(((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                         / length(text)::DOUBLE) * 1000000 + 0.4997) AS BIGINT) AS upper_ratio
+            FROM documents
+        """,
+        "stopword_ratio": f"""
+            SELECT doc_id,
+                   CAST(floor((len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> list_contains([{sw}], x)))::DOUBLE
+                         / len(regexp_split_to_array(trim(lower(text)), '\\s+'))) * 1000000 + 0.4997) AS BIGINT)
+                         AS stopword_ratio
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS sim
+                FROM embeddings c, q WHERE c.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        # ewma / ewmstd / ewmrms / ts_interval / lang_id / fingerprint:
+        # sequential recurrences or engine-hash heuristics — rows-only check.
+    }

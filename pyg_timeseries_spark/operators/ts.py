@@ -105,6 +105,7 @@ def ts_interval(df: DataFrame, key: str = KEY, ts: str = TS, out: str = "ts_inte
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy(ts)
-    gap = (F.col(ts).cast("double") - F.lag(F.col(ts).cast("double")).over(w))
+    sec = F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(1_000_000.0)
+    gap = sec - F.lag(sec).over(w)
     gaps = df.select(key, gap.alias("gap")).filter(F.col("gap").isNotNull())
     return gaps.groupBy(key).agg(F.mode("gap").alias(out))

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two tiers:
+* ``cosine_topk`` — exact brute-force top-k: broadcast the (small) query set
+  against the corpus; the dot product is a JVM-side higher-order-function
+  fold (F.aggregate over F.zip_with), so the scan stays in codegen with no
+  Python in the loop.  O(Q·N·d) — the correctness baseline.
+* ``lsh_topk`` — scale path: random-hyperplane (SimHash) bucketing; only
+  candidates sharing a band bucket with the query are scored.  At 1000
+  executors the candidate join is an equi-join on (band, bucket), a normal
+  hash shuffle, reducing scored pairs by orders of magnitude.
+
+Hyperplanes are derived deterministically from xxhash64 so both sides of the
+bucket join compute identical signatures with no broadcast state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query row.
+
+    Returns (query_id, neighbor_id, sim, rank).  Deterministic tie-break on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec).cast("array<double>").alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).cast("array<double>").alias("cv"),
+    )
+    pairs = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---- LSH (random hyperplane / SimHash bucketing) ----------------------------
+
+def _hyperplane_bit(veccol, dim: int, plane: int):
+    """sign(Σ_j vec[j] * h(plane, j)) as one signature bit; h is a
+    deterministic ±1 hash — identical on any executor, no shared state."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.when(
+            F.pmod(F.xxhash64(F.lit(plane), j), F.lit(2)) == 0, F.lit(1.0)
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(veccol, signs, lambda x, s: x * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def add_simhash_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    vec: str = "embedding",
+) -> DataFrame:
+    """Append `bands` bucket columns, each packing n_planes/bands sign bits."""
+    v = F.col(vec).cast("array<double>")
+    per_band = n_planes // bands
+    out = df
+    for b in range(bands):
+        bits = [
+            _hyperplane_bit(v, dim, b * per_band + p) * (2 ** p)
+            for p in range(per_band)
+        ]
+        bucket = bits[0]
+        for x in bits[1:]:
+            bucket = bucket + x
+        out = out.withColumn(f"bucket_{b}", bucket)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing ≥1 band bucket."""
+    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec)
+    qb = add_simhash_buckets(queries, dim, n_planes, bands, vec)
+    cand = None
+    for b in range(bands):
+        c = cb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec).cast("array<double>").alias("cv"),
+            F.col(f"bucket_{b}").alias("bkt"),
+        )
+        q = qb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec).cast("array<double>").alias("qv"),
+            F.col(f"bucket_{b}").alias("bkt"),
+        )
+        pairs = c.join(q, on="bkt").drop("bkt")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

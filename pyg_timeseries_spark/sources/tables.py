@@ -1,0 +1,55 @@
+"""Table loading for driver testdata + the (stubbed) Iceberg catalog path.
+
+The production design targets Iceberg catalog tables (`spark.read.table`,
+`MERGE INTO`, snapshot expiry); the sandbox image has no Iceberg jars, so
+`iceberg_available()` gates that path and everything falls back to parquet
+(the snapshot-versioned store in plans/checkpoint.py keeps the same
+contract: immutable snapshots + atomic pointer swap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical driver series: events as (key, ts, v) with deterministic
+    null injection (fractional part < 0.3 → missing) so the gap-fill and
+    NaN-skip paths are exercised.  (event_type, ts) is unique in the
+    testdata, giving a total per-key order."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        F.col("event_type").alias("key"),
+        F.col("ts"),
+        F.when(v - F.floor(v) < 0.3, F.lit(None)).otherwise(v).alias("v"),
+    )
+
+
+# The same series as a DuckDB CTE — oracle side of the driver contract.
+SERIES_SQL = (
+    "SELECT event_type AS key, ts, "
+    "CASE WHEN value - floor(value) < 0.3 THEN NULL ELSE value END AS v "
+    "FROM events"
+)
+VALID_SQL = f"SELECT * FROM ({SERIES_SQL}) WHERE v IS NOT NULL"

@@ -1,0 +1,120 @@
+"""Text analysis for training-data pipelines — all JVM-side column
+expressions (no Python UDFs): token counting, quality scoring, language ID,
+document fingerprinting.
+
+These run over the `documents` table shape (doc_id, text, lang, source,
+n_chars) and, at 100 TB, are embarrassingly parallel scans — no shuffle at
+all until an aggregation is requested, so they pipeline with the parquet
+read inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+# BPE-ish word/punct segmentation: runs of word chars, or single non-space
+# non-word chars (a cheap proxy for byte-pair pretokenization).
+BPE_RE = r"\w+|[^\w\s]"
+
+PUNCT_RE = r"[.!?,;:]"
+
+# tiny per-language stopword inventories for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "du", "que"],
+    "es": ["el", "la", "los", "las", "es", "una", "por", "con", "para", "está"],
+}
+
+
+def words(text: Column) -> Column:
+    return F.split(F.trim(text), WS)
+
+
+def token_count_ws(df: DataFrame, text: str = "text", out: str = "n_tok_ws") -> DataFrame:
+    """Whitespace token count."""
+    return df.withColumn(out, F.size(words(F.col(text))))
+
+
+def token_count_bpe(df: DataFrame, text: str = "text", out: str = "n_tok_bpe") -> DataFrame:
+    """BPE-ish token count via regexp segmentation (JVM regexp_count)."""
+    return df.withColumn(out, F.regexp_count(F.col(text), F.lit(BPE_RE)))
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length / punctuation / word-shape quality features + a composite score
+    in [0,1] — the usual cheap pre-filters for web-scale corpus cleaning."""
+    t = F.col(text)
+    n_chars = F.length(t)
+    ws_ = words(t)
+    n_words = F.size(ws_)
+    punct = n_chars - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    mean_wlen = (F.length(F.regexp_replace(t, WS, ""))) / n_words
+    upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct / n_chars < 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(upper / n_chars < 0.3, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct / n_chars)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("upper_ratio", upper / n_chars)
+        .withColumn("quality", score)
+    )
+
+
+def stopword_ratio(df: DataFrame, lang: str = "en", text: str = "text",
+                   out: str = "stopword_ratio") -> DataFrame:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    lw = words(F.lower(F.col(text)))
+    n_sw = F.size(F.filter(lw, lambda x: F.array_contains(sw, x)))
+    return df.withColumn(out, n_sw / F.size(lw))
+
+
+def lang_id(df: DataFrame, text: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Stopword-vote language ID (n-gram-heuristic family): the language whose
+    stopword inventory matches the most tokens wins; 'zh' when the text is
+    mostly CJK codepoints; 'und' when nothing matches."""
+    t = F.col(text)
+    lw = words(F.lower(t))
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+
+    def _n_matches(sw_list):
+        arr = F.array(*[F.lit(w) for w in sw_list])
+        return F.size(F.filter(lw, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _n_matches(sw) for lang, sw in STOPWORDS.items()}
+    best = None
+    best_score = None
+    for lang, sc in scores.items():
+        if best is None:
+            best, best_score = F.lit(lang), sc
+        else:
+            cond = sc > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, sc).otherwise(best_score)
+    pred = (
+        F.when(cjk / F.length(t) > 0.2, F.lit("zh"))
+        .when(best_score > 0, best)
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn(out, pred)
+
+
+def fingerprint(df: DataFrame, text: str = "text", shingle: int = 8,
+                out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: min xxhash64 over character shingles (winnowing-
+    style rolling-hash fingerprint, computed JVM-side via sequence+transform).
+    """
+    t = F.col(text)
+    n = F.greatest(F.length(t) - shingle + 1, F.lit(1))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(shingle)))
+    )
+    return df.withColumn(out, F.array_min(hashes))
