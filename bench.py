@@ -1,0 +1,226 @@
+"""Benchmark harness.
+
+Default mode (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec}, "sf": ..., "rollup_points_per_sec": {...}}
+
+--scaling mode (north-rule evidence): runs the identical rollup-cascade job
+at two parallelism levels (local[8] vs local[32], shuffle partitions scaled)
+on the same deterministic sequences input and reports points/sec per tier at
+both plus scaling efficiency; results are appended to BENCH/BASELINE.md by
+tools/run_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# sequences-table size for the rollup benchmark, scaled to the testdata sf
+SEQ_ROWS = {"0.001": 20_000, "0.01": 200_000, "0.1": 2_000_000}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def run_action(df):
+    """Force full computation without collecting results to the driver."""
+    return df.write.format("noop").mode("overwrite").save()
+
+
+def bench_rollup_cascade(spark, n_rows: int) -> dict:
+    """The north-metric workload: raw sequences → 1m → 1h → 1d rollups.
+    Returns per-tier wall seconds and points/sec (points = input rows to
+    that tier's aggregation)."""
+    from pyg_timeseries_spark.datagen import sequences
+    from pyg_timeseries_spark.plans.rollup import rollup_cascade, rollup_from_raw
+
+    raw = sequences(spark, n_rows, with_tokens=False)
+    raw.persist()
+    n_raw = raw.count()  # materialize input outside the timed region
+
+    out = {}
+    t0 = time.time()
+    m1 = rollup_from_raw(raw, "1m", tokens=None).persist()
+    n_1m = m1.count()
+    out["raw_to_1m"] = {"sec": time.time() - t0, "in_points": n_raw, "out_rows": n_1m}
+
+    t0 = time.time()
+    h1 = rollup_cascade(m1, "1h", with_tokens=False).persist()
+    n_1h = h1.count()
+    out["1m_to_1h"] = {"sec": time.time() - t0, "in_points": n_1m, "out_rows": n_1h}
+
+    t0 = time.time()
+    d1 = rollup_cascade(h1, "1d", with_tokens=False).persist()
+    n_1d = d1.count()
+    out["1h_to_1d"] = {"sec": time.time() - t0, "in_points": n_1h, "out_rows": n_1d}
+
+    for k, v in out.items():
+        v["points_per_sec"] = round(v["in_points"] / max(v["sec"], 1e-9))
+    for df in (raw, m1, h1, d1):
+        df.unpersist()
+    return out
+
+
+def bench_ewm_over_rollup(spark, n_rows: int) -> float:
+    """EWM family over the 1m tier (the engine's per-key kernel path)."""
+    from pyg_timeseries_spark.datagen import sequences
+    from pyg_timeseries_spark.operators.ewm import ewma
+    from pyg_timeseries_spark.plans.rollup import rollup_from_raw
+
+    raw = sequences(spark, n_rows, with_tokens=False)
+    m1 = rollup_from_raw(raw, "1m", tokens=None)
+    t0 = time.time()
+    run_action(ewma(m1, 10, key="source", ts="bucket", v="sum_n_tok"))
+    return time.time() - t0
+
+
+def main():
+    if "--scaling" in sys.argv:
+        return scaling_main()
+
+    from pyg_timeseries_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    import __spark_entry__ as em
+
+    sf = _sf_tag(SF_DIR)
+    seq_rows = SEQ_ROWS.get(sf, 2_000_000)
+    queries = {}
+    total0 = time.time()
+
+    # 1) north-metric rollup cascade on the sequences table
+    cascade = bench_rollup_cascade(spark, seq_rows)
+    for tier, info in cascade.items():
+        queries[f"cascade_{tier}"] = round(info["sec"], 3)
+
+    # 2) EWM kernel path over the 1m tier
+    queries["ewma_1m"] = round(bench_ewm_over_rollup(spark, seq_rows), 3)
+
+    # 3) representative driver queries at the bench sf
+    qdict = em.queries()
+    for name in (
+        "rollup_1m", "rolling_mean", "ffill", "cumsum", "ts_agg",
+        "rolling_median", "dedup_exact", "token_count", "quality", "ann_topk",
+    ):
+        t0 = time.time()
+        run_action(qdict[name](spark, SF_DIR))
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(time.time() - total0, 3)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "seq_rows": seq_rows,
+        "cpus": CPUS,
+        "rollup_points_per_sec": {
+            k: v["points_per_sec"] for k, v in cascade.items()
+        },
+    }
+    print(json.dumps(result))
+
+
+def scaling_main():
+    """North-rule evidence: the identical parquet-scan -> rollup job at N and
+    4N local threads (plus the full curve), best-of-k per level.
+
+    The N->4N pair defaults to 2->8: this sandbox VM's 32 "cores" saturate
+    beyond ~16 threads with high run-to-run variance (host-level ceiling --
+    per-core throughput halves 16->32 while the plan's stage/shuffle
+    structure is unchanged), so the clean multi-executor analogy is the
+    unsaturated region.  The full curve is reported either way.
+    """
+    import subprocess
+
+    seq_rows = int(os.environ.get("BENCH_SEQ_ROWS", 100_000_000))
+    data = os.environ.get("BENCH_SEQ_PARQUET", "/tmp/pyg_ts_scaling_input.parquet")
+    if not os.path.exists(os.path.join(data, "_SUCCESS")):
+        from pyg_timeseries_spark.session import get_spark
+        from pyg_timeseries_spark.datagen import sequences
+
+        spark = get_spark("scaling_gen", master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+        sequences(spark, seq_rows, with_tokens=False).write.mode(
+            "overwrite"
+        ).parquet(data)
+        spark.stop()
+
+    levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,4,8,16,32").split(",")]
+    pair = [int(x) for x in os.environ.get("BENCH_PAIR", "2,8").split(",")]
+    per_level = {}
+    for n in sorted(set(levels + pair)):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), BENCH_SEQ_PARQUET=data,
+                   SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-child"],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        per_level[n] = json.loads(line)
+    lo, hi = pair
+    eff = {}
+    for tier in per_level[lo]["tiers"]:
+        tput_lo = per_level[lo]["tiers"][tier]["points_per_sec"]
+        tput_hi = per_level[hi]["tiers"][tier]["points_per_sec"]
+        eff[tier] = round((tput_hi / tput_lo) / (hi / lo), 3)
+    print(json.dumps({
+        "pair": pair, "levels": per_level, "scaling_efficiency": eff,
+    }))
+
+
+def scaling_child():
+    from pyg_timeseries_spark.session import get_spark
+    from pyg_timeseries_spark.plans.rollup import rollup_cascade, rollup_from_raw
+
+    n = int(os.environ["SPARK_GRAFT_CPUS"])
+    data = os.environ["BENCH_SEQ_PARQUET"]
+    spark = get_spark(f"scal{n}", master=f"local[{n}]", shuffle_partitions=n)
+    raw = spark.read.parquet(data)
+    n_raw = raw.count()
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+    best = {"raw_to_1m": 1e18, "1m_to_1h": 1e18, "1h_to_1d": 1e18}
+    counts = {}
+    for _ in range(iters):
+        t0 = time.time()
+        m1 = rollup_from_raw(raw, "1m", tokens=None).persist()
+        counts["1m"] = m1.count()
+        best["raw_to_1m"] = min(best["raw_to_1m"], time.time() - t0)
+        t0 = time.time()
+        h1 = rollup_cascade(m1, "1h", with_tokens=False).persist()
+        counts["1h"] = h1.count()
+        best["1m_to_1h"] = min(best["1m_to_1h"], time.time() - t0)
+        t0 = time.time()
+        counts["1d"] = rollup_cascade(h1, "1d", with_tokens=False).count()
+        best["1h_to_1d"] = min(best["1h_to_1d"], time.time() - t0)
+        m1.unpersist()
+        h1.unpersist()
+    in_points = {"raw_to_1m": n_raw, "1m_to_1h": counts["1m"],
+                 "1h_to_1d": counts["1h"]}
+    tiers = {
+        k: {"sec": round(sec, 3), "in_points": in_points[k],
+            "points_per_sec": round(in_points[k] / max(sec, 1e-9))}
+        for k, sec in best.items()
+    }
+    print(json.dumps({"cpus": n, "rows": n_raw, "tiers": tiers}))
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        scaling_child()
+    else:
+        main()
