@@ -1,0 +1,101 @@
+"""Sequential recurrence kernels that are inherently path-dependent (output
+feeds back into state): z-filter smoothing and hysteresis buffering.
+
+Fresh implementations of the reference semantics:
+  zmooth  /root/reference/src/pyg_timeseries/_zmooth.py:8-115
+  buffer  /root/reference/src/pyg_timeseries/_rolling.py:294-332, 872-942
+
+Both are exact sequential loops (resumable bit-for-bit), run per key inside
+applyInPandas like the EWM kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ZMOOTH_STATE_LEN = 3  # [t0, t2, prev]
+BUFFER_STATE_LEN = 2  # [pos, band_carry]
+
+
+def _c_round(x: float) -> float:
+    return np.floor(abs(x) + 0.5) * (1.0 if x >= 0 else -1.0)
+
+
+def zmooth(a, n, smooth=None, max_move=4.2, exc_zero=False, state=None):
+    """Z-filter + median-smooth outlier clamp with EWM vol state.
+
+    Per valid row: move v = a[i] - prev is clamped when |v| > max_move * vol
+    (vol = EWM rms of accepted moves); the clamp follows the smooth series
+    when it moves the same direction, else caps at the band edge / holds.
+    """
+    if max_move == 0:
+        raise ValueError("must provide a positive max_move")
+    w = n / (n + 1.0) if n >= 1 else float(n)
+    one_minus_w = 1.0 - w
+    if state is None:
+        t0, t2, prev = 0.0, 0.0, np.nan
+    else:
+        t0, t2, prev = (float(x) for x in state)
+    res = np.full(a.shape[0], np.nan)
+    vol = 0.0 if t0 == 0 else np.sqrt(t2 / t0)
+    have_smooth = smooth is not None
+    for i in range(a.shape[0]):
+        ai = a[i]
+        if ai != ai:
+            continue
+        if prev != prev:
+            res[i] = ai
+        else:
+            v = ai - prev
+            sign = np.sign(v)
+            if vol > 0 and abs(v) > max_move * vol:
+                si = smooth[i] if have_smooth else np.nan
+                if si != si:
+                    v = sign * max_move * vol
+                elif np.sign(si - prev) == sign:
+                    v = si - prev
+                else:
+                    v = 0.0
+            res[i] = prev + v
+            if not (exc_zero and v == 0):
+                t0 = t0 * w + one_minus_w
+                t2 = t2 * w + one_minus_w * v * v
+                vol = 0.0 if t0 == 0 else np.sqrt(t2 / t0)
+        prev = res[i]
+    return res, np.array([t0, t2, prev])
+
+
+def buffer(a, band, unit=0.0, rounding_band=0.0, state=None):
+    """Hysteresis band: hold the previous position while the target stays
+    inside [a-band, a+band]; optional unit rounding of the band edges."""
+    if state is None:
+        pos, b = 0.0, 0.0
+    else:
+        pos, b = (float(x) for x in state)
+    if pos != pos:
+        pos = 0.0
+    res = np.full(a.shape[0], np.nan)
+    scalar_band = np.isscalar(band)
+    for i in range(a.shape[0]):
+        ai = a[i]
+        if ai != ai:
+            continue
+        bi = band if scalar_band else band[i]
+        if bi == bi:
+            b = bi
+        if unit:
+            b_in_unit = max(b / unit, rounding_band)
+            a_in_unit = ai / unit
+            # C-style round (half away from zero), matching the reference's
+            # compiled round(); python's round() is banker's and diverges
+            lb = _c_round(a_in_unit - b_in_unit) * unit
+            ub = _c_round(a_in_unit + b_in_unit) * unit
+        else:
+            lb = ai - b
+            ub = ai + b
+        if pos < lb:
+            pos = lb
+        elif pos > ub:
+            pos = ub
+        res[i] = pos
+    return res, np.array([pos, b])
