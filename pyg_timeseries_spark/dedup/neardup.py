@@ -1,0 +1,268 @@
+"""Near-duplicate detection for training corpora — MinHash+LSH, SimHash,
+n-gram Jaccard — entirely in JVM column expressions (higher-order functions
+over arrays; no Python UDFs).
+
+Scale shape (the standard web-dedup pipeline):
+  shingle → signature (per-doc map work, pipelined with the scan)
+  → band buckets (narrow (bucket, id) rows)
+  → self-join on bucket (hash shuffle on uniformly-distributed hashes)
+  → exact verify on the candidate pairs only (tiny fraction of n²).
+Nothing quadratic ever touches the full corpus; the only shuffle carries
+(bucket, id, signature) rows, never document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---- shingling --------------------------------------------------------------
+
+
+def word_shingles(text_col, k: int = 3):
+    """Distinct word k-shingles of a text column (array<string>)."""
+    wordsarr = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n = F.greatest(F.size(wordsarr) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(wordsarr, i, k)),
+        )
+    )
+
+
+def char_ngrams(text_col, n: int = 5):
+    """Distinct character n-grams (array<string>)."""
+    t = F.lower(text_col)
+    cnt = F.greatest(F.length(t) - (n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), cnt), lambda i: t.substr(i, F.lit(n)))
+    )
+
+
+def jaccard(a, b):
+    """Exact Jaccard similarity of two array columns (as sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+# ---- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(shingles_col, n_hashes: int = 32):
+    """n_hashes-wide MinHash signature: h_p = min over shingles of
+    xxhash64(shingle, p).  Deterministic, no broadcast state."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda p: F.array_min(
+            F.transform(shingles_col, lambda s: F.xxhash64(s, p))
+        ),
+    )
+
+
+def minhash_bands(sig_col, bands: int, rows: int):
+    """Band buckets: bucket_b = xxhash64 of the band's signature slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.transform(
+                F.slice(sig_col, b * rows + 1, rows), lambda x: x.cast("string")
+            )),
+            b,
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 MinHash band,
+    with their exact shingle-Jaccard for thresholding."""
+    rows = n_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text), shingle_k).alias("sh"),
+    )
+    sig = sh.select(
+        "id", "sh", minhash_bands(minhash_signature(F.col("sh"), n_hashes), bands, rows).alias("bk")
+    )
+    exploded = sig.select(
+        "id", "sh", F.posexplode("bk").alias("band", "bucket")
+    )
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text: str = "text",
+    **kw,
+) -> DataFrame:
+    """Docs to DROP: any doc that has a near-dup with a smaller id (greedy
+    keep-first by id; one connected-component edge is enough to drop)."""
+    cand = minhash_candidates(df, id_col=id_col, text=text, **kw)
+    return (
+        cand.filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+
+# literal bit masks for the 64 positions (sign bit as its two's-complement
+# long value; shift ops take only python ints, masks keep it column-free)
+_BIT_MASKS = [1 << b for b in range(63)] + [-(1 << 63)]
+
+
+def simhash64(tokens_col):
+    """64-bit SimHash of a token array: bit b is the sign of
+    Σ_tokens (±1 per bit of xxhash64(token)).  Returned as BIGINT."""
+    masks = F.array(*[F.lit(m).cast("long") for m in _BIT_MASKS])
+    votes = F.aggregate(
+        tokens_col,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(
+                    F.xxhash64(t).bitwiseAND(m) != 0, F.lit(1)
+                ).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of 4 16-bit chunks
+    (pigeonhole: ≤3 differing bits ⇒ some chunk identical), verified by
+    exact Hamming distance."""
+    words_arr = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    sh = df.select(F.col(id_col).alias("id"), simhash64(words_arr).alias("h"))
+    bits = 64 // chunks
+    chunked = sh.select(
+        "id", "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("h"), c * bits).bitwiseAND(
+                    F.lit((1 << bits) - 1)
+                )
+                for c in range(chunks)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+                       "chunk_idx", "chunk")
+    b = chunked.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+                       "chunk_idx", "chunk")
+    pairs = (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("h_a"), F.col("h_b")))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
+# ---- exact n-gram Jaccard over explicit pairs -------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    shingle_k: int = 3,
+    max_ids: int | None = None,
+) -> DataFrame:
+    """All-pairs exact word-shingle Jaccard on a (small) id range — the
+    verification oracle for the LSH paths; O(m²), gate with max_ids."""
+    src = df
+    if max_ids is not None:
+        src = src.filter(F.col(id_col) < max_ids)
+    sh = src.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text), shingle_k).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+
+
+# ---- embedding near-dup -----------------------------------------------------
+
+
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate vectors by cosine ≥ threshold, LSH-bucketed candidates
+    (random-hyperplane bands from similarity/ann.py) + exact verify."""
+    from pyg_timeseries_spark.similarity.ann import add_simhash_buckets, cosine
+
+    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec)
+    cand = None
+    for bnd in range(bands):
+        x = cb.select(F.col(id_col).alias("id_a"),
+                      F.col(vec).cast("array<double>").alias("va"),
+                      F.col(f"bucket_{bnd}").alias("bkt"))
+        y = cb.select(F.col(id_col).alias("id_b"),
+                      F.col(vec).cast("array<double>").alias("vb"),
+                      F.col(f"bucket_{bnd}").alias("bkt"))
+        p = x.join(y, on="bkt").filter(F.col("id_a") < F.col("id_b")).drop("bkt")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    return (
+        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

@@ -1,0 +1,101 @@
+"""Streaming rollup (file source → foreachBatch store ingest; memory-sink
+windowed agg) and multimodal binary plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.datagen import sequences
+from pyg_timeseries_spark.multimodal.binaryops import (
+    fake_decode_image, frame_sample, image_features, resize_image,
+    synthesize_media,
+)
+from pyg_timeseries_spark.plans.checkpoint import RollupStore
+from pyg_timeseries_spark.plans.rollup import rollup_from_raw
+from pyg_timeseries_spark.streaming.stream_rollup import (
+    start_file_stream_ingest, stream_rollup_1m,
+)
+
+
+def test_stream_rollup_memory_sink(spark, tmp_path):
+    raw = sequences(spark, 5000, with_tokens=False)
+    src = str(tmp_path / "stream_src")
+    raw.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = stream_rollup_1m(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory").queryName("m1_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM m1_stream")
+    exp = rollup_from_raw(spark.read.parquet(src), "1m", tokens=None)
+    g = got.select("source", "bucket", "cnt", "sum_n_tok").toPandas()
+    e = exp.select("source", "bucket", "cnt", "sum_n_tok").toPandas()
+    g = g.sort_values(["source", "bucket"]).reset_index(drop=True)
+    e = e.sort_values(["source", "bucket"]).reset_index(drop=True)
+    assert g.equals(e), "streaming 1m rollup != batch rollup"
+
+
+def test_stream_foreach_batch_ingest_matches_batch(spark, tmp_path):
+    raw = sequences(spark, 5000, with_tokens=False)
+    src = str(tmp_path / "ingest_src")
+    # two files → two-ish micro-batches with availableNow
+    raw.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(src + "/a.parquet")
+    raw.filter(F.col("seq") % 2 == 1).coalesce(1).write.parquet(src + "/b.parquet")
+    schema = spark.read.parquet(src + "/a.parquet").schema
+
+    store = RollupStore(str(tmp_path / "stream_store"), spark)
+    q = start_file_stream_ingest(
+        spark, src + "/*", store, schema,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    batch_store = RollupStore(str(tmp_path / "batch_store"), spark)
+    batch_tiers = batch_store.ingest(raw, tokens=None)
+
+    got = store.read_table("rollup_1m").toPandas()
+    exp = batch_tiers["1m"].toPandas()
+    got = got.sort_values(["source", "bucket"]).reset_index(drop=True)
+    exp = exp.sort_values(["source", "bucket"]).reset_index(drop=True)
+    cols = ["source", "bucket", "cnt", "sum_n_tok", "sum2_n_tok", "min_n_tok", "max_n_tok"]
+    assert got[cols].equals(exp[cols]), "streamed store != batch store"
+
+
+def test_media_features_plumbing(spark):
+    media = synthesize_media(spark, 60)
+    feats = image_features(media).toPandas()
+    assert len(feats) == media.filter(F.col("kind") == "image").count()
+    assert feats["mean_r"].between(0, 255).all()
+    # determinism: same payload → same features on re-run
+    feats2 = image_features(media).toPandas()
+    assert feats.sort_values("media_id").reset_index(drop=True).equals(
+        feats2.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_resize_and_frame_sample(spark):
+    media = synthesize_media(spark, 30)
+    thumbs = resize_image(media, target=8).toPandas()
+    assert (thumbs["thumb"].apply(len) == 8 * 8 * 3).all()
+    fs = frame_sample(media, every_n=7).toPandas()
+    assert (fs["frame_idx"] % 7 == 0).all()
+
+
+def test_real_decode_gated():
+    with pytest.raises(NotImplementedError):
+        from pyg_timeseries_spark.multimodal.binaryops import decode_image
+
+        decode_image(b"notanimage", 4, 4)
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode_image(b"payload", 16, 8)
+    b = fake_decode_image(b"payload", 16, 8)
+    assert a.shape == (8, 16, 3)
+    assert np.array_equal(a, b)
