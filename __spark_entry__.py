@@ -33,7 +33,11 @@ from pyg_timeseries_spark.operators import rolling as R
 from pyg_timeseries_spark.operators import shift as S
 from pyg_timeseries_spark.operators import ts as TS
 from pyg_timeseries_spark.dedup.exact import dedup_groups
-from pyg_timeseries_spark.similarity.ann import cosine_topk
+from pyg_timeseries_spark.dedup import neardup as ND
+from pyg_timeseries_spark.operators.composite import ewmacd as ewmacd_op
+from pyg_timeseries_spark.operators.recurrence import buffer as buffer_op, zmooth as zmooth_op
+from pyg_timeseries_spark.operators.xrank import xrank_simple
+from pyg_timeseries_spark.similarity.ann import cosine_topk, lsh_topk
 from pyg_timeseries_spark.sources.tables import (
     SERIES_SQL, VALID_SQL, events_series, load,
 )
@@ -269,6 +273,96 @@ def q_ann_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+
+def q_rolling_skew(spark, sf_dir):
+    return _valid_only(R.rolling_skew(_series(spark, sf_dir), N, out="sk"), "sk")
+
+
+def q_expanding_rms(spark, sf_dir):
+    return _valid_only(E.expanding_rms(_series(spark, sf_dir), out="erms"), "erms")
+
+
+def q_ts_cor(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.col("value").alias("a"),
+        F.col("user_id").cast("double").alias("b"),
+    )
+    out = TS.ts_cor(ev, "a", "b", out="cor_ab")
+    return out.select("key", R6(F.col("cor_ab")).alias("cor_ab"))
+
+
+def q_xrank_xsec(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", F.date_trunc("minute", "ts").alias("bucket"))
+        .agg(F.sum("v").alias("sv"))
+    )
+    out = xrank_simple(m1, key="key", ts="bucket", v="sv", out="xr")
+    return out.select("key", "bucket", R6(F.col("xr")).alias("xr"))
+
+
+def q_token_count_bpe(spark, sf_dir):
+    d = TX.token_count_bpe(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", "n_tok_bpe")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    out = ND.jaccard_pairs(docs, shingle_k=3, max_ids=60)
+    return out.select("id_a", "id_b", R6(F.col("jaccard")).alias("jaccard"))
+
+
+def q_minhash_dedup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return ND.minhash_candidates(docs, n_hashes=16, bands=8).select(
+        "id_a", "id_b", R6(F.col("jaccard")).alias("jaccard")
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return ND.simhash_pairs(docs, max_hamming=16)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return ND.embedding_neardup(emb, threshold=0.25, dim=64)
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(emb, queries_df, dim=64, k=10)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def q_ewmacd(spark, sf_dir):
+    s = ewmacd_op(_series(spark, sf_dir), 4, 12, vol=8)
+    return _valid_only(s, "ewmacd")
+
+
+def q_zmooth(spark, sf_dir):
+    s = zmooth_op(_series(spark, sf_dir), 10, max_move=4.2)
+    return _valid_only(s, "zmooth")
+
+
+def q_buffer(spark, sf_dir):
+    s = buffer_op(_series(spark, sf_dir), band=0.5)
+    return _valid_only(s, "buffer")
+
+
+def q_media_features(spark, sf_dir):
+    from pyg_timeseries_spark.multimodal.binaryops import (
+        image_features, synthesize_media,
+    )
+
+    return image_features(synthesize_media(spark, 90)).select(
+        "media_id", R6(F.col("mean_r")).alias("mean_r"),
+        R6(F.col("std_all")).alias("std_all"), "content_hash",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _rollup("minute"),
@@ -302,6 +396,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
+        "rolling_skew": q_rolling_skew,
+        "expanding_rms": q_expanding_rms,
+        "ts_cor": q_ts_cor,
+        "xrank_xsec": q_xrank_xsec,
+        "token_count_bpe": q_token_count_bpe,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "lsh_topk": q_lsh_topk,
+        "ewmacd": q_ewmacd,
+        "zmooth": q_zmooth,
+        "buffer": q_buffer,
+        "media_features": q_media_features,
     }
 
 
@@ -443,6 +551,73 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 10
         """,
-        # ewma / ewmstd / ewmrms / ts_interval / lang_id / fingerprint:
-        # sequential recurrences or engine-hash heuristics — rows-only check.
+
+        "rolling_skew": f"""
+            SELECT key, ts, CASE WHEN t0 >= {N} AND m2 > 0 AND t0 > 2 THEN
+                   CAST(floor(((t3/t0 - 3*(t1/t0)*(t2/t0) + 2*pow(t1/t0, 3)) / pow(m2, 1.5) * sqrt(t0*(t0-1)) / (t0-2)) * 1000000 + 0.4997) AS BIGINT)
+                   END AS sk
+            FROM (
+                SELECT key, ts, t0, t1, t2, t3, t2/t0 - pow(t1/t0, 2) AS m2
+                FROM (
+                    SELECT key, ts,
+                           count(v) OVER w::DOUBLE AS t0,
+                           sum(v) OVER w AS t1,
+                           sum(v*v) OVER w AS t2,
+                           sum(v*v*v) OVER w AS t3
+                    FROM ({VALID_SQL})
+                    WINDOW w AS ({_WIN} {_ROWS_N})
+                )
+            )
+        """,
+        "expanding_rms": f"""
+            SELECT key, ts, CAST(floor((sqrt(sum(v*v) OVER ({_WIN} {_ROWS_INF}) / count(v) OVER ({_WIN} {_ROWS_INF}))) * 1000000 + 0.4997) AS BIGINT) AS erms
+            FROM ({VALID_SQL})
+        """,
+        "ts_cor": """
+            SELECT event_type AS key,
+                   CAST(floor((corr(value, user_id::DOUBLE)) * 1000000 + 0.4997) AS BIGINT) AS cor_ab
+            FROM events GROUP BY 1
+        """,
+        "xrank_xsec": f"""
+            WITH m1 AS (
+                SELECT key, date_trunc('minute', ts) AS bucket, sum(v) AS sv
+                FROM ({SERIES_SQL}) GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT key, bucket,
+                       rank() OVER (PARTITION BY bucket ORDER BY sv) AS r,
+                       count(*) OVER (PARTITION BY bucket) AS m,
+                       count(*) OVER (PARTITION BY bucket, sv) AS ties
+                FROM m1 WHERE sv IS NOT NULL
+            )
+            SELECT key, bucket,
+                   CAST(floor((((r - 1) - (m - (r - 1) - ties))::DOUBLE / m) * 1000000 + 0.4997) AS BIGINT) AS xr
+            FROM ranked
+            UNION ALL
+            SELECT key, bucket, NULL AS xr FROM m1 WHERE sv IS NULL
+        """,
+        "token_count_bpe": """
+            SELECT doc_id, len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tok_bpe
+            FROM documents
+        """,
+        "jaccard_pairs": """
+            WITH sh AS (
+                SELECT doc_id AS id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(len(w) - 2, 1)),
+                           i -> array_to_string(w[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                      FROM documents WHERE doc_id < 60)
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(floor((CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+                        THEN len(list_intersect(a.s, b.s))::DOUBLE
+                             / len(list_distinct(list_concat(a.s, b.s)))
+                        ELSE 0 END) * 1000000 + 0.4997) AS BIGINT) AS jaccard
+            FROM sh a, sh b WHERE a.id < b.id
+        """,
+        # ewma/ewmstd/ewmrms/ewmacd/zmooth/buffer (sequential recurrences),
+        # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
+        # (engine-hash dependent) -- rows-only checks.
     }

@@ -83,30 +83,46 @@ def minhash_candidates(
     bands: int = 8,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 MinHash band,
-    with their exact shingle-Jaccard for thresholding."""
+    with their exact shingle-Jaccard for thresholding.
+
+    Shape: explode shingles once → per-doc signature via one hash-aggregate
+    (min per permutation) — NOT a per-permutation array_min over the shingle
+    expression, which Catalyst would inline n_hashes times.  The band join
+    carries only (band, bucket, id); shingle sets re-attach by id for the
+    exact verify, so the wide arrays never ride the candidate shuffle."""
     rows = n_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text), shingle_k).alias("sh"),
     )
-    sig = sh.select(
-        "id", "sh", minhash_bands(minhash_signature(F.col("sh"), n_hashes), bands, rows).alias("bk")
+    shingle_rows = sh.select("id", F.explode("sh").alias("s"))
+    sig = shingle_rows.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"h{p}")
+            for p in range(n_hashes)
+        ]
     )
-    exploded = sig.select(
-        "id", "sh", F.posexplode("bk").alias("band", "bucket")
-    )
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bucket"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bucket"
-    )
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"h{b * rows + r}").cast("string")
+                               for r in range(rows)]),
+            F.lit(b),
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    buckets = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
+    a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+    return verified.select(
         "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
     )
 
