@@ -99,3 +99,46 @@ def buffer(a, band, unit=0.0, rounding_band=0.0, state=None):
             pos = ub
         res[i] = pos
     return res, np.array([pos, b])
+
+
+def ewfill(a, fwd_n, bwd_n=None, decay_target=0.0, prev=np.nan, nxt=np.nan):
+    """Two-sided exponential-decay gap fill toward ``decay_target``
+    (reference `_rolling.py:155-179`): a missing row gets
+    0.5·(prev·f + (1-f)·target) + 0.5·(next·b + (1-b)·target) where f/b decay
+    per row of gap distance.  Vectorized per-gap (no Python loop).
+    """
+    from pyg_timeseries_spark.kernels.ewm_numpy import decay_weight
+
+    fw = decay_weight(fwd_n)
+    bw = fw if bwd_n is None else decay_weight(bwd_n)
+    a = np.asarray(a, float)
+    n = a.shape[0]
+    res = a.copy()
+    valid = ~np.isnan(a)
+    idx = np.arange(n)
+    prev0 = decay_target if prev != prev else prev
+    nxt0 = decay_target if nxt != nxt else nxt
+
+    # forward: index of last valid row at or before i (-1 if none)
+    last = np.where(valid, idx, -1)
+    last = np.maximum.accumulate(last)
+    dist_f = idx - last  # >=1 on nan rows; last==-1 → idx+1 handled below
+    dist_f = np.where(last < 0, idx + 1, dist_f)
+    prev_vals = np.where(last >= 0, a[np.maximum(last, 0)], prev0)
+    f = fw ** dist_f
+    fwd_part = 0.5 * (prev_vals * f + (1 - f) * decay_target)
+
+    # backward: index of next valid row at or after i (n if none)
+    nxt_idx = np.where(valid, idx, n)
+    nxt_idx = np.minimum.accumulate(nxt_idx[::-1])[::-1]
+    dist_b = nxt_idx - idx
+    dist_b = np.where(nxt_idx >= n, n - idx, dist_b)
+    nxt_vals = np.where(nxt_idx < n, a[np.minimum(nxt_idx, n - 1)], nxt0)
+    bvec = bw ** dist_b
+    bwd_part = 0.5 * (nxt_vals * bvec + (1 - bvec) * decay_target)
+
+    gap = ~valid
+    res[gap] = fwd_part[gap] + bwd_part[gap]
+    new_prev = a[valid][-1] if valid.any() else prev0
+    new_nxt = a[valid][0] if valid.any() else nxt0
+    return res, np.array([new_prev, new_nxt])

@@ -121,3 +121,79 @@ def fnna(
         .filter(F.col("_rn") == target)
         .select(key, ts)
     )
+
+
+def fnnz(
+    df: DataFrame,
+    n: int = 1,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+) -> DataFrame:
+    """Timestamp of the nth non-zero (and non-NULL) observation per key
+    (reference _rolling.py:561-597, fnnz)."""
+    nz = df.filter(F.col(v).isNotNull() & (F.col(v) != 0))
+    return fnna(nz, n=n, key=key, ts=ts, v=v)
+
+
+def fnna_like(
+    target: DataFrame,
+    source: DataFrame,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    source_v: str | None = None,
+) -> DataFrame:
+    """NULL-out target rows before the source's first valid observation per
+    key — copying the leading-NaN pattern (reference _pandas.py:6-64)."""
+    first_valid = fnna(source, 1, key=key, ts=ts, v=source_v or v).select(
+        key, F.col(ts).alias("_first_ts")
+    )
+    out = target.join(F.broadcast(first_valid), on=key, how="left")
+    return out.withColumn(
+        v,
+        F.when(
+            F.col("_first_ts").isNull() | (F.col(ts) < F.col("_first_ts")),
+            F.lit(None),
+        ).otherwise(F.col(v)),
+    ).drop("_first_ts")
+
+
+def ewfill(
+    df: DataFrame,
+    fwd_n: float,
+    bwd_n: float | None = None,
+    decay_target: float = 0.0,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str | None = None,
+) -> DataFrame:
+    """Two-sided exponential-decay fill toward ``decay_target`` (reference
+    _rolling.py:155-179, 600-626) — per-key vectorized numpy kernel under
+    applyInPandas (inherently forward+backward, not window-expressible)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pyg_timeseries_spark.kernels.recurrence_numpy import ewfill as kernel
+
+    out = out or v
+    in_cols = [f.name for f in df.schema.fields]
+    fields = [
+        f if f.name != out else T.StructField(out, T.DoubleType())
+        for f in df.schema.fields
+    ]
+    if out not in in_cols:
+        fields = list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    out_schema = T.StructType(fields)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        a = pdf[v].to_numpy(dtype=np.float64, na_value=np.nan)
+        res, _ = kernel(a, fwd_n, bwd_n, decay_target)
+        pdf = pdf[in_cols].copy()
+        pdf[out] = res
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, schema=out_schema)
