@@ -46,13 +46,14 @@ def correlation_resolution(dtype: str) -> float:
 
 def encode_cor_col(c: Column, dtype: str = "int8") -> Column:
     scale, nan = CODEC[dtype]
-    # NaN → NULL first: Spark orders NaN as the LARGEST double, so
-    # least(NaN, 1.0) would silently clip a missing value to +1.0
-    c = F.nanvl(c, F.lit(None).cast("double"))
+    # Missing must branch explicitly: Spark orders NaN as the LARGEST double
+    # (least(NaN, 1.0) → 1.0) and least/greatest SKIP nulls — either way a
+    # missing correlation would silently pack as +1.0
+    missing = c.isNull() | F.isnan(c)
     packed = F.round(
         F.greatest(F.least(c, F.lit(1.0)), F.lit(-1.0)) * scale
     )
-    return F.coalesce(packed, F.lit(nan)).cast(_SPARK_TYPE[dtype])
+    return F.when(missing, F.lit(nan)).otherwise(packed).cast(_SPARK_TYPE[dtype])
 
 
 def decode_cor_col(c: Column, dtype: str = "int8") -> Column:
