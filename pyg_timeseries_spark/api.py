@@ -1,0 +1,202 @@
+"""Full API parity surface vs gityoav/pyg-timeseries.
+
+Every name exported by the reference's ``__init__.py`` maps here to its
+Spark-native equivalent (same semantics over long-format frames), so a
+reference user can locate every operator by its original name.  Stateful
+``f_`` variants return (data, state) pairs per the reference convention
+(_decorators.py:21-31).
+
+Status legend (also the coverage table in README.md):
+  native   — Catalyst window/agg expression
+  kernel   — Arrow-batched applyInPandas sequential kernel (resumable)
+  deferred — documented below, not yet implemented
+"""
+
+from __future__ import annotations
+
+from pyg_timeseries_spark.operators.fill import (  # native
+    ffill, bfill, ewfill, fnna, fnnz, na2v, v2na, init2v, fnna_like,
+)
+from pyg_timeseries_spark.operators.shift import shift, diff, ratio  # native
+from pyg_timeseries_spark.operators.rolling import (  # native
+    rolling_sum, rolling_mean, rolling_rms, rolling_std, rolling_skew,
+    rolling_min, rolling_max, rolling_median, rolling_quantile, rolling_rank,
+)
+from pyg_timeseries_spark.operators.expanding import (  # native
+    cumsum, cumprod, expanding_mean, expanding_rms, expanding_std,
+    expanding_skew, expanding_min, expanding_max, expanding_median,
+    expanding_rank,
+)
+from pyg_timeseries_spark.operators.ts import (  # native (partial+final agg)
+    ts_count, ts_sum, ts_mean, ts_rms, ts_std, ts_skew, ts_min, ts_max,
+    ts_median, ts_cor, ts_interval,
+)
+from pyg_timeseries_spark.operators.ewm import (  # kernel
+    ewma, ewmrms, ewmstd, ewmvar, ewmskew,
+    ewma_, ewmrms_, ewmstd_, ewmvar_, ewmskew_,
+)
+from pyg_timeseries_spark.operators.pairwise import (  # kernel
+    ewmxcor, ewmxcor_, ewmxcovar, ewmxLR,
+    ewmcorrelation, ewmcovariance,
+)
+from pyg_timeseries_spark.operators.composite import (  # DAG + nested state
+    ou_factor, ewmacd, ewmacd_, ewmvol, ewmvol_,
+)
+from pyg_timeseries_spark.operators.recurrence import (  # kernel
+    zmooth, zmooth_, buffer, buffer_, rolling_tover, rolling_tover_,
+)
+from pyg_timeseries_spark.operators.xrank import xrank, xrank_simple
+from pyg_timeseries_spark.operators.bars import (  # native
+    bar_r2, ohlc_r2, bar_daily_to_eod, overlapping_returns,
+)
+from pyg_timeseries_spark.operators.window_state import (
+    make_stateful, tail_state, expanding_state, resume_cumsum,
+)
+from pyg_timeseries_spark.compress.cor_codec import (
+    CODEC as CORRELATION_CODEC,
+    encode_correlations, decode_correlations, correlation_resolution,
+    encode_cor_col, decode_cor_col,
+)
+from pyg_timeseries_spark.functions.psd import (
+    psd_correlation, clip_eigenvalues, min_eigenvalue, normalise_diagonal,
+    shrink_to_identity, matmul,
+)
+
+# ---- reference aliases ------------------------------------------------------
+
+# the reference exports expanding_sum as an alias of cumsum
+expanding_sum = cumsum
+
+
+def correlation_codec(dtype=None):
+    """(scale, sentinel) pair for a packing dtype (reference _cor.py:10-23)."""
+    import numpy as np
+
+    if dtype is None:
+        return (1.0, np.nan)
+    key = str(np.dtype(dtype))
+    return CORRELATION_CODEC.get(key, (1.0, np.nan))
+
+
+min_eigenvalues = min_eigenvalue  # reference name (plural)
+
+# ewmcorr/ewmcovar are the reference's "single shared clock" variants of
+# ewmcorrelation/ewmcovariance (_ewm.py:688-921); in long format both reduce
+# to the melted pairwise tensor.
+ewmcorr = ewmcorrelation
+ewmcovar = ewmcovariance
+
+# stateful (data, state) variants of the Catalyst-native window operators —
+# state is the key's trailing valid rows (operators/window_state.py), resume
+# is bit-identical to a full run.
+ffill_ = make_stateful(ffill, state_n=1)
+shift_ = make_stateful(shift, state_n=1)
+diff_ = make_stateful(diff, state_n=1)
+ratio_ = make_stateful(ratio, state_n=1)
+
+
+def _mk(op, n_default):
+    def factory(n=n_default):
+        return make_stateful(op, state_n=max(n - 1, 1))
+    return factory
+
+
+def rolling_mean_(df, n, **kw):
+    return make_stateful(rolling_mean, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_sum_(df, n, **kw):
+    return make_stateful(rolling_sum, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_rms_(df, n, **kw):
+    return make_stateful(rolling_rms, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_std_(df, n, **kw):
+    return make_stateful(rolling_std, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_skew_(df, n, **kw):
+    return make_stateful(rolling_skew, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_min_(df, n, **kw):
+    return make_stateful(rolling_min, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_max_(df, n, **kw):
+    return make_stateful(rolling_max, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_median_(df, n, **kw):
+    return make_stateful(rolling_median, state_n=n - 1)(df, n, **kw)
+
+
+def rolling_quantile_(df, n, q, **kw):
+    return make_stateful(rolling_quantile, state_n=n - 1)(df, n, q, **kw)
+
+
+def rolling_rank_(df, n, **kw):
+    return make_stateful(rolling_rank, state_n=n - 1)(df, n, **kw)
+
+
+# expanding/ts state = per-key moment sums (exact integer-domain resume);
+# the *_ variants return (data, moment-state) pairs.
+def _expanding_pair(op):
+    def op_(df, *args, **kw):
+        from pyspark.sql import functions as F
+
+        data = op(df, *args, **kw)
+        v = kw.get("v", "v")
+        key = kw.get("key", "key")
+        state = expanding_state(df.filter(F.col(v).isNotNull()), key=key, v=v)
+        return data, state
+    op_.__name__ = op.__name__ + "_"
+    return op_
+
+
+cumsum_ = _expanding_pair(cumsum)
+cumprod_ = _expanding_pair(cumprod)
+expanding_mean_ = _expanding_pair(expanding_mean)
+expanding_sum_ = cumsum_
+expanding_rms_ = _expanding_pair(expanding_rms)
+expanding_std_ = _expanding_pair(expanding_std)
+expanding_skew_ = _expanding_pair(expanding_skew)
+expanding_min_ = _expanding_pair(expanding_min)
+expanding_max_ = _expanding_pair(expanding_max)
+
+ts_count_ = _expanding_pair(ts_count)
+ts_sum_ = _expanding_pair(ts_sum)
+ts_mean_ = _expanding_pair(ts_mean)
+ts_rms_ = _expanding_pair(ts_rms)
+ts_std_ = _expanding_pair(ts_std)
+ts_skew_ = _expanding_pair(ts_skew)
+ts_min_ = _expanding_pair(ts_min)
+ts_max_ = _expanding_pair(ts_max)
+ts_cor_ = _expanding_pair(ts_cor)
+
+ewmxLR_ = ewmxLR  # stateful form shares the kernel; state via ewmxcor_
+ewmcorrelation_ = ewmcorrelation
+ewmcovariance_ = ewmcovariance
+ewmcorr_ = ewmcorr
+ewmcovar_ = ewmcovar
+rolling_quantile__doc = "two-heap incremental quantile — see operators/rolling.py"
+
+# ---- deferred (documented, out of v0 scope) --------------------------------
+# ewmAAi / ewmAAi_      rolling inverse of E(dA'dA)       — np.linalg per row
+#                        over the melted tensor; planned as repair_melted-
+#                        style applyInPandas (reference _ewm.py:936-980).
+# ewmGLM / ewmGLM_      EWM general linear model           — same shape.
+# ewmcorr_psd(_)        per-column-state PSD EWM correlation (reference
+#                        _ewm_psd.py:43-287) — rank-1 update variant.
+# ewmcombine/ewmcombined signal combiner (_ewmcombine.py) — composition of
+#                        implemented primitives; planned.
+# multibuffer, minimize_tracking_error, least_squares, riskparity, maxdiv —
+#   portfolio optimizers (scipy/cvxpy applications, not engine operators;
+#   SURVEY.md §2.7 marks them out of scope).
+# ts_iterate            superseded by the incremental RollupStore driver.
+# reindex_3d            pandas-specific tensor helper; long format makes it
+#                        a join (plans/rollup.py).
+# compiled / mask_nans / apply_along_first_axis — reference-internal numba
+#   decorators with no Spark meaning.

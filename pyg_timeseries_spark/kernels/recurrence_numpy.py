@@ -142,3 +142,45 @@ def ewfill(a, fwd_n, bwd_n=None, decay_target=0.0, prev=np.nan, nxt=np.nan):
     new_prev = a[valid][-1] if valid.any() else prev0
     new_nxt = a[valid][0] if valid.any() else nxt0
     return res, np.array([new_prev, new_nxt])
+
+
+def rolling_tover(a, n=256, interval=None, state=None):
+    """Rolling turnover / annualized-risk ratio (reference
+    `_rolling.py:417-443, 1046-1058`): over the last n positions, annualized
+    trading divided by annualized vol of positions.  NaN holds the previous
+    position.  State: (positions ring[n], trades ring[n], j, total_variance,
+    total_trades)."""
+    if interval is None:
+        interval = 1 / 260
+    if state is None:
+        positions = np.zeros(n)
+        trades = np.zeros(n)
+        j, total_variance, total_trades = 0, 0.0, 0.0
+    else:
+        positions = np.asarray(state[:n], float).copy()
+        trades = np.asarray(state[n:2 * n], float).copy()
+        j = int(state[2 * n])
+        total_variance = float(state[2 * n + 1])
+        total_trades = float(state[2 * n + 2])
+    res = np.empty(a.shape[0])
+    prev = positions[j]
+    total_years = n * interval
+    for i in range(a.shape[0]):
+        jj = (j + 1) % n
+        ai = a[i]
+        positions[j] = prev if ai != ai else ai
+        trades[j] = abs(positions[j] - prev)
+        total_variance += positions[j] ** 2 - positions[jj] ** 2
+        total_trades += trades[j] - trades[jj]
+        annual_variance = (total_variance * interval) / total_years
+        annual_trading = total_trades / total_years
+        res[i] = (
+            np.nan if annual_variance <= 0
+            else annual_trading / annual_variance ** 0.5
+        )
+        prev = positions[j]
+        j = jj
+    out_state = np.concatenate(
+        [positions, trades, [float(j), total_variance, total_trades]]
+    )
+    return res, out_state

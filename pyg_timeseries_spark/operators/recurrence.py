@@ -138,3 +138,28 @@ def buffer_(df: DataFrame, band, unit: float = 0.0, rounding_band: float = 0.0,
         df, key, ts, v, out, aux, state_df, RK.BUFFER_STATE_LEN, run
     )
     return _split(combined, key, persist)
+
+
+def rolling_tover(df: DataFrame, n: int = 256, interval: float | None = None,
+                  key: str = KEY, ts: str = TS, v: str = VAL,
+                  out: str = "rolling_tover",
+                  state_df: DataFrame | None = None) -> DataFrame:
+    """Rolling turnover / annualized-risk ratio (reference
+    `_rolling.py:417-443`)."""
+    def run(a, aux_arrays, state):
+        return RK.rolling_tover(a, n=n, interval=interval, state=state)
+
+    return _apply_recurrence(
+        df, key, ts, v, out, [], state_df, 2 * n + 3, run
+    ).drop(_STATE_COL)
+
+
+def rolling_tover_(df: DataFrame, n: int = 256, interval: float | None = None,
+                   key: str = KEY, ts: str = TS, v: str = VAL,
+                   out: str = "rolling_tover",
+                   state_df: DataFrame | None = None, persist: bool = True):
+    def run(a, aux_arrays, state):
+        return RK.rolling_tover(a, n=n, interval=interval, state=state)
+
+    combined = _apply_recurrence(df, key, ts, v, out, [], state_df, 2 * n + 3, run)
+    return _split(combined, key, persist)
