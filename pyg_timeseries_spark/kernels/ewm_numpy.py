@@ -80,19 +80,36 @@ def _ewm_sweep(
     one_minus_w = 1.0 - w
     trail = np.zeros((n_rows, 8), dtype=np.float64)
     # previous valid row's contribution, for same-time replacement
-    pv = s[_PV]
-    pa = s[_PA]
+    pv = float(s[_PV])
+    pa = float(s[_PA])
     have_time = time is not None
     have_wgt = wgt is not None
     up2 = upto >= 2
     up3 = upto >= 3
-    av = a  # local alias for loop speed
+    # loop over native python floats (ndarray scalar indexing is several
+    # times slower); trail written via row lists and one bulk assign
+    av = a.tolist()
+    tv = time.tolist() if have_time else None
+    wv = wgt.tolist() if have_wgt else None
+    nan = float("nan")
+    zeros = [0.0] * n_rows
+    c0 = zeros[:]
+    c1 = zeros[:]
+    c2 = zeros[:]
+    c3 = zeros[:]
+    c4 = zeros[:]
+    c5 = zeros[:]
+    c6 = zeros[:]
+    c7 = zeros[:]
+    t = float(t)
+    t0 = float(t0); t1 = float(t1); t2 = float(t2); t3 = float(t3)
+    w2 = float(w2); n0 = float(n0); n1 = float(n1)
     for i in range(n_rows):
         ai = av[i]
         if ai != ai:  # NaN
             continue
-        vi = one_minus_w * wgt[i] if have_wgt else one_minus_w
-        ti = time[i] if have_time else np.nan
+        vi = one_minus_w * wv[i] if have_wgt else one_minus_w
+        ti = tv[i] if have_time else nan
         if have_time and ti == t:
             # same time unit: replace the previous contribution
             t0 = t0 + vi - pv
@@ -116,15 +133,25 @@ def _ewm_sweep(
             t = ti
         pv = vi
         pa = ai
-        row = trail[i]
-        row[0] = t0
-        row[1] = t1
-        row[2] = t2
-        row[3] = t3
-        row[4] = w2
-        row[5] = n0
-        row[6] = n1
-        row[7] = 1.0
+        c0[i] = t0
+        c1[i] = t1
+        if up2:
+            c2[i] = t2
+        if up3:
+            c3[i] = t3
+        if track_w2:
+            c4[i] = w2
+        c5[i] = n0
+        c6[i] = n1
+        c7[i] = 1.0
+    trail[:, 0] = c0
+    trail[:, 1] = c1
+    trail[:, 2] = c2
+    trail[:, 3] = c3
+    trail[:, 4] = c4
+    trail[:, 5] = c5
+    trail[:, 6] = c6
+    trail[:, 7] = c7
     s[_T], s[_T0], s[_T1], s[_T2], s[_T3] = t, t0, t1, t2, t3
     s[_W2], s[_N0], s[_N1], s[_PV], s[_PA] = w2, n0, n1, pv, pa
     return trail, s
