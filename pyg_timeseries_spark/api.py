@@ -46,6 +46,9 @@ from pyg_timeseries_spark.operators.recurrence import (  # kernel
     zmooth, zmooth_, buffer, buffer_, rolling_tover, rolling_tover_,
 )
 from pyg_timeseries_spark.operators.xrank import xrank, xrank_simple
+from pyg_timeseries_spark.operators.matrix import (  # kernel (np.linalg)
+    ewmAAi, ewmAAi_, ewmGLM, ewmGLM_,
+)
 from pyg_timeseries_spark.operators.bars import (  # native
     bar_r2, ohlc_r2, bar_daily_to_eod, overlapping_returns,
 )
@@ -184,10 +187,6 @@ ewmcovar_ = ewmcovar
 rolling_quantile__doc = "two-heap incremental quantile — see operators/rolling.py"
 
 # ---- deferred (documented, out of v0 scope) --------------------------------
-# ewmAAi / ewmAAi_      rolling inverse of E(dA'dA)       — np.linalg per row
-#                        over the melted tensor; planned as repair_melted-
-#                        style applyInPandas (reference _ewm.py:936-980).
-# ewmGLM / ewmGLM_      EWM general linear model           — same shape.
 # ewmcorr_psd(_)        per-column-state PSD EWM correlation (reference
 #                        _ewm_psd.py:43-287) — rank-1 update variant.
 # ewmcombine/ewmcombined signal combiner (_ewmcombine.py) — composition of

@@ -1,0 +1,101 @@
+"""Matrix EWM kernels: rolling inverse of E(dAᵀdA) and the EWM general
+linear model (fit db ~ dA).
+
+Reference: _ewmAAinv /root/reference/src/pyg_timeseries/_ewm.py:936-980 and
+_ewmGLM1d :983-1123 (overlapping=1 path).  Semantics: rows with any missing
+feature are skipped; the state advances on first differences da = a_i −
+a_prev; a2 is the EWM of the outer product da·daᵀ; output per row is
+inv(a2/t0) (AAi) or AAi·ab (GLM betas), gated by min_sample on decayed mass.
+
+State layout (flat float64): [t0, n0, a2 (m·m row-major), prev_a (m),
+prev_b (GLM only), ab (m, GLM only)].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyg_timeseries_spark.kernels.ewm_numpy import decay_weight
+
+
+def aai_state_len(m: int) -> int:
+    return 2 + m * m + m
+
+
+def glm_state_len(m: int) -> int:
+    return 2 + m * m + m + 1 + m
+
+
+def ewmAAi(A: np.ndarray, n: float, state=None, min_sample: float = 0.25):
+    """A: (t, m) feature panel.  Returns (res (t, m, m), state)."""
+    t_rows, m = A.shape
+    w = decay_weight(n)
+    one_minus_w = 1.0 - w
+    if state is None:
+        t0 = n0 = 0.0
+        a2 = np.zeros((m, m))
+        prev = np.full(m, np.nan)
+    else:
+        t0, n0 = float(state[0]), float(state[1])
+        a2 = np.asarray(state[2 : 2 + m * m], float).reshape(m, m).copy()
+        prev = np.asarray(state[2 + m * m : 2 + m * m + m], float).copy()
+    res = np.full((t_rows, m, m), np.nan)
+    ok = ~np.isnan(A).any(axis=1)
+    for i in range(t_rows):
+        if not ok[i]:
+            continue
+        if not np.isnan(prev[0]):
+            da = A[i] - prev
+            n0 = n0 * w + one_minus_w
+            t0 = t0 * w + one_minus_w
+            a2 = a2 * w + one_minus_w * np.outer(da, da)
+            if n0 > min_sample:
+                try:
+                    res[i] = np.linalg.inv(a2 / t0)
+                except np.linalg.LinAlgError:
+                    pass
+        prev = A[i].copy()
+    out_state = np.concatenate([[t0, n0], a2.ravel(), prev])
+    return res, out_state
+
+
+def ewmGLM(A: np.ndarray, b: np.ndarray, n: float, state=None,
+           min_sample: float = 0.25):
+    """Fit db ~ Σ_j m_j·da_j under EWM weights.  A: (t, m); b: (t,).
+    Returns (betas (t, m), state)."""
+    t_rows, m = A.shape
+    w = decay_weight(n)
+    one_minus_w = 1.0 - w
+    if state is None:
+        t0 = n0 = 0.0
+        a2 = np.zeros((m, m))
+        prev_a = np.full(m, np.nan)
+        prev_b = np.nan
+        ab = np.zeros(m)
+    else:
+        t0, n0 = float(state[0]), float(state[1])
+        a2 = np.asarray(state[2 : 2 + m * m], float).reshape(m, m).copy()
+        prev_a = np.asarray(state[2 + m * m : 2 + m * m + m], float).copy()
+        prev_b = float(state[2 + m * m + m])
+        ab = np.asarray(state[2 + m * m + m + 1 :], float).copy()
+    res = np.full((t_rows, m), np.nan)
+    ok = ~np.isnan(A).any(axis=1) & ~np.isnan(b)
+    for i in range(t_rows):
+        if not ok[i]:
+            continue
+        if not np.isnan(prev_a[0]) and not np.isnan(prev_b):
+            da = A[i] - prev_a
+            db = b[i] - prev_b
+            n0 = n0 * w + one_minus_w
+            t0 = t0 * w + one_minus_w
+            a2 = a2 * w + one_minus_w * np.outer(da, da)
+            ab = ab * w + one_minus_w * da * db
+            if n0 > min_sample:
+                try:
+                    res[i] = np.linalg.inv(a2 / t0) @ (ab / t0)
+                except np.linalg.LinAlgError:
+                    pass
+        prev_a = A[i].copy()
+        prev_b = b[i]
+    out_state = np.concatenate([[t0, n0], a2.ravel(), prev_a, [prev_b], ab])
+    return res, out_state
