@@ -98,12 +98,6 @@ diff_ = make_stateful(diff, state_n=1)
 ratio_ = make_stateful(ratio, state_n=1)
 
 
-def _mk(op, n_default):
-    def factory(n=n_default):
-        return make_stateful(op, state_n=max(n - 1, 1))
-    return factory
-
-
 def rolling_mean_(df, n, **kw):
     return make_stateful(rolling_mean, state_n=n - 1)(df, n, **kw)
 
@@ -184,7 +178,6 @@ ewmcorrelation_ = ewmcorrelation
 ewmcovariance_ = ewmcovariance
 ewmcorr_ = ewmcorr
 ewmcovar_ = ewmcovar
-rolling_quantile__doc = "two-heap incremental quantile — see operators/rolling.py"
 
 # ---- deferred (documented, out of v0 scope) --------------------------------
 # ewmcorr_psd(_)        per-column-state PSD EWM correlation (reference
