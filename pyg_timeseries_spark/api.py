@@ -47,7 +47,10 @@ from pyg_timeseries_spark.operators.recurrence import (  # kernel
 )
 from pyg_timeseries_spark.operators.xrank import xrank, xrank_simple
 from pyg_timeseries_spark.operators.matrix import (  # kernel (np.linalg)
-    ewmAAi, ewmAAi_, ewmGLM, ewmGLM_,
+    ewmAAi, ewmAAi_, ewmGLM, ewmGLM_, ewmcorr_psd, ewmcorr_psd_,
+)
+from pyg_timeseries_spark.operators.combine import (  # composition
+    ewmcombine, ewmcombined,
 )
 from pyg_timeseries_spark.operators.bars import (  # native
     bar_r2, ohlc_r2, bar_daily_to_eod, overlapping_returns,
@@ -180,10 +183,6 @@ ewmcorr_ = ewmcorr
 ewmcovar_ = ewmcovar
 
 # ---- deferred (documented, out of v0 scope) --------------------------------
-# ewmcorr_psd(_)        per-column-state PSD EWM correlation (reference
-#                        _ewm_psd.py:43-287) — rank-1 update variant.
-# ewmcombine/ewmcombined signal combiner (_ewmcombine.py) — composition of
-#                        implemented primitives; planned.
 # multibuffer, minimize_tracking_error, least_squares, riskparity, maxdiv —
 #   portfolio optimizers (scipy/cvxpy applications, not engine operators;
 #   SURVEY.md §2.7 marks them out of scope).

@@ -99,3 +99,63 @@ def ewmGLM(A: np.ndarray, b: np.ndarray, n: float, state=None,
         prev_b = b[i]
     out_state = np.concatenate([[t0, n0], a2.ravel(), prev_a, [prev_b], ab])
     return res, out_state
+
+
+def psd_state_len(m: int) -> int:
+    return m * m + 3 * m
+
+
+def ewmcorr_psd(A: np.ndarray, n: float, min_sample: float = 0.25,
+                min_periods: int = 1, demean: bool = True,
+                shrinkage: float = 0.0, state=None):
+    """PSD-by-construction EWM correlation (reference _ewm_psd.py:43-158):
+    per-column state (no pairwise clocks) — a missing value decays nothing
+    for its column, so S stays PSD on every date by construction.  The
+    reference's per-element numba loops become per-row outer products.
+
+    Returns (res (t, m, m) float64 with NaN gates, flat state
+    [S(m²), mean(m), weight(m), count(m)]).
+    """
+    t_rows, m = A.shape
+    w = decay_weight(n)
+    root = np.sqrt(w)
+    one_minus_w = 1.0 - w
+    if state is None:
+        S = np.zeros((m, m))
+        mean = np.zeros(m)
+        weight = np.zeros(m)
+        count = np.zeros(m)
+    else:
+        S = np.asarray(state[: m * m], float).reshape(m, m).copy()
+        mean = np.asarray(state[m * m : m * m + m], float).copy()
+        weight = np.asarray(state[m * m + m : m * m + 2 * m], float).copy()
+        count = np.asarray(state[m * m + 2 * m :], float).copy()
+    off_scale = 1.0 - shrinkage
+    res = np.full((t_rows, m, m), np.nan)
+    for i in range(t_rows):
+        row = A[i]
+        valid = ~np.isnan(row)
+        decay = np.where(valid, root, 1.0)
+        x = np.zeros(m)
+        if demean:
+            x[valid] = row[valid] - np.where(
+                weight[valid] > 0, mean[valid] / np.where(weight[valid] > 0, weight[valid], 1.0), 0.0
+            )
+        else:
+            x[valid] = row[valid]
+        mean[valid] = mean[valid] * w + one_minus_w * row[valid]
+        weight[valid] = weight[valid] * w + one_minus_w
+        count[valid] += 1
+        S *= np.outer(decay, decay)
+        S += one_minus_w * np.outer(x, x)
+        diag = np.diag(S)
+        ok = (diag > 0) & (weight >= min_sample) & (count >= min_periods)
+        if ok.any():
+            d = np.where(diag > 0, np.sqrt(np.where(diag > 0, diag, 1.0)), np.nan)
+            C = off_scale * S / np.outer(d, d)
+            np.fill_diagonal(C, 1.0)
+            mask = np.outer(ok, ok)
+            out = np.where(mask, C, np.nan)
+            res[i] = out
+    flat = np.concatenate([S.ravel(), mean, weight, count])
+    return res, flat

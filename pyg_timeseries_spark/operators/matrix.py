@@ -146,3 +146,51 @@ def ewmGLM_(df: DataFrame, n: float, features: str = "features",
         key, F.col(_STATE_COL).alias("state")
     )
     return data, state
+
+
+def ewmcorr_psd(df: DataFrame, n: float = 128, features: str = "features",
+                key: str = KEY, ts: str = TS, out: str = "psd_cor",
+                min_sample: float = 0.25, min_periods: int = 1,
+                demean: bool = True, shrinkage: float = 0.0,
+                state_df: DataFrame | None = None) -> DataFrame:
+    """PSD-by-construction EWM correlation per row (flattened m·m);
+    reference `_ewm_psd.py:43-287` (overlapping=1 path)."""
+
+    def build(pdf):
+        return (_features_matrix(pdf, features),)
+
+    def run2(A, state):
+        if state is not None and len(state) != MK.psd_state_len(A.shape[1]):
+            state = None
+        return MK.ewmcorr_psd(A, n, min_sample=min_sample,
+                              min_periods=min_periods, demean=demean,
+                              shrinkage=shrinkage, state=state)
+
+    return _matrix_apply(
+        df, key, ts, build, run2, out, state_df, state_len=-1
+    ).drop(_STATE_COL)
+
+
+def ewmcorr_psd_(df: DataFrame, n: float = 128, features: str = "features",
+                 key: str = KEY, ts: str = TS, out: str = "psd_cor",
+                 min_sample: float = 0.25, min_periods: int = 1,
+                 demean: bool = True, shrinkage: float = 0.0,
+                 state_df: DataFrame | None = None, persist: bool = True):
+    def build(pdf):
+        return (_features_matrix(pdf, features),)
+
+    def run2(A, state):
+        if state is not None and len(state) != MK.psd_state_len(A.shape[1]):
+            state = None
+        return MK.ewmcorr_psd(A, n, min_sample=min_sample,
+                              min_periods=min_periods, demean=demean,
+                              shrinkage=shrinkage, state=state)
+
+    combined = _matrix_apply(df, key, ts, build, run2, out, state_df, state_len=-1)
+    if persist:
+        combined = combined.persist()
+    data = combined.drop(_STATE_COL)
+    state = combined.filter(F.col(_STATE_COL).isNotNull()).select(
+        key, F.col(_STATE_COL).alias("state")
+    )
+    return data, state

@@ -103,3 +103,42 @@ def test_lang_id_heuristic(spark):
     pred = lang_id(df).toPandas()
     acc = (pred["lang"] == pred["pred_lang"]).mean()
     assert acc == 1.0, pred[["lang", "pred_lang"]].to_string()
+
+
+def test_ewmcorr_psd_properties():
+    from pyg_timeseries_spark.functions.psd import min_eigenvalue
+
+    rng = np.random.default_rng(8)
+    t, m = 600, 5
+    common = rng.normal(0, 1, (t, 1))
+    A = 0.5 * common + rng.normal(0, 1, (t, m))
+    A[rng.random((t, m)) < 0.1] = np.nan
+    res, state = MK.ewmcorr_psd(A, 64)
+    # PSD on every date where fully populated
+    for i in range(100, t, 100):
+        C = res[i]
+        if not np.isnan(C).any():
+            assert min_eigenvalue(C) >= -1e-9, i
+            assert np.allclose(np.diag(C), 1.0)
+    # state split is bit-exact
+    full, _ = MK.ewmcorr_psd(A, 64)
+    head, s = MK.ewmcorr_psd(A[:250], 64)
+    tail, _ = MK.ewmcorr_psd(A[250:], 64, state=s)
+    assert np.array_equal(np.concatenate([head, tail]), full, equal_nan=True)
+
+
+def test_ewmcorr_psd_spark(spark):
+    from pyg_timeseries_spark.operators.matrix import ewmcorr_psd
+
+    rng = np.random.default_rng(9)
+    t, m = 200, 3
+    A = rng.normal(0, 1, (t, m))
+    pdf = pd.DataFrame({
+        "key": "k0",
+        "ts": pd.date_range("2024-01-01", periods=t, freq="1min"),
+        "features": list(A),
+    })
+    out = ewmcorr_psd(spark.createDataFrame(pdf), 32).toPandas().sort_values("ts")
+    last = np.array(out["psd_cor"].iloc[-1]).reshape(m, m)
+    assert np.allclose(np.diag(last), 1.0)
+    assert np.allclose(last, last.T)
