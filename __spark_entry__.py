@@ -363,6 +363,38 @@ def q_media_features(spark, sf_dir):
     )
 
 
+
+def q_overlapping_returns(spark, sf_dir):
+    from pyg_timeseries_spark.operators.bars import overlapping_returns
+
+    s = overlapping_returns(_series(spark, sf_dir), 3, out="ov")
+    return s.select("key", "ts", R6(F.col("ov")).alias("ov"))
+
+
+def q_bar_cc_r2(spark, sf_dir):
+    from pyg_timeseries_spark.operators.bars import bar_r2
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    bars = s.groupBy("key", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.min_by("v", "ts").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max_by("v", "ts").alias("close"),
+    )
+    out = bar_r2(bars, key="key", ts="bucket", model="cc")
+    return out.select("key", "bucket", R6(F.col("r2")).alias("r2"))
+
+
+def q_ewmcombine(spark, sf_dir):
+    from pyg_timeseries_spark.operators.combine import ewmcombine
+
+    s = _series(spark, sf_dir).select(
+        "key", "ts", F.col("v").alias("a"), F.lit(1.0).alias("w")
+    )
+    out = ewmcombine(s, n=64)
+    return out.select("ts", R6(F.col("x")).alias("x"), R6(F.col("data")).alias("d"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _rollup("minute"),
@@ -410,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zmooth": q_zmooth,
         "buffer": q_buffer,
         "media_features": q_media_features,
+        "overlapping_returns": q_overlapping_returns,
+        "bar_cc_r2": q_bar_cc_r2,
+        "ewmcombine": q_ewmcombine,
     }
 
 
@@ -616,6 +651,23 @@ def oracle_sql() -> dict[str, str]:
                              / len(list_distinct(list_concat(a.s, b.s)))
                         ELSE 0 END) * 1000000 + 0.4997) AS BIGINT) AS jaccard
             FROM sh a, sh b WHERE a.id < b.id
+        """,
+        "overlapping_returns": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN count(v) OVER ({_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) > 0
+                   THEN sum(coalesce(v, 0)) OVER ({_WIN} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   END) * 1000000 + 0.4997) AS BIGINT) AS ov
+            FROM ({SERIES_SQL})
+        """,
+        "bar_cc_r2": f"""
+            WITH bars AS (
+                SELECT key, date_trunc('hour', ts) AS bucket,
+                       max(v) AS high, min(v) AS low,
+                       arg_min(v, ts) AS open, arg_max(v, ts) AS close
+                FROM ({VALID_SQL}) GROUP BY 1, 2
+            )
+            SELECT key, bucket,
+                   CAST(floor((pow(close - lag(close) OVER (PARTITION BY key ORDER BY bucket), 2)) * 1000000 + 0.4997) AS BIGINT) AS r2
+            FROM bars
         """,
         # ewma/ewmstd/ewmrms/ewmacd/zmooth/buffer (sequential recurrences),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
