@@ -143,3 +143,35 @@ def rolling_rank(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = V
         (n_less - n_greater).cast("double") / denom.cast("double"),
     ).otherwise(F.when(F.count(v).over(w) >= n, F.lit(0.0)))
     return apply_on_valid(df, out, expr, v=v)
+
+
+def rolling_quantile_heap(df: DataFrame, n: int, q: float,
+                          min_periods: int | None = None,
+                          key: str = KEY, ts: str = TS, v: str = VAL,
+                          out: str = "rolling_quantile") -> DataFrame:
+    """O(log n)-per-row rolling quantile via the two-heap incremental kernel
+    (kernels/quantile_numpy.py) under applyInPandas — the scale path for
+    large n where the JVM percentile's O(n log n) per-row re-sort loses;
+    supports the pandas min_periods warm-up ramp."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pyg_timeseries_spark.kernels.quantile_numpy import (
+        rolling_quantile_heap as kernel,
+    )
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out, T.DoubleType())]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        a = pdf[v].to_numpy(dtype=np.float64, na_value=np.nan)
+        res, _ = kernel(a, n, q, min_periods=min_periods)
+        pdf = pdf[in_cols].copy()
+        pdf[out] = res
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, schema=out_schema)
