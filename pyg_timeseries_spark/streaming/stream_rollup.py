@@ -87,3 +87,69 @@ def start_file_stream_ingest(
         .start()
     )
     return q
+
+
+def stream_ewma(
+    stream_df,
+    n: float,
+    key: str = "source",
+    ts: str = "bucket",
+    v: str = "sum_n_tok",
+    out: str = "ewma",
+):
+    """Stateful streaming EWM mean via ``applyInPandasWithState``: per key the
+    GroupState holds exactly the engine's packed kernel state
+    (kernels/ewm_numpy.py), so a restarted / resumed stream continues
+    bit-identically — the reference's (data, state) invariant lifted onto
+    Structured Streaming.
+
+    Contract: rows must arrive time-ordered per key across micro-batches
+    (use a watermark + sorted sources upstream); within a batch any order is
+    fine (sorted here).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pyg_timeseries_spark.kernels import ewm_numpy
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(ts, T.TimestampType()),
+            T.StructField(v, T.DoubleType()),
+            T.StructField(out, T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("packed", T.ArrayType(T.DoubleType()))]
+    )
+
+    def fn(group_key, pdf_iter, state: GroupState):
+        prior = None
+        if state.exists:
+            (packed,) = state.get
+            if packed is not None and len(packed) == ewm_numpy.STATE_LEN:
+                prior = np.asarray(packed, dtype=np.float64)
+        frames = [p for p in pdf_iter]
+        pdf = pd.concat(frames, ignore_index=True).sort_values(ts)
+        a = pdf[v].to_numpy(dtype=np.float64, na_value=np.nan)
+        res, s = ewm_numpy.ewma(a, n, state=prior)
+        state.update(([float(x) for x in s],))
+        yield pd.DataFrame(
+            {
+                key: group_key[0],
+                ts: pdf[ts].values,
+                v: pdf[v].values,
+                out: res,
+            }
+        )
+
+    return (
+        stream_df.select(key, ts, v)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

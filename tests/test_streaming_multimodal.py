@@ -99,3 +99,51 @@ def test_fake_decode_deterministic():
     b = fake_decode_image(b"payload", 16, 8)
     assert a.shape == (8, 16, 3)
     assert np.array_equal(a, b)
+
+
+def test_stream_ewma_stateful_matches_batch(spark, tmp_path):
+    """Two micro-batches through applyInPandasWithState == one batch EWM."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyg_timeseries_spark.operators.ewm import ewma as batch_ewma
+    from pyg_timeseries_spark.plans.rollup import rollup_from_raw
+    from pyg_timeseries_spark.streaming.stream_rollup import stream_ewma
+
+    raw = sequences(spark, 4000, with_tokens=False)
+    m1 = rollup_from_raw(raw, "1m", tokens=None).select(
+        "source", "bucket", F.col("sum_n_tok").cast("double").alias("sum_n_tok")
+    ).persist()
+    cut = m1.selectExpr("percentile(cast(bucket as double), 0.5) as c").first()["c"]
+    import datetime
+    cut_ts = datetime.datetime.utcfromtimestamp(cut)
+    src = str(tmp_path / "ewm_stream_src")
+    # file names order the micro-batches: a_* then b_*
+    m1.filter(F.col("bucket") < F.lit(cut_ts)).coalesce(1).write.parquet(src + "/a.parquet")
+    m1.filter(F.col("bucket") >= F.lit(cut_ts)).coalesce(1).write.parquet(src + "/b.parquet")
+    schema = spark.read.parquet(src + "/a.parquet").schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream_ewma(stream, 10)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ewm_stream")
+        .option("checkpointLocation", str(tmp_path / "ewm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM ewm_stream").toPandas()
+    exp = batch_ewma(
+        m1, 10, key="source", ts="bucket", v="sum_n_tok", out="ewma"
+    ).toPandas()
+    g = got.sort_values(["source", "bucket"]).reset_index(drop=True)
+    e = exp.sort_values(["source", "bucket"]).reset_index(drop=True)
+    assert len(g) == len(e)
+    assert np.array_equal(
+        g["ewma"].to_numpy(float), e["ewma"].to_numpy(float), equal_nan=True
+    ), "streaming stateful EWM != batch EWM"
