@@ -112,3 +112,29 @@ def repair_melted(
         return pd.DataFrame(rows, columns=[ts, ki, kj, cor])
 
     return cor_df.groupBy(ts).applyInPandas(fn, schema=out_schema)
+
+
+def eigenvalues(m: np.ndarray) -> np.ndarray:
+    """Eigenvalues of a symmetric matrix, ascending (reference _linalg.py:14-40,
+    commented out of the reference's exports but part of its surface)."""
+    return np.linalg.eigvalsh(m)
+
+
+def eigenvectors(m: np.ndarray) -> np.ndarray:
+    return np.linalg.eigh(m)[1]
+
+
+def det(m: np.ndarray) -> float:
+    return float(np.linalg.det(m))
+
+
+def quantisation_noise(dtype: str, m: int) -> float:
+    """PSD-safety bound for packing a correlation matrix of size m into an
+    integer dtype: rounding perturbs each entry by up to 1/(2·scale), which
+    can push the smallest eigenvalue down by up to m·(resolution/2)
+    (Gershgorin) — shrinkage must exceed this (reference guard,
+    _ewm_psd.py:123-129)."""
+    from pyg_timeseries_spark.compress.cor_codec import CODEC
+
+    scale, _ = CODEC[dtype]
+    return m * (1.0 / scale) / 2.0
