@@ -395,6 +395,43 @@ def q_ewmcombine(spark, sf_dir):
     return out.select("ts", R6(F.col("x")).alias("x"), R6(F.col("data")).alias("d"))
 
 
+
+def q_fnnz(spark, sf_dir):
+    out = G.fnnz(_series(spark, sf_dir))
+    return out.select("key", "ts")
+
+
+def q_init2v(spark, sf_dir):
+    s = G.init2v(_series(spark, sf_dir), 3, out="iv")
+    return (
+        s.filter(F.col("v").isNotNull())
+        .select("key", "ts", R6(F.col("iv")).alias("iv"))
+    )
+
+
+def q_rolling_rank(spark, sf_dir):
+    return _valid_only(R.rolling_rank(_series(spark, sf_dir), N, out="rr"), "rr")
+
+
+def q_expanding_rank(spark, sf_dir):
+    return _valid_only(E.expanding_rank(_series(spark, sf_dir), out="er"), "er")
+
+
+def q_ewfill(spark, sf_dir):
+    s = G.ewfill(_series(spark, sf_dir), 5, out="ef")
+    return s.select("key", "ts", R6(F.col("ef")).alias("ef"))
+
+
+def q_rolling_quantile_heap(spark, sf_dir):
+    s = R.rolling_quantile_heap(
+        _series(spark, sf_dir), N, 0.25, min_periods=1, out="qh"
+    )
+    return (
+        s.filter(F.col("v").isNotNull())
+        .select("key", "ts", R6(F.col("qh")).alias("qh"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": _rollup("minute"),
@@ -445,6 +482,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlapping_returns": q_overlapping_returns,
         "bar_cc_r2": q_bar_cc_r2,
         "ewmcombine": q_ewmcombine,
+        "fnnz": q_fnnz,
+        "init2v": q_init2v,
+        "rolling_rank": q_rolling_rank,
+        "expanding_rank": q_expanding_rank,
+        "ewfill": q_ewfill,
+        "rolling_quantile_heap": q_rolling_quantile_heap,
     }
 
 
@@ -668,6 +711,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, bucket,
                    CAST(floor((pow(close - lag(close) OVER (PARTITION BY key ORDER BY bucket), 2)) * 1000000 + 0.4997) AS BIGINT) AS r2
             FROM bars
+        """,
+        "fnnz": f"""
+            SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key
+        """,
+        "init2v": f"""
+            SELECT key, ts, CASE WHEN rn <= 3 THEN NULL
+                   ELSE CAST(floor((v) * 1000000 + 0.4997) AS BIGINT) END AS iv
+            FROM (SELECT key, ts, v,
+                         row_number() OVER ({_WIN}) AS rn
+                  FROM ({VALID_SQL}))
+        """,
+        "rolling_rank": f"""
+            SELECT key, ts, CASE
+                WHEN cnt >= {N} AND len(w) > 1 THEN CAST(floor((
+                     (len(list_filter(w, x -> x < v)) - len(list_filter(w, x -> x > v)))::DOUBLE
+                     / (len(w) - 1)) * 1000000 + 0.4997) AS BIGINT)
+                WHEN cnt >= {N} THEN 0 END AS rr
+            FROM (SELECT key, ts, v,
+                         list(v) OVER ({_WIN} {_ROWS_N}) AS w,
+                         count(v) OVER ({_WIN} {_ROWS_N}) AS cnt
+                  FROM ({VALID_SQL}))
+        """,
+        "expanding_rank": f"""
+            SELECT key, ts, CASE WHEN len(w) > 1 THEN CAST(floor((
+                     (len(list_filter(w, x -> x < v)) - len(list_filter(w, x -> x > v)))::DOUBLE
+                     / (len(w) - 1)) * 1000000 + 0.4997) AS BIGINT)
+                ELSE 0 END AS er
+            FROM (SELECT key, ts, v, list(v) OVER ({_WIN} {_ROWS_INF}) AS w
+                  FROM ({VALID_SQL}))
+        """,
+        "rolling_quantile_heap": f"""
+            SELECT key, ts, CAST(floor((quantile_cont(v, 0.25)
+                   OVER ({_WIN} {_ROWS_N})) * 1000000 + 0.4997) AS BIGINT) AS qh
+            FROM ({VALID_SQL})
         """,
         # ewma/ewmstd/ewmrms/ewmacd/zmooth/buffer (sequential recurrences),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
