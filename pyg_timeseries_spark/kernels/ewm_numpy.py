@@ -174,8 +174,17 @@ def ewma(a, n, time=None, wgt=None, state=None, min_periods=0):
     return _mask(res, trail), s
 
 
-def ewmrms(a, n, time=None, wgt=None, state=None, min_periods=0):
-    """EWM root-mean-square; reference _ewm.py:55-108 (plain path)."""
+def ewmrms(a, n, time=None, wgt=None, state=None, min_periods=0,
+           exc_zero=False, max_move=None):
+    """EWM root-mean-square; reference _ewm.py:55-108.  ``exc_zero`` skips
+    zero observations; ``max_move`` (scalar or per-row array) clips each
+    observation at ±max_move·unrestricted-vol."""
+    if exc_zero or max_move is not None:
+        return _guarded_sweep(
+            a, n, time, wgt, state, exc_zero,
+            np.asarray(max_move, float) if isinstance(max_move, (list, np.ndarray)) else max_move,
+            min_periods, 0.0, "rms",
+        )
     w = decay_weight(n)
     trail, s = _ewm_sweep(a, w, time, wgt, state, upto=2)
     t0, t2, n1 = trail[:, 0], trail[:, 2], trail[:, 6]
@@ -211,10 +220,17 @@ def ewmvar(a, n, time=None, wgt=None, state=None, min_periods=None, min_sample=N
     return _mask(res, trail), s
 
 
-def ewmstd(a, n, time=None, wgt=None, state=None, min_periods=None, min_sample=None, bias=False):
+def ewmstd(a, n, time=None, wgt=None, state=None, min_periods=None,
+           min_sample=None, bias=False, exc_zero=False, max_move=None):
     """EWM std; reference _ewm.py:112-183 with stdev_calculation_ewm
-    (_math.py:32-47)."""
+    (_math.py:32-47).  ``max_move`` clips at ±max_move·previous output."""
     min_sample, min_periods = _min_sample_periods(min_sample, min_periods, 3)
+    if exc_zero or max_move is not None:
+        return _guarded_sweep(
+            a, n, time, wgt, state, exc_zero,
+            np.asarray(max_move, float) if isinstance(max_move, (list, np.ndarray)) else max_move,
+            min_periods, min_sample, "std", bias=bias,
+        )
     w = decay_weight(n)
     trail, s = _ewm_sweep(a, w, time, wgt, state, upto=2, track_w2=True)
     variance = _ewm_variance(trail, bias)
@@ -269,3 +285,108 @@ KERNELS = {
     "ewmvar": ewmvar,
     "ewmskew": ewmskew,
 }
+
+
+# ---- guarded variants: exc_zero / max_move ---------------------------------
+# Reference semantics (_ewm.py:55-108 ewmrms, :112-183 ewmstd): zeros under
+# ``exc_zero`` leave the state untouched (forward-filled inputs produce fake
+# zero moves); ``max_move`` clips each observation at ±k·vol, where vol for
+# ewmrms is the UNRESTRICTED running rms (a clipped estimate would trap the
+# series after a regime change — tests/test_ts_ewm.py:132-141) and for
+# ewmstd the previous restricted output.  State extends the base layout with
+# [t1_, t2_, prev_res, pa_raw] → GSTATE_LEN.
+
+GSTATE_LEN = STATE_LEN + 4
+_GT1U, _GT2U, _GPREV_RES, _GPA_RAW = STATE_LEN, STATE_LEN + 1, STATE_LEN + 2, STATE_LEN + 3
+
+
+def _guard_state(state):
+    s = np.zeros(GSTATE_LEN)
+    s[_T] = np.nan
+    s[_GPREV_RES] = np.nan
+    if state is not None:
+        state = np.asarray(state, float)
+        if len(state) >= GSTATE_LEN:
+            s[:] = state[:GSTATE_LEN]
+        else:
+            s[: len(state)] = state
+    return s
+
+
+def _guarded_sweep(a, n, time, wgt, state, exc_zero, max_move, min_periods,
+                   min_sample, mode, bias=False):
+    """mode: 'rms' or 'std'."""
+    w = decay_weight(n)
+    omw = 1.0 - w
+    s = _guard_state(state)
+    t, t0, t1, t2 = s[_T], s[_T0], s[_T1], s[_T2]
+    w2, n0, n1 = s[_W2], s[_N0], s[_N1]
+    pv, pa = s[_PV], s[_PA]
+    t1u, t2u, prev_res, pa_raw = s[_GT1U], s[_GT2U], s[_GPREV_RES], s[_GPA_RAW]
+    n_rows = a.shape[0]
+    res = np.full(n_rows, np.nan)
+    have_time = time is not None
+    have_wgt = wgt is not None
+    mm_arr = max_move if isinstance(max_move, np.ndarray) else None
+    mm_scalar = 0.0 if max_move is None or mm_arr is not None else float(max_move)
+    is_std = mode == "std"
+    for i in range(n_rows):
+        araw = a[i]
+        if araw != araw:
+            continue
+        mm = mm_arr[i] if mm_arr is not None else mm_scalar
+        if is_std:
+            bound = prev_res * mm if mm > 0 else 0.0
+            # vol>0 condition from the unrestricted moments
+            vol = _std_calc_scalar(t0, t1u, t2u, w2, True)
+            clip_ok = mm > 0 and vol > 0 and bound == bound and bound > 0
+        else:
+            vol = 0.0 if t0 == 0 else np.sqrt(t2u / t0)
+            bound = vol * mm
+            clip_ok = mm > 0 and vol > 0
+        ai = min(max(araw, -bound), bound) if clip_ok else araw
+        vi = omw * wgt[i] if have_wgt else omw
+        ti = time[i] if have_time else np.nan
+        if exc_zero and ai == 0:
+            pass  # state untouched; output below re-reads current estimate
+        elif have_time and ti == t:
+            t0 = t0 + vi - pv
+            t1 = t1 + vi * ai - pv * pa
+            t2 = t2 + vi * ai * ai - pv * pa * pa
+            t1u = t1u + vi * araw - pv * pa_raw
+            t2u = t2u + vi * araw * araw - pv * pa_raw * pa_raw
+        else:
+            p = w if (not have_time or ti != ti or t != t) else w ** (ti - t)
+            n1 += 1.0
+            n0 = n0 * p + omw
+            w2 = w2 * p * p + vi * vi
+            t0 = t0 * p + vi
+            t1 = t1 * p + vi * ai
+            t2 = t2 * p + vi * ai * ai
+            t1u = t1u * p + vi * araw
+            t2u = t2u * p + vi * araw * araw
+            t = ti
+        pv, pa, pa_raw = vi, ai, araw
+        if is_std:
+            gated = n0 < min_sample or n1 < min_periods
+            res[i] = np.nan if gated else _std_calc_scalar(t0, t1, t2, w2, bias)
+        else:
+            res[i] = np.nan if (t0 == 0 or n1 < min_periods) else np.sqrt(t2 / t0)
+        prev_res = res[i]
+    s[_T], s[_T0], s[_T1], s[_T2] = t, t0, t1, t2
+    s[_W2], s[_N0], s[_N1], s[_PV], s[_PA] = w2, n0, n1, pv, pa
+    s[_GT1U], s[_GT2U], s[_GPREV_RES], s[_GPA_RAW] = t1u, t2u, prev_res, pa_raw
+    return res, s
+
+
+def _std_calc_scalar(t0, t1, t2, w2, bias):
+    """stdev_calculation_ewm (_math.py:32-47) for one point."""
+    if t0 <= 0:
+        return np.nan
+    variance = t2 / t0 - (t1 / t0) ** 2
+    if variance < 0:
+        return np.nan
+    if bias:
+        return np.sqrt(variance)
+    r = 1.0 - w2 / (t0 * t0)
+    return np.sqrt(variance / r) if r > 0 else np.nan

@@ -68,6 +68,7 @@ def _ewm_combined(
     time_col: str | None,
     state_df: DataFrame | None,
     kernel_kwargs: dict,
+    wgt_col: str | None = None,
 ) -> DataFrame:
     """One applyInPandas pass emitting data rows + a packed state column that
     is non-null only on the group's last row."""
@@ -88,13 +89,19 @@ def _ewm_combined(
             if time_col
             else None
         )
+        wgt = (
+            pdf[wgt_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            if wgt_col
+            else None
+        )
         prior = pdf[_PRIOR_COL].iloc[0]
         state = (
             np.asarray(list(prior), dtype=np.float64)
-            if prior is not None and len(list(prior)) == STATE_LEN
+            if prior is not None
+            and len(list(prior)) in (STATE_LEN, ewm_numpy.GSTATE_LEN)
             else None
         )
-        res, s = kernel(a, n, time=time, state=state, **kernel_kwargs)
+        res, s = kernel(a, n, time=time, wgt=wgt, state=state, **kernel_kwargs)
         outp = pdf[in_cols].copy()
         outp[out] = res
         outp[_STATE_COL] = None
@@ -113,11 +120,13 @@ def _make_op(kernel_name: str, default_out: str):
         v: str = VAL,
         out: str = default_out,
         time_col: str | None = None,
+        wgt_col: str | None = None,
         state_df: DataFrame | None = None,
         **kernel_kwargs,
     ) -> DataFrame:
         combined = _ewm_combined(
-            df, kernel_name, n, key, ts, v, out, time_col, state_df, kernel_kwargs
+            df, kernel_name, n, key, ts, v, out, time_col, state_df,
+            kernel_kwargs, wgt_col=wgt_col,
         )
         return combined.drop(_STATE_COL)
 
@@ -129,6 +138,7 @@ def _make_op(kernel_name: str, default_out: str):
         v: str = VAL,
         out: str = default_out,
         time_col: str | None = None,
+        wgt_col: str | None = None,
         state_df: DataFrame | None = None,
         persist: bool = True,
         **kernel_kwargs,
@@ -137,7 +147,8 @@ def _make_op(kernel_name: str, default_out: str):
         ``Dict(data=…, state=…)`` pair (_decorators.py:21-31).  The combined
         frame is persisted so data and state come from one computation."""
         combined = _ewm_combined(
-            df, kernel_name, n, key, ts, v, out, time_col, state_df, kernel_kwargs
+            df, kernel_name, n, key, ts, v, out, time_col, state_df,
+            kernel_kwargs, wgt_col=wgt_col,
         )
         if persist:
             combined = combined.persist()
