@@ -55,12 +55,22 @@ _ROWS_N = f"ROWS BETWEEN {N - 1} PRECEDING AND CURRENT ROW"
 _ROWS_INF = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
 
+
+def _trunc_ntz(c, unit):
+    """Timezone-free truncation for TIMESTAMP_NTZ columns: Spark's
+    date_trunc converts NTZ through the session timezone (shifting buckets
+    under non-UTC sessions); rebuilding from components never touches TZ."""
+    y, mo, d = F.year(c), F.month(c), F.dayofmonth(c)
+    h = F.hour(c) if unit in ("hour", "minute") else F.lit(0)
+    mi = F.minute(c) if unit == "minute" else F.lit(0)
+    return F.make_timestamp_ntz(y, mo, d, h, mi, F.lit(0.0))
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = "/root/testdata/sf0.001"
     series = events_series(spark, sf_dir)
     m1 = (
-        series.groupBy("key", F.date_trunc("minute", "ts").alias("bucket"))
+        series.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
         .agg(F.count("v").alias("cnt"), F.sum("v").alias("sum_v"))
     )
     m1 = G.ffill(m1, key="key", ts="bucket", v="sum_v", out="sum_v_filled")
@@ -90,7 +100,7 @@ def _rollup(tier_trunc):
     def q(spark, sf_dir):
         s = _series(spark, sf_dir)
         return (
-            s.groupBy("key", F.date_trunc(tier_trunc, "ts").alias("bucket"))
+            s.groupBy("key", _trunc_ntz(F.col("ts"), tier_trunc).alias("bucket"))
             .agg(
                 F.count("v").alias("cnt"),
                 R6(F.sum("v")).alias("sum_v"),
@@ -295,7 +305,7 @@ def q_ts_cor(spark, sf_dir):
 def q_xrank_xsec(spark, sf_dir):
     s = _series(spark, sf_dir)
     m1 = (
-        s.groupBy("key", F.date_trunc("minute", "ts").alias("bucket"))
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
         .agg(F.sum("v").alias("sv"))
     )
     out = xrank_simple(m1, key="key", ts="bucket", v="sv", out="xr")
@@ -375,7 +385,7 @@ def q_bar_cc_r2(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import bar_r2
 
     s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
-    bars = s.groupBy("key", F.date_trunc("hour", "ts").alias("bucket")).agg(
+    bars = s.groupBy("key", _trunc_ntz(F.col("ts"), "hour").alias("bucket")).agg(
         F.min_by("v", "ts").alias("open"),
         F.max("v").alias("high"),
         F.min("v").alias("low"),
