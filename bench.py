@@ -114,6 +114,20 @@ def main():
     # 2) EWM kernel path over the 1m tier
     queries["ewma_1m"] = round(bench_ewm_over_rollup(spark, seq_rows), 3)
 
+    # 2b) token-payload rollup (the bit-for-bit token-array invariant path):
+    # ordered concat of token arrays into 1m buckets
+    from pyg_timeseries_spark.datagen import sequences as _seqs
+    from pyg_timeseries_spark.plans.rollup import rollup_from_raw as _rfr
+
+    tok_rows = min(seq_rows, 1_000_000)
+    tok_raw = _seqs(spark, tok_rows, with_tokens=True).persist()
+    n_tok_rows = tok_raw.count()
+    t0 = time.time()
+    run_action(_rfr(tok_raw, "1m"))
+    queries["rollup_1m_tokens"] = round(time.time() - t0, 3)
+    result_extra = {"token_rollup_rows_per_sec": round(n_tok_rows / max(queries["rollup_1m_tokens"], 1e-9))}
+    tok_raw.unpersist()
+
     # 3) representative driver queries at the bench sf
     qdict = em.queries()
     for name in (
@@ -136,6 +150,7 @@ def main():
         "rollup_points_per_sec": {
             k: v["points_per_sec"] for k, v in cascade.items()
         },
+        **result_extra,
     }
     print(json.dumps(result))
 
