@@ -348,7 +348,9 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_ewmacd(spark, sf_dir):
-    s = ewmacd_op(_series(spark, sf_dir), 4, 12, vol=8)
+    # two keys only: the recursive-CTE oracle costs ~20s/key-chain in DuckDB
+    sub = _series(spark, sf_dir).filter(F.col("key").isin("click", "error"))
+    s = ewmacd_op(sub, 4, 12, vol=8)
     return _valid_only(s, "ewmacd")
 
 
@@ -722,6 +724,108 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((pow(close - lag(close) OVER (PARTITION BY key ORDER BY bucket), 2)) * 1000000 + 0.4997) AS BIGINT) AS r2
             FROM bars
         """,
+        "ewma": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, v, rn, (1.0 - 10.0/11.0) AS t0, (1.0 - 10.0/11.0) * v AS t1
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0), r.t1 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) AS ewma FROM rec
+        """,
+        "ewmrms": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, v, rn, (1.0 - 10.0/11.0) AS t0, (1.0 - 10.0/11.0) * v * v AS t2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0), r.t2 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v * o.v
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor((sqrt(t2/t0)) * 1000000 + 0.4997) AS BIGINT) AS ewmrms FROM rec
+        """,
+        "ewmstd": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, v, rn,
+         (1.0 - 10.0/11.0) AS t0, (1.0 - 10.0/11.0) * v AS t1, (1.0 - 10.0/11.0) * v * v AS t2,
+         (1.0 - 10.0/11.0) * (1.0 - 10.0/11.0) AS w2, (1.0 - 10.0/11.0) AS n0
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0),
+         r.t1 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v,
+         r.t2 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v * o.v,
+         r.w2 * (10.0/11.0) * (10.0/11.0) + (1.0 - 10.0/11.0) * (1.0 - 10.0/11.0),
+         r.n0 * (10.0/11.0) + (1.0 - 10.0/11.0)
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CASE WHEN n0 >= 0.25 AND rn >= 3 AND var >= 0 AND r > 0
+       THEN CAST(floor((sqrt(var / r)) * 1000000 + 0.4997) AS BIGINT) END AS ewmstd
+FROM (SELECT key, ts, rn, n0,
+             t2/t0 - (t1/t0) * (t1/t0) AS var,
+             1.0 - w2/(t0*t0) AS r
+      FROM rec)
+        """,
+        "ewmacd": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn_f,
+         row_number() OVER (PARTITION BY key ORDER BY ts) AS rn_s
+  FROM ({VALID_SQL}) WHERE key IN ('click', 'error')
+),
+rtn0 AS (
+  SELECT key, ts, v - lag(v) OVER (PARTITION BY key ORDER BY ts) AS d FROM ordered
+),
+rtnv AS (
+  SELECT key, ts, d, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn_m
+  FROM rtn0 WHERE d IS NOT NULL
+),
+f AS (
+  SELECT key, ts, v AS x, rn_f AS rn, (1.0 - (4.0/5.0)) AS t0, (1.0 - (4.0/5.0)) * v AS t1, (1.0 - (4.0/5.0)) * v * v AS t2
+  FROM ordered WHERE rn_f = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn_f,
+         r.t0 * (4.0/5.0) + (1.0 - (4.0/5.0)), r.t1 * (4.0/5.0) + (1.0 - (4.0/5.0)) * o.v, r.t2 * (4.0/5.0) + (1.0 - (4.0/5.0)) * o.v * o.v
+  FROM ordered o JOIN f r ON o.key = r.key AND o.rn_f = r.rn + 1
+),
+s AS (
+  SELECT key, ts, v AS x, rn_s AS rn, (1.0 - (12.0/13.0)) AS t0, (1.0 - (12.0/13.0)) * v AS t1, (1.0 - (12.0/13.0)) * v * v AS t2
+  FROM ordered WHERE rn_s = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn_s,
+         r.t0 * (12.0/13.0) + (1.0 - (12.0/13.0)), r.t1 * (12.0/13.0) + (1.0 - (12.0/13.0)) * o.v, r.t2 * (12.0/13.0) + (1.0 - (12.0/13.0)) * o.v * o.v
+  FROM ordered o JOIN s r ON o.key = r.key AND o.rn_s = r.rn + 1
+),
+m AS (
+  SELECT key, ts, d AS x, rn_m AS rn, (1.0 - (8.0/9.0)) AS t0, (1.0 - (8.0/9.0)) * d AS t1, (1.0 - (8.0/9.0)) * d * d AS t2
+  FROM rtnv WHERE rn_m = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.d, o.rn_m,
+         r.t0 * (8.0/9.0) + (1.0 - (8.0/9.0)), r.t1 * (8.0/9.0) + (1.0 - (8.0/9.0)) * o.d, r.t2 * (8.0/9.0) + (1.0 - (8.0/9.0)) * o.d * o.d
+  FROM rtnv o JOIN m r ON o.key = r.key AND o.rn_m = r.rn + 1
+)
+SELECT o.key, o.ts,
+       CAST(floor(((f.t1/f.t0 - s.t1/s.t0)
+            / ((CASE WHEN sqrt(m.t2/m.t0) <> 0 THEN sqrt(m.t2/m.t0) END) * 1.3750341647567785))
+            * 1000000 + 0.4997) AS BIGINT) AS ewmacd
+FROM ordered o
+JOIN f ON f.key = o.key AND f.ts = o.ts
+JOIN s ON s.key = o.key AND s.ts = o.ts
+LEFT JOIN m ON m.key = o.key AND m.ts = o.ts
+        """,
         "fnnz": f"""
             SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key
         """,
@@ -756,7 +860,7 @@ def oracle_sql() -> dict[str, str]:
                    OVER ({_WIN} {_ROWS_N})) * 1000000 + 0.4997) AS BIGINT) AS qh
             FROM ({VALID_SQL})
         """,
-        # ewma/ewmstd/ewmrms/ewmacd/zmooth/buffer (sequential recurrences),
+        # zmooth/buffer (recurrences with output feedback),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }
