@@ -826,6 +826,44 @@ JOIN f ON f.key = o.key AND f.ts = o.ts
 JOIN s ON s.key = o.key AND s.ts = o.ts
 LEFT JOIN m ON m.key = o.key AND m.ts = o.ts
         """,
+        "buffer": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, rn,
+         CASE WHEN 0.0 < v - 0.5 THEN v - 0.5 WHEN 0.0 > v + 0.5 THEN v + 0.5 ELSE 0.0 END AS pos
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn,
+         CASE WHEN r.pos < o.v - 0.5 THEN o.v - 0.5
+              WHEN r.pos > o.v + 0.5 THEN o.v + 0.5 ELSE r.pos END
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor((pos) * 1000000 + 0.4997) AS BIGINT) AS buffer FROM rec
+        """,
+        "zmooth": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, rn, v AS res, CAST(0.0 AS DOUBLE) AS t0, CAST(0.0 AS DOUBLE) AS t2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn,
+         r.res + mv.m,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0),
+         r.t2 * (10.0/11.0) + (1.0 - 10.0/11.0) * mv.m * mv.m
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1,
+  LATERAL (SELECT CASE WHEN (CASE WHEN r.t0 = 0 THEN 0.0 ELSE sqrt(r.t2/r.t0) END) > 0
+                    AND abs(o.v - r.res) > 4.2 * (CASE WHEN r.t0 = 0 THEN 0.0 ELSE sqrt(r.t2/r.t0) END)
+                  THEN sign(o.v - r.res) * 4.2 * (CASE WHEN r.t0 = 0 THEN 0.0 ELSE sqrt(r.t2/r.t0) END)
+                  ELSE o.v - r.res END AS m) mv
+)
+SELECT key, ts, CAST(floor((res) * 1000000 + 0.4997) AS BIGINT) AS zmooth FROM rec
+        """,
         "fnnz": f"""
             SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key
         """,
@@ -860,7 +898,7 @@ LEFT JOIN m ON m.key = o.key AND m.ts = o.ts
                    OVER ({_WIN} {_ROWS_N})) * 1000000 + 0.4997) AS BIGINT) AS qh
             FROM ({VALID_SQL})
         """,
-        # zmooth/buffer (recurrences with output feedback),
+        # remaining rows-only checks:
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }
