@@ -864,6 +864,28 @@ rec AS (
 )
 SELECT key, ts, CAST(floor((res) * 1000000 + 0.4997) AS BIGINT) AS zmooth FROM rec
         """,
+        "ewfill": f"""
+WITH s AS (
+  SELECT key, ts, v, row_number() OVER ({_WIN}) AS rn
+  FROM ({SERIES_SQL})
+),
+m AS (
+  SELECT key, ts, v, rn,
+    last_value(v IGNORE NULLS) OVER wa AS prevv,
+    max(CASE WHEN v IS NOT NULL THEN rn END) OVER wa AS prevrn,
+    first_value(v IGNORE NULLS) OVER wd AS nxtv,
+    min(CASE WHEN v IS NOT NULL THEN rn END) OVER wd AS nxtrn
+  FROM s
+  WINDOW wa AS ({_WIN} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wd AS ({_WIN} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT key, ts,
+  CAST(floor((CASE WHEN v IS NOT NULL THEN v ELSE
+    0.5 * (coalesce(prevv, 0) * pow((5.0/6.0), rn - coalesce(prevrn, rn - 1)) + 0.0)
+    + 0.5 * (coalesce(nxtv, 0) * pow((5.0/6.0), coalesce(nxtrn, rn + 1) - rn) + 0.0)
+  END) * 1000000 + 0.4997) AS BIGINT) AS ef
+FROM m
+        """,
         "fnnz": f"""
             SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key
         """,
