@@ -237,6 +237,8 @@ def q_ewmrms(spark, sf_dir):
 
 
 def q_ts_interval(spark, sf_dir):
+    # rows-only: the events gaps are diffuse with exact frequency ties, so
+    # a cross-engine mode() comparison would be tie-break-dependent
     return TS.ts_interval(_series(spark, sf_dir))
 
 
