@@ -24,8 +24,6 @@ convention _decorators.py:21-31.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyg_timeseries_spark.kernels import ewm_numpy
-from pyg_timeseries_spark.kernels.ewm_numpy import STATE_LEN, fresh_state
+from pyg_timeseries_spark.kernels.ewm_numpy import STATE_LEN
 from pyg_timeseries_spark.operators._core import KEY, TS, VAL
 
 _STATE_COL = "__state"

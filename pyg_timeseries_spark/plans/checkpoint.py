@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.plans.rollup import (
-    merge_rollup, rollup_all_tiers, rollup_from_raw, rollup_cascade,
+    merge_rollup, rollup_cascade, rollup_from_raw,
 )
 
 
