@@ -71,7 +71,13 @@ def _ewm_sweep(
     Returns (trail, state_out) where ``trail`` is an (n_rows, 8) float64 array
     holding [t0, t1, t2, t3, w2, n0, n1, valid] AFTER processing each row
     (NaN rows carry valid=0; their trail entries are unused).
+
+    Dispatches to the numba-JIT twin when numba is importable (identical
+    arithmetic, asserted bit-equal in tests); otherwise runs the
+    python-float loop below.
     """
+    if _ewm_sweep_jit is not None:
+        return _ewm_sweep_fast(a, w, time, wgt, state, upto, track_w2)
     n_rows = a.shape[0]
     s = fresh_state() if state is None else np.asarray(state, dtype=np.float64).copy()
     t, t0, t1, t2, t3, w2, n0, n1 = (
@@ -390,3 +396,97 @@ def _std_calc_scalar(t0, t1, t2, w2, bias):
         return np.sqrt(variance)
     r = 1.0 - w2 / (t0 * t0)
     return np.sqrt(variance / r) if r > 0 else np.nan
+
+
+# ---- numba-optional fast path ------------------------------------------------
+# The array-typed twin of _ewm_sweep: identical arithmetic, ndarray-only
+# signature (no None/lists) so numba can JIT it unchanged on clusters that
+# have numba installed (est. 30-100x).  Bit-parity with the list-based loop
+# is asserted in tests; without numba the list loop stays the default (it is
+# faster than interpreted ndarray indexing).
+
+def _ewm_sweep_arrays(a, w, time, wgt, s, upto, track_w2, trail):
+    """a/time/wgt: float64[:] (time all-nan for 'no clock', wgt all-1 for
+    unweighted); s: float64[STATE_LEN] (mutated); trail: (n, 8) float64
+    (mutated).  Returns nothing — outputs via s and trail."""
+    one_minus_w = 1.0 - w
+    t = s[0]
+    t0 = s[1]
+    t1 = s[2]
+    t2 = s[3]
+    t3 = s[4]
+    w2 = s[5]
+    n0 = s[6]
+    n1 = s[7]
+    pv = s[8]
+    pa = s[9]
+    for i in range(a.shape[0]):
+        ai = a[i]
+        if ai != ai:
+            continue
+        vi = one_minus_w * wgt[i]
+        ti = time[i]
+        if ti == t:  # nan never equals nan → only true for real clocks
+            t0 = t0 + vi - pv
+            t1 = t1 + vi * ai - pv * pa
+            if upto >= 2:
+                t2 = t2 + vi * ai * ai - pv * pa * pa
+            if upto >= 3:
+                t3 = t3 + vi * ai * ai * ai - pv * pa * pa * pa
+        else:
+            if ti != ti or t != t:
+                p = w
+            else:
+                p = w ** (ti - t)
+            n1 += 1.0
+            n0 = n0 * p + one_minus_w
+            t0 = t0 * p + vi
+            t1 = t1 * p + vi * ai
+            if upto >= 2:
+                t2 = t2 * p + vi * ai * ai
+            if upto >= 3:
+                t3 = t3 * p + vi * ai * ai * ai
+            if track_w2:
+                w2 = w2 * p * p + vi * vi
+            t = ti
+        pv = vi
+        pa = ai
+        trail[i, 0] = t0
+        trail[i, 1] = t1
+        trail[i, 2] = t2
+        trail[i, 3] = t3
+        trail[i, 4] = w2
+        trail[i, 5] = n0
+        trail[i, 6] = n1
+        trail[i, 7] = 1.0
+    s[0] = t
+    s[1] = t0
+    s[2] = t1
+    s[3] = t2
+    s[4] = t3
+    s[5] = w2
+    s[6] = n0
+    s[7] = n1
+    s[8] = pv
+    s[9] = pa
+
+
+try:  # pragma: no cover - exercised only on hosts with numba installed
+    import numba as _numba
+
+    _ewm_sweep_jit = _numba.njit(nogil=True, cache=True)(_ewm_sweep_arrays)
+except ImportError:
+    _ewm_sweep_jit = None
+
+
+def _ewm_sweep_fast(a, w, time=None, wgt=None, state=None, upto=1,
+                    track_w2=False):
+    """JIT-dispatching sweep with the same contract as _ewm_sweep."""
+    n_rows = a.shape[0]
+    s = fresh_state() if state is None else np.asarray(state, float).copy()
+    trail = np.zeros((n_rows, 8))
+    time_arr = np.full(n_rows, np.nan) if time is None else np.asarray(time, float)
+    wgt_arr = np.ones(n_rows) if wgt is None else np.asarray(wgt, float)
+    fn = _ewm_sweep_jit if _ewm_sweep_jit is not None else _ewm_sweep_arrays
+    fn(np.asarray(a, float), w, time_arr, wgt_arr, s, upto, track_w2, trail)
+    return trail, s

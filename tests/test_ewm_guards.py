@@ -101,3 +101,28 @@ def test_wgt_col_spark(spark, series_df):
     g = got["ewmrms"].to_numpy(float)
     b = base["ewmrms"].to_numpy(float)
     assert np.allclose(g, b, atol=1e-12, equal_nan=True)
+
+
+def test_array_twin_bit_parity():
+    """The numba-targeted array sweep must be bit-identical to the canonical
+    list-based loop (on numba hosts the JIT compiles the twin unchanged)."""
+    from pyg_timeseries_spark.kernels.ewm_numpy import (
+        _ewm_sweep, _ewm_sweep_fast, decay_weight, fresh_state,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.normal(0, 1, 500)
+    a[rng.random(500) < 0.2] = np.nan
+    time = np.floor(np.arange(500) / 3).astype(float)  # clock with buckets
+    wgt = np.abs(rng.normal(1, 0.1, 500))
+    w = decay_weight(10)
+    for kw in [
+        dict(),
+        dict(time=time),
+        dict(wgt=wgt),
+        dict(time=time, wgt=wgt, upto=3, track_w2=True),
+    ]:
+        t1, s1 = _ewm_sweep(a, w, **kw)
+        t2, s2 = _ewm_sweep_fast(a, w, **kw)
+        assert np.array_equal(t1, t2, equal_nan=True), kw
+        assert np.array_equal(s1, s2, equal_nan=True), kw
