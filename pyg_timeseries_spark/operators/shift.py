@@ -8,10 +8,27 @@ rows unioned back (operators/_core.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.operators._core import KEY, TS, VAL, apply_on_valid, wspec
+
+
+def _bucket_lag(df: DataFrame, n: int, key: str, ts: str, v: str,
+                time_col: str):
+    """Clock semantics (reference _tdiff/_tratio, _rolling.py:335-346,
+    370-374): the lag reference is the LAST valid value of the bucket n time
+    units back — every row of a bucket diffs against the same base.
+    Returns the df joined with a ``_lagv`` column."""
+    valid = df.filter(F.col(v).isNotNull())
+    last_per_bucket = valid.groupBy(key, time_col).agg(
+        F.max_by(v, ts).alias("_bucket_last")
+    )
+    wb = Window.partitionBy(key).orderBy(time_col)
+    lagged = last_per_bucket.withColumn(
+        "_lagv", F.lag("_bucket_last", n).over(wb)
+    ).select(key, time_col, "_lagv")
+    return df.join(lagged, on=[key, time_col], how="left")
 
 
 def shift(
@@ -21,8 +38,15 @@ def shift(
     ts: str = TS,
     v: str = VAL,
     out: str = "shift",
+    time_col: str | None = None,
 ) -> DataFrame:
-    """n-lag (n<0 = lead) over valid rows. Reference _rolling.py:947-1005."""
+    """n-lag (n<0 = lead) over valid rows. Reference _rolling.py:947-1005.
+    With ``time_col``, the lag is the last value of the bucket n units back."""
+    if time_col:
+        joined = _bucket_lag(df, n, key, ts, v, time_col)
+        return joined.withColumn(
+            out, F.when(F.col(v).isNotNull(), F.col("_lagv"))
+        ).drop("_lagv")
     w = wspec(key, ts)
     expr = F.lag(v, n).over(w) if n >= 0 else F.lead(v, -n).over(w)
     return apply_on_valid(df, out, expr, v=v)
@@ -35,11 +59,16 @@ def diff(
     ts: str = TS,
     v: str = VAL,
     out: str = "diff",
+    time_col: str | None = None,
 ) -> DataFrame:
     """n-period difference over valid rows (diff(a,0) == zeros-with-NaNs,
-    reference _rolling.py:818-870, 847-848)."""
+    reference _rolling.py:818-870, 847-848); clock-aware with ``time_col``
+    (golden vectors: reference tests/test_ts_rolling.py:7-17)."""
     if n == 0:
         return df.withColumn(out, F.col(v) - F.col(v))
+    if time_col:
+        joined = _bucket_lag(df, n, key, ts, v, time_col)
+        return joined.withColumn(out, F.col(v) - F.col("_lagv")).drop("_lagv")
     w = wspec(key, ts)
     lagv = F.lag(v, n).over(w) if n > 0 else F.lead(v, -n).over(w)
     return apply_on_valid(df, out, F.col(v) - lagv, v=v)
@@ -52,9 +81,15 @@ def ratio(
     ts: str = TS,
     v: str = VAL,
     out: str = "ratio",
+    time_col: str | None = None,
 ) -> DataFrame:
     """n-period ratio; NULL when the lagged value is 0 (reference
-    _rolling.py:349-368, 1007-1044)."""
+    _rolling.py:349-368, 1007-1044); clock-aware with ``time_col``."""
+    if time_col:
+        joined = _bucket_lag(df, n, key, ts, v, time_col)
+        return joined.withColumn(
+            out, F.when(F.col("_lagv") != 0.0, F.col(v) / F.col("_lagv"))
+        ).drop("_lagv")
     w = wspec(key, ts)
     lagv = F.lag(v, n).over(w) if n > 0 else F.lead(v, -n).over(w)
     expr = F.when(lagv != 0.0, F.col(v) / lagv)

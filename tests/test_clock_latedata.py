@@ -79,3 +79,35 @@ def test_late_bucket_backfill(spark, tmp_path):
             ta = a["tokens"].apply(tuple)
             tb = b["tokens"].apply(tuple)
             assert (ta == tb).all()
+
+
+def test_diff_ratio_clock_golden_vectors(spark):
+    """The reference's clock golden vectors (tests/test_ts_rolling.py:7-17):
+    a = i², time = [0,0,1,1,1,2,2,2,2,3]."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.shift import diff, ratio
+
+    a = 1.0 * np.arange(10) ** 2
+    time = [0, 0, 1, 1, 1, 2, 2, 2, 2, 3]
+    pdf = pd.DataFrame({
+        "key": "k0",
+        "ts": pd.date_range("2024-01-01", periods=10, freq="1min"),
+        "v": a,
+        "t": [float(x) for x in time],
+    })
+    df = spark.createDataFrame(pdf)
+
+    got1 = diff(df, 1, time_col="t").toPandas().sort_values("ts")["diff"].to_numpy(float)
+    exp1 = np.array([np.nan, np.nan, 4 - 1, 9 - 1, 16 - 1, 25 - 16, 36 - 16,
+                     49 - 16, 64 - 16, 81 - 64])
+    assert np.array_equal(got1, exp1, equal_nan=True)
+
+    got2 = diff(df, 2, time_col="t").toPandas().sort_values("ts")["diff"].to_numpy(float)
+    exp2 = np.array([np.nan] * 5 + [25 - 1, 36 - 1, 49 - 1, 64 - 1, 81 - 16])
+    assert np.array_equal(got2, exp2, equal_nan=True)
+
+    gotr = ratio(df, 1, time_col="t").toPandas().sort_values("ts")["ratio"].to_numpy(float)
+    expr = np.array([np.nan, np.nan, 4 / 1, 9 / 1, 16 / 1, 25 / 16, 36 / 16,
+                     49 / 16, 64 / 16, 81 / 64])
+    assert np.allclose(gotr, expr, equal_nan=True, atol=0)
