@@ -326,8 +326,11 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    # md5 hash family: identical hex in Spark and DuckDB, so the full LSH
+    # pipeline (signatures -> band buckets -> candidate pairs -> exact
+    # jaccard) is value-checked cross-engine end-to-end
     docs = load(spark, sf_dir, "documents")
-    return ND.minhash_candidates(docs, n_hashes=16, bands=8).select(
+    return ND.minhash_candidates(docs, n_hashes=16, bands=8, hash_fn="md5").select(
         "id_a", "id_b", R6(F.col("jaccard")).alias("jaccard")
     )
 
@@ -887,6 +890,32 @@ SELECT key, ts,
     + 0.5 * (coalesce(nxtv, 0) * pow((5.0/6.0), coalesce(nxtrn, rn + 1) - rn) + 0.0)
   END) * 1000000 + 0.4997) AS BIGINT) AS ef
 FROM m
+        """,
+        "minhash_dedup": """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+),
+sig AS (
+  SELECT id, list_transform(generate_series(0, 15),
+            p -> list_min(list_transform(s, x -> md5(x || '|' || p)))) AS hs
+  FROM sh
+),
+buckets AS (
+  SELECT id, b.band AS band, md5(hs[b.band*2+1] || ',' || hs[b.band*2+2]) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0,7)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM buckets a JOIN buckets bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.id < bb.id
+)
+SELECT p.id_a, p.id_b,
+       CAST(floor((CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+            THEN len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))
+            ELSE 0 END) * 1000000 + 0.4997) AS BIGINT) AS jaccard
+FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b
         """,
         "fnnz": f"""
             SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key

@@ -50,9 +50,24 @@ def jaccard(a, b):
 # ---- MinHash + LSH ----------------------------------------------------------
 
 
-def minhash_signature(shingles_col, n_hashes: int = 32):
+def minhash_signature(shingles_col, n_hashes: int = 32, hash_fn: str = "xxhash64"):
     """n_hashes-wide MinHash signature: h_p = min over shingles of
-    xxhash64(shingle, p).  Deterministic, no broadcast state."""
+    hash(shingle, p).  Deterministic, no broadcast state.
+
+    hash_fn 'xxhash64' (production: fastest, JVM-side) or 'md5'
+    (cross-engine: identical hex in Spark and DuckDB, so an external SQL
+    engine can reproduce the exact signatures — the driver-oracle path;
+    string min is lexicographic byte order in both)."""
+    if hash_fn == "md5":
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+            lambda p: F.array_min(
+                F.transform(
+                    shingles_col,
+                    lambda s: F.md5(F.concat(s, F.lit("|"), p.cast("string"))),
+                )
+            ),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_hashes - 1)),
         lambda p: F.array_min(
@@ -81,6 +96,7 @@ def minhash_candidates(
     shingle_k: int = 3,
     n_hashes: int = 32,
     bands: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 MinHash band,
     with their exact shingle-Jaccard for thresholding.
@@ -89,27 +105,44 @@ def minhash_candidates(
     (min per permutation) — NOT a per-permutation array_min over the shingle
     expression, which Catalyst would inline n_hashes times.  The band join
     carries only (band, bucket, id); shingle sets re-attach by id for the
-    exact verify, so the wide arrays never ride the candidate shuffle."""
+    exact verify, so the wide arrays never ride the candidate shuffle.
+
+    hash_fn='md5' gives cross-engine-reproducible signatures (see
+    minhash_signature) at ~2-3x the hash cost of xxhash64."""
     rows = n_hashes // bands
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text), shingle_k).alias("sh"),
     )
     shingle_rows = sh.select("id", F.explode("sh").alias("s"))
-    sig = shingle_rows.groupBy("id").agg(
-        *[
-            F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"h{p}")
-            for p in range(n_hashes)
+    if hash_fn == "md5":
+        sig = shingle_rows.groupBy("id").agg(
+            *[
+                F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{p}")))).alias(f"h{p}")
+                for p in range(n_hashes)
+            ]
+        )
+        band_cols = [
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+            ).alias(f"b{b}")
+            for b in range(bands)
         ]
-    )
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(",", *[F.col(f"h{b * rows + r}").cast("string")
-                               for r in range(rows)]),
-            F.lit(b),
-        ).alias(f"b{b}")
-        for b in range(bands)
-    ]
+    else:
+        sig = shingle_rows.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"h{p}")
+                for p in range(n_hashes)
+            ]
+        )
+        band_cols = [
+            F.xxhash64(
+                F.concat_ws(",", *[F.col(f"h{b * rows + r}").cast("string")
+                                   for r in range(rows)]),
+                F.lit(b),
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
     buckets = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
