@@ -237,9 +237,10 @@ def q_ewmrms(spark, sf_dir):
 
 
 def q_ts_interval(spark, sf_dir):
-    # rows-only: the events gaps are diffuse with exact frequency ties, so
-    # a cross-engine mode() comparison would be tie-break-dependent
-    return TS.ts_interval(_series(spark, sf_dir))
+    # ts_interval uses a deterministic tie-break (smallest of the maximal-
+    # frequency gaps), so the modal gap is exactly reproducible in SQL
+    out = TS.ts_interval(_series(spark, sf_dir), out="modal_gap")
+    return out.select("key", R6(F.col("modal_gap")).alias("modal_gap"))
 
 
 # ---- training-data pipeline ops --------------------------------------------
@@ -341,14 +342,17 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    # md5int scheme: md5-derived hyperplanes + integer-quantized projections
+    # make the LSH buckets bit-reproducible in the DuckDB oracle
     emb = load(spark, sf_dir, "embeddings")
-    return ND.embedding_neardup(emb, threshold=0.25, dim=64)
+    out = ND.embedding_neardup(emb, threshold=0.25, dim=64, scheme="md5int")
+    return out.select("id_a", "id_b", R6(F.col("sim")).alias("sim"))
 
 
 def q_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    out = lsh_topk(emb, queries_df, dim=64, k=10)
+    out = lsh_topk(emb, queries_df, dim=64, k=10, scheme="md5int")
     return out.select("query_id", "neighbor_id", "rank")
 
 
@@ -916,6 +920,76 @@ SELECT p.id_a, p.id_b,
             THEN len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))
             ELSE 0 END) * 1000000 + 0.4997) AS BIGINT) AS jaccard
 FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b
+        """,
+        "ts_interval": f"""
+            WITH gaps AS (
+                SELECT key,
+                       epoch(ts) - epoch(lag(ts) OVER ({_WIN})) AS gap
+                FROM ({SERIES_SQL})
+            ),
+            counts AS (
+                SELECT key, gap, count(*) AS n FROM gaps
+                WHERE gap IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT key, CAST(floor((min(gap)) * 1000000 + 0.4997) AS BIGINT) AS modal_gap
+            FROM (SELECT key, gap, n, max(n) OVER (PARTITION BY key) AS mx FROM counts)
+            WHERE n = mx GROUP BY key
+        """,
+        "embedding_neardup": """
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+bits AS (
+  SELECT id, v, p.p AS plane,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+              j -> iv[j] * (CASE WHEN substr(md5(p.p || ',' || (j-1)), 1, 1) < '8'
+                            THEN 1 ELSE -1 END))) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, (SELECT unnest(generate_series(0, 15)) AS p) p
+),
+buckets AS (
+  SELECT id, v, plane // 4 AS band,
+         sum(bit * CAST(pow(2, plane % 4) AS BIGINT)) AS bucket
+  FROM bits GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b,
+       CAST(floor((list_cosine_similarity(va, vb)) * 1000000 + 0.4997) AS BIGINT) AS sim
+FROM cand WHERE list_cosine_similarity(va, vb) >= 0.25
+        """,
+        "lsh_topk": """
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+bits AS (
+  SELECT id, v, p.p AS plane,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+              j -> iv[j] * (CASE WHEN substr(md5(p.p || ',' || (j-1)), 1, 1) < '8'
+                            THEN 1 ELSE -1 END))) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM e, (SELECT unnest(generate_series(0, 15)) AS p) p
+),
+buckets AS (
+  SELECT id, v, plane // 4 AS band,
+         sum(bit * CAST(pow(2, plane % 4) AS BIGINT)) AS bucket
+  FROM bits GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, q.v AS qv, c.v AS cv
+  FROM buckets q JOIN buckets c ON q.band = c.band AND q.bucket = c.bucket
+  WHERE q.id < 5 AND c.id <> q.id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= 10
         """,
         "fnnz": f"""
             SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key

@@ -293,12 +293,13 @@ def embedding_neardup(
     vec: str = "embedding",
     n_planes: int = 16,
     bands: int = 4,
+    scheme: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold, LSH-bucketed candidates
     (random-hyperplane bands from similarity/ann.py) + exact verify."""
     from pyg_timeseries_spark.similarity.ann import add_simhash_buckets, cosine
 
-    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec)
+    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec, scheme=scheme)
     cand = None
     for bnd in range(bands):
         x = cb.select(F.col(id_col).alias("id_a"),

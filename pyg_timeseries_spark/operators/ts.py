@@ -101,11 +101,22 @@ def ts_cor(df: DataFrame, a: str, b: str, key: str = KEY, out: str = "ts_cor") -
 
 def ts_interval(df: DataFrame, key: str = KEY, ts: str = TS, out: str = "ts_interval") -> DataFrame:
     """Modal inter-observation gap per key, in seconds — the reference infers
-    the series' native bucket from the index (_ts.py:543-573)."""
+    the series' native bucket from the index (_ts.py:543-573).
+
+    Deterministic tie-break: among maximal-frequency gaps, the smallest wins
+    (builtin mode() breaks frequency ties arbitrarily, which is engine- and
+    partitioning-dependent)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key).orderBy(ts)
     sec = F.unix_micros(F.col(ts).cast("timestamp")) / F.lit(1_000_000.0)
     gap = sec - F.lag(sec).over(w)
     gaps = df.select(key, gap.alias("gap")).filter(F.col("gap").isNotNull())
-    return gaps.groupBy(key).agg(F.mode("gap").alias(out))
+    counts = gaps.groupBy(key, "gap").agg(F.count(F.lit(1)).alias("n"))
+    wmax = Window.partitionBy(key)
+    return (
+        counts.withColumn("_mx", F.max("n").over(wmax))
+        .filter(F.col("n") == F.col("_mx"))
+        .groupBy(key)
+        .agg(F.min("gap").alias(out))
+    )

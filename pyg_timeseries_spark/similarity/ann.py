@@ -72,6 +72,34 @@ def cosine_topk(
 
 # ---- LSH (random hyperplane / SimHash bucketing) ----------------------------
 
+def _md5_signs(plane: int, dim: int) -> list[int]:
+    """±1 hyperplane components derived from md5(f"{plane},{j}") — md5 is
+    identical everywhere, so an external engine (e.g. the DuckDB oracle) can
+    reproduce the exact same hyperplanes."""
+    import hashlib
+
+    return [
+        1 if hashlib.md5(f"{plane},{j}".encode()).hexdigest()[0] < "8" else -1
+        for j in range(dim)
+    ]
+
+
+def _hyperplane_bit_md5int(veccol, dim: int, plane: int):
+    """Deterministic-everywhere signature bit: quantize the vector to
+    integers (floor(x·1000)) and take the sign of the INTEGER projection
+    onto the md5-derived ±1 hyperplane — integer sums are order-free, so
+    the bucket assignment is bit-reproducible across engines regardless of
+    float summation order."""
+    signs = F.array(*[F.lit(s) for s in _md5_signs(plane, dim)])
+    ivec = F.transform(veccol, lambda x: F.floor(x * 1000).cast("long"))
+    proj = F.aggregate(
+        F.zip_with(ivec, signs, lambda x, s: x * s),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
 def _hyperplane_bit(veccol, dim: int, plane: int):
     """sign(Σ_j vec[j] * h(plane, j)) as one signature bit; h is a
     deterministic ±1 hash — identical on any executor, no shared state."""
@@ -95,14 +123,19 @@ def add_simhash_buckets(
     n_planes: int = 16,
     bands: int = 4,
     vec: str = "embedding",
+    scheme: str = "xxhash",
 ) -> DataFrame:
-    """Append `bands` bucket columns, each packing n_planes/bands sign bits."""
+    """Append `bands` bucket columns, each packing n_planes/bands sign bits.
+
+    scheme 'xxhash' (production) or 'md5int' (cross-engine-reproducible:
+    md5-derived hyperplanes + integer-quantized projections)."""
     v = F.col(vec).cast("array<double>")
     per_band = n_planes // bands
+    bit_fn = _hyperplane_bit_md5int if scheme == "md5int" else _hyperplane_bit
     out = df
     for b in range(bands):
         bits = [
-            _hyperplane_bit(v, dim, b * per_band + p) * (2 ** p)
+            bit_fn(v, dim, b * per_band + p) * (2 ** p)
             for p in range(per_band)
         ]
         bucket = bits[0]
@@ -121,10 +154,11 @@ def lsh_topk(
     bands: int = 4,
     id_col: str = "vec_id",
     vec: str = "embedding",
+    scheme: str = "xxhash",
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing ≥1 band bucket."""
-    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec)
-    qb = add_simhash_buckets(queries, dim, n_planes, bands, vec)
+    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec, scheme=scheme)
+    qb = add_simhash_buckets(queries, dim, n_planes, bands, vec, scheme=scheme)
     cand = None
     for b in range(bands):
         c = cb.select(
