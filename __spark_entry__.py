@@ -275,7 +275,8 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    d = TX.fingerprint(load(spark, sf_dir, "documents"))
+    # md5 hash family → hex fingerprint reproducible in the DuckDB oracle
+    d = TX.fingerprint(load(spark, sf_dir, "documents"), hash_fn="md5")
     return d.select("doc_id", "fingerprint")
 
 
@@ -337,8 +338,9 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    # md5 nibble-bit signature, reproducible in the DuckDB oracle
     docs = load(spark, sf_dir, "documents")
-    return ND.simhash_pairs(docs, max_hamming=16)
+    return ND.simhash_pairs_md5(docs, max_hamming=16)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -991,6 +993,59 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM cand
 ) WHERE rank <= 10
         """,
+        "fingerprint": """
+            SELECT doc_id,
+                   list_min(list_transform(generate_series(1, greatest(length(text) - 7, 1)),
+                       i -> md5(substr(text, i, 8)))) AS fingerprint
+            FROM documents
+        """,
+        "lang_id": """
+            WITH scored AS (
+                SELECT doc_id, text,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'was', 'for'], x))) AS n_en,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> list_contains(['der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'auf', 'zu'], x))) AS n_de,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> list_contains(['le', 'la', 'les', 'et', 'est', 'pas', 'une', 'des', 'du', 'que'], x))) AS n_fr,
+                   len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> list_contains(['el', 'la', 'los', 'las', 'es', 'una', 'por', 'con', 'para', 'está'], x))) AS n_es,
+                   length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE
+                       / length(text) AS cjk_ratio
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+                        WHEN greatest(n_en, n_de, n_fr, n_es) = 0 THEN 'und'
+                        WHEN n_es > greatest(n_en, n_de, n_fr) THEN 'es'
+                        WHEN n_fr > greatest(n_en, n_de) THEN 'fr'
+                        WHEN n_de > n_en THEN 'de'
+                        ELSE 'en' END AS pred_lang
+            FROM scored
+        """,
+        "simhash_pairs": """
+WITH sh AS (
+  SELECT doc_id AS id, h FROM (
+    SELECT doc_id,
+      (SELECT string_agg(CASE WHEN list_sum(list_transform(hs,
+          x -> (((instr('0123456789abcdef', substr(x, (b.b // 4) + 1, 1)) - 1)
+                 // (CASE b.b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2) * 2 - 1
+        )) > 0 THEN '1' ELSE '0' END, '' ORDER BY b.b)
+       FROM (SELECT unnest(generate_series(0, 63)) AS b) b) AS h
+    FROM (SELECT doc_id,
+                 list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> md5(t)) AS hs
+          FROM documents)
+  )
+),
+chunked AS (
+  SELECT id, h, c.c AS chunk_idx, substr(h, c.c * 16 + 1, 16) AS chunk
+  FROM sh, (SELECT unnest(generate_series(0, 3)) AS c) c
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       len(list_filter(generate_series(1, 64), i -> substr(a.h, i, 1) <> substr(b.h, i, 1))) AS hamming
+FROM chunked a JOIN chunked b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
+WHERE len(list_filter(generate_series(1, 64), i -> substr(a.h, i, 1) <> substr(b.h, i, 1))) <= 16
+        """,
         "fnnz": f"""
             SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key
         """,
@@ -1025,7 +1080,9 @@ SELECT query_id, neighbor_id, rank FROM (
                    OVER ({_WIN} {_ROWS_N})) * 1000000 + 0.4997) AS BIGINT) AS qh
             FROM ({VALID_SQL})
         """,
-        # remaining rows-only checks:
+        # remaining rows-only checks: media_features (features from a
+        # python RNG over synthesized payloads) and ewmcombine (portfolio
+        # recursion depth ~10k exceeds practical DuckDB recursive-CTE cost).
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }

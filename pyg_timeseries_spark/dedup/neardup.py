@@ -316,3 +316,65 @@ def embedding_neardup(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def simhash_bits_md5(tokens_col):
+    """64-bit SimHash as a '0'/'1' bit-string, from md5 nibble bits —
+    reproducible in any engine with md5 + string ops (the oracle path).
+    Bit b comes from hex digit b//4 of md5(token), nibble bit b%4."""
+    hashes = F.transform(tokens_col, lambda t: F.md5(t))
+    divisors = [1, 2, 4, 8]
+
+    def vote(b):
+        k = b // 4
+        d = divisors[b % 4]
+        def bit_of(h):
+            hv = F.conv(h.substr(F.lit(k + 1), F.lit(1)), 16, 10).cast("int")
+            return F.pmod(F.floor(hv / F.lit(d)).cast("int"), F.lit(2))
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + (bit_of(h) * 2 - 1),
+        )
+
+    bits = [F.when(vote(b) > 0, F.lit("1")).otherwise(F.lit("0"))
+            for b in range(64)]
+    return F.concat(*bits)
+
+
+def simhash_pairs_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    max_hamming: int = 16,
+    chunks: int = 4,
+) -> DataFrame:
+    """simhash_pairs with the cross-engine md5 bit-string signature."""
+    words_arr = F.split(F.trim(F.lower(F.col(text))), r"\s+")
+    sh = df.select(F.col(id_col).alias("id"), simhash_bits_md5(words_arr).alias("h"))
+    width = 64 // chunks
+    chunked = sh.select(
+        "id", "h",
+        F.posexplode(
+            F.array(*[
+                F.substring(F.col("h"), c * width + 1, width) for c in range(chunks)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunked.select(F.col("id").alias("id_a"), F.col("h").alias("h_a"),
+                       "chunk_idx", "chunk")
+    b = chunked.select(F.col("id").alias("id_b"), F.col("h").alias("h_b"),
+                       "chunk_idx", "chunk")
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.col("h_a").substr(i, F.lit(1)) != F.col("h_b").substr(i, F.lit(1)),
+        )
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -108,13 +108,19 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "pred_lang") -> DataFr
 
 
 def fingerprint(df: DataFrame, text: str = "text", shingle: int = 8,
-                out: str = "fingerprint") -> DataFrame:
-    """Document fingerprint: min xxhash64 over character shingles (winnowing-
+                out: str = "fingerprint", hash_fn: str = "xxhash64") -> DataFrame:
+    """Document fingerprint: min hash over character shingles (winnowing-
     style rolling-hash fingerprint, computed JVM-side via sequence+transform).
+    hash_fn='md5' yields a hex-string fingerprint reproducible in any engine.
     """
     t = F.col(text)
     n = F.greatest(F.length(t) - shingle + 1, F.lit(1))
-    hashes = F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(shingle)))
-    )
+    if hash_fn == "md5":
+        hashes = F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.md5(t.substr(i, F.lit(shingle)))
+        )
+    else:
+        hashes = F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(shingle)))
+        )
     return df.withColumn(out, F.array_min(hashes))
