@@ -102,6 +102,7 @@ class RollupStore:
         tokens: str | None = "tokens",
         key: str = "source",
         with_lineage: bool = True,
+        exact_rebuild: bool = False,
     ) -> dict[str, DataFrame]:
         """Append a raw batch: roll it up, merge into each tier, snapshot.
 
@@ -109,28 +110,87 @@ class RollupStore:
         algebra equals the from-scratch aggregation (plans/rollup.py), so
         ingest(head); ingest(tail) == ingest(full) row-for-row including
         token arrays (append contract: batches arrive time-ordered per key).
+
+        ``exact_rebuild`` lifts the append contract entirely: raw batches
+        are retained in the store and any 1m bucket touched by BOTH history
+        and this batch (an interleaving late arrival) is recomputed from
+        retained raw — token order then matches a full recompute under
+        arbitrary out-of-order arrival, at the cost of raw retention.
         """
         batch_id = self.meta["batches"] + 1
         if with_lineage:
             self.record_lineage(batch_id, "raw", raw)
+        if exact_rebuild:
+            raw.write.mode("append").parquet(os.path.join(self.path, "raw"))
         delta = rollup_from_raw(raw, "1m", ts=ts, v=v, tokens=tokens, key=key)
         out: dict[str, DataFrame] = {}
         child = delta
+        rebuilt = False
         for tier in ("1m", "1h", "1d"):
             if tier != "1m":
                 child = rollup_cascade(prev_delta, tier, with_tokens=tokens is not None)
             existing = self.read_table(f"rollup_{tier}")
-            merged = (
-                merge_rollup(existing, child, with_tokens=tokens is not None)
-                if existing is not None
-                else child
-            )
+            if rebuilt:
+                # the parent tier was corrected wholesale → the cascade of
+                # the corrected FULL parent (prev_delta) REPLACES this tier
+                merged = child
+            else:
+                merged = (
+                    merge_rollup(existing, child, with_tokens=tokens is not None)
+                    if existing is not None
+                    else child
+                )
+            if tier == "1m" and exact_rebuild and existing is not None:
+                corrected = self._rebuild_overlaps(
+                    merged, existing, child, ts=ts, v=v, tokens=tokens, key=key
+                )
+                if corrected is not merged:
+                    merged = corrected
+                    rebuilt = True
+                    # cascade downstream from the corrected full 1m tier
+                    child = merged
             self.write_table(f"rollup_{tier}", merged)
             out[tier] = self.read_table(f"rollup_{tier}")
-            prev_delta = child
+            # next tier cascades from: the corrected FULL tier after a
+            # rebuild, else just this batch's tier delta
+            prev_delta = out[tier] if rebuilt else child
         self.meta["batches"] = batch_id
         self._save_meta()
         return out
+
+    def _rebuild_overlaps(self, merged, existing, delta, ts, v, tokens, key):
+        """Recompute from retained raw the (source, bucket) cells present in
+        both history and the new delta — the only cells where a concat-order
+        merge can diverge from a full recompute."""
+        overlaps = (
+            existing.select("source", "bucket")
+            .join(delta.select("source", "bucket"), ["source", "bucket"], "inner")
+            .distinct()
+        )
+        if overlaps.isEmpty():
+            return merged
+        raw_all = self.spark.read.parquet(os.path.join(self.path, "raw"))
+        from pyg_timeseries_spark.plans.rollup import bucket_col
+
+        affected_raw = (
+            raw_all.withColumn("_b", bucket_col(ts, "1m"))
+            .join(
+                F.broadcast(
+                    overlaps.select(
+                        F.col("source").alias("_os"), F.col("bucket").alias("_ob")
+                    )
+                ),
+                (F.col(key) == F.col("_os")) & (F.col("_b") == F.col("_ob")),
+                "left_semi",
+            )
+            .drop("_b")
+        )
+        rebuilt = rollup_from_raw(affected_raw, "1m", ts=ts, v=v,
+                                  tokens=tokens, key=key)
+        untouched = merged.join(
+            F.broadcast(overlaps), ["source", "bucket"], "left_anti"
+        )
+        return untouched.unionByName(rebuilt)
 
     # -- operator state -----------------------------------------------------
     def write_state(self, op: str, state_df: DataFrame) -> int:

@@ -111,3 +111,31 @@ def test_diff_ratio_clock_golden_vectors(spark):
     expr = np.array([np.nan, np.nan, 4 / 1, 9 / 1, 16 / 1, 25 / 16, 36 / 16,
                      49 / 16, 64 / 16, 81 / 64])
     assert np.allclose(gotr, expr, equal_nan=True, atol=0)
+
+
+def test_interleaved_late_rows_exact_rebuild(spark, tmp_path):
+    """Interleaving same-bucket late rows (batch 2's rows fall BETWEEN batch
+    1's rows inside a bucket) break concat-order merging — exact_rebuild
+    recomputes the overlapped buckets from retained raw, matching the full
+    recompute bit-for-bit including token order."""
+    raw = sequences(spark, 3000, with_tokens=True).persist()
+    # batch 1: even seq rows; batch 2: odd seq rows (maximal interleaving)
+    b1 = raw.filter(F.col("seq") % 2 == 0)
+    b2 = raw.filter(F.col("seq") % 2 == 1)
+
+    full_store = RollupStore(str(tmp_path / "f"), spark)
+    full = full_store.ingest(raw)
+
+    inc = RollupStore(str(tmp_path / "i"), spark)
+    inc.ingest(b1, exact_rebuild=True)
+    tiers = inc.ingest(b2, exact_rebuild=True)
+
+    for tier in ("1m", "1h", "1d"):
+        a = full[tier].toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+        b = tiers[tier].toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+        assert len(a) == len(b), tier
+        for col in ("cnt", "sum_n_tok", "sum2_n_tok", "min_n_tok", "max_n_tok"):
+            assert (a[col] == b[col]).all(), (tier, col)
+        ta = a["tokens"].apply(tuple)
+        tb = b["tokens"].apply(tuple)
+        assert (ta == tb).all(), f"token order diverged at {tier}"
