@@ -409,13 +409,19 @@ def q_bar_cc_r2(spark, sf_dir):
 
 
 def q_ewmcombine(spark, sf_dir):
+    # hour-bucketed signals: the recursive-CTE oracle then needs ~720
+    # iterations for the erho recursion instead of ~10k
     from pyg_timeseries_spark.operators.combine import ewmcombine
 
-    s = _series(spark, sf_dir).select(
-        "key", "ts", F.col("v").alias("a"), F.lit(1.0).alias("w")
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "hour").alias("bucket"))
+        .agg(F.sum("v").alias("a"))
+        .withColumn("w", F.lit(1.0))
     )
-    out = ewmcombine(s, n=64)
-    return out.select("ts", R6(F.col("x")).alias("x"), R6(F.col("data")).alias("d"))
+    out = ewmcombine(m1, n=64, key="key", ts="bucket", a="a", w="w")
+    return out.select(F.col("bucket").alias("ts"),
+                      R6(F.col("x")).alias("x"), R6(F.col("data")).alias("d"))
 
 
 
@@ -1046,6 +1052,53 @@ SELECT DISTINCT a.id AS id_a, b.id AS id_b,
 FROM chunked a JOIN chunked b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.id < b.id
 WHERE len(list_filter(generate_series(1, 64), i -> substr(a.h, i, 1) <> substr(b.h, i, 1))) <= 16
         """,
+        "ewmcombine": f"""
+WITH RECURSIVE m1 AS (
+  SELECT key, date_trunc('hour', ts) AS b, sum(v) AS a FROM ({SERIES_SQL}) GROUP BY 1, 2
+),
+prep AS (
+  SELECT key, b,
+         coalesce(last_value(a IGNORE NULLS) OVER (PARTITION BY key ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS a_f,
+         CASE WHEN count(a) OVER (PARTITION BY key ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+              THEN 1.0 ELSE 0.0 END AS w_f
+  FROM m1
+),
+xs3 AS (
+  SELECT ts, x, w1, w2, wij, (x*x - w2)/wij AS rho FROM (
+    SELECT b AS ts, sum(a_f * w_f) AS x, sum(w_f) AS w1, sum(w_f * w_f) AS w2,
+           CASE WHEN sum(w_f)*sum(w_f) - sum(w_f*w_f) <> 0
+                THEN sum(w_f)*sum(w_f) - sum(w_f*w_f) END AS wij
+    FROM prep GROUP BY 1)
+),
+valid AS (
+  SELECT ts, rho, row_number() OVER (ORDER BY ts) AS rn FROM xs3 WHERE rho IS NOT NULL
+),
+rec AS (
+  SELECT ts, rn, (1.0 - 64.0/65.0) AS t0, (1.0 - 64.0/65.0) * rho AS t1 FROM valid WHERE rn = 1
+  UNION ALL
+  SELECT o.ts, o.rn, r.t0 * (64.0/65.0) + (1.0 - 64.0/65.0), r.t1 * (64.0/65.0) + (1.0 - 64.0/65.0) * o.rho
+  FROM valid o JOIN rec r ON o.rn = r.rn + 1
+),
+varr AS (
+  SELECT x.ts, x.x,
+         CASE WHEN x.w2 + x.wij * (rec.t1/rec.t0) > 0
+              THEN x.w2 + x.wij * (rec.t1/rec.t0) END AS variance_raw
+  FROM xs3 x LEFT JOIN rec ON rec.ts = x.ts
+),
+lagged AS (
+  SELECT ts, x, lag(variance_raw) OVER (ORDER BY ts) AS variance_lag FROM varr
+),
+filled AS (
+  SELECT ts, x, last_value(variance_lag IGNORE NULLS)
+         OVER (ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS variance
+  FROM lagged
+)
+SELECT ts, CAST(floor((x) * 1000000 + 0.4997) AS BIGINT) AS x,
+       CAST(floor((x / sqrt(variance)) * 1000000 + 0.4997) AS BIGINT) AS d
+FROM filled
+        """,
         "fnnz": f"""
             SELECT key, min(ts) AS ts FROM ({VALID_SQL}) WHERE v <> 0 GROUP BY key
         """,
@@ -1080,9 +1133,9 @@ WHERE len(list_filter(generate_series(1, 64), i -> substr(a.h, i, 1) <> substr(b
                    OVER ({_WIN} {_ROWS_N})) * 1000000 + 0.4997) AS BIGINT) AS qh
             FROM ({VALID_SQL})
         """,
-        # remaining rows-only checks: media_features (features from a
-        # python RNG over synthesized payloads) and ewmcombine (portfolio
-        # recursion depth ~10k exceeds practical DuckDB recursive-CTE cost).
+        # remaining rows-only check: media_features — its features come
+        # from a python RNG over payloads synthesized at query time, and the
+        # media table is not a registered oracle view.
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }
