@@ -49,6 +49,9 @@ from pyg_timeseries_spark.operators.xrank import xrank, xrank_simple
 from pyg_timeseries_spark.operators.matrix import (  # kernel (np.linalg)
     ewmAAi, ewmAAi_, ewmGLM, ewmGLM_, ewmcorr_psd, ewmcorr_psd_,
 )
+from pyg_timeseries_spark.kernels.matrix_numpy import (
+    ewmcorr_psd_ov, overlapping_rows,
+)
 from pyg_timeseries_spark.operators.combine import (  # composition
     ewmcombine, ewmcombined,
 )
@@ -186,6 +189,8 @@ ewmcovar_ = ewmcovar
 # multibuffer, minimize_tracking_error, least_squares, riskparity, maxdiv —
 #   portfolio optimizers (scipy/cvxpy applications, not engine operators;
 #   SURVEY.md §2.7 marks them out of scope).
+# rms_combine           dead in the reference as shipped (_rms_join.py:4
+#   imports a module that does not exist) — not reproduced.
 # ts_iterate            superseded by the incremental RollupStore driver.
 # reindex_3d            pandas-specific tensor helper; long format makes it
 #                        a join (plans/rollup.py).

@@ -159,3 +159,67 @@ def ewmcorr_psd(A: np.ndarray, n: float, min_sample: float = 0.25,
             res[i] = out
     flat = np.concatenate([S.ravel(), mean, weight, count])
     return res, flat
+
+
+def overlapping_rows(A: np.ndarray, k: int, tail: np.ndarray | None = None):
+    """Calendar-anchored k-row overlapping sums of a (t, m) panel with NaN
+    treated as 0 and all-missing windows as NaN (the matrix form of
+    overlapping_returns, reference _ewm_psd.py:9-41).  ``tail`` carries the
+    previous batch's last k-1 rows so an incremental call sees full windows
+    from its first row.  Returns (X (t, m), new_tail (k-1, m))."""
+    m = A.shape[1]
+    if k <= 1:
+        return A, np.zeros((0, m))
+    prefix = 0 if tail is None else len(tail)
+    joined = A if prefix == 0 else np.concatenate([tail, A])
+    observed = ~np.isnan(joined)
+    z = np.where(observed, joined, 0.0)
+    # per-window fresh sums over a zero-padded front: every window sums
+    # exactly its own k operands in a fixed order, so a resumed run (tail
+    # prepended) reproduces the full run bit-for-bit — a cumsum-difference
+    # formulation would not (different rounding across the split).
+    pad = np.zeros((k - 1, m))
+    zp = np.concatenate([pad, z])
+    op = np.concatenate([pad, observed.astype(float)])
+    win = np.lib.stride_tricks.sliding_window_view(zp, k, axis=0)
+    winc = np.lib.stride_tricks.sliding_window_view(op, k, axis=0)
+    total = win.sum(axis=2)
+    count = winc.sum(axis=2)
+    X = np.where(count > 0, total, np.nan)
+    new_tail = joined[-(k - 1):] if len(joined) >= k - 1 else joined
+    return X[prefix:], new_tail
+
+
+def psd_state_len_ov(m: int, overlapping: int) -> int:
+    return m * m + 3 * m + max(overlapping - 1, 0) * m
+
+
+def ewmcorr_psd_ov(A: np.ndarray, n: float, overlapping: int = 1,
+                   min_sample: float = 0.25, min_periods: int = 1,
+                   demean: bool = True, shrinkage: float = 0.0, state=None):
+    """ewmcorr_psd over k-row overlapping returns, with the overlap tail in
+    the resumable state (reference _ewm_psd.py:136-158: min_periods scales
+    by the overlap; tail carried across batches)."""
+    m = A.shape[1]
+    base_len = m * m + 3 * m
+    tail = None
+    inner_state = None
+    if state is not None:
+        state = np.asarray(state, float)
+        inner_state = state[:base_len]
+        rest = state[base_len:]
+        if overlapping > 1 and len(rest) == (overlapping - 1) * m:
+            tail = rest.reshape(overlapping - 1, m)
+    X, new_tail = overlapping_rows(A, overlapping, tail)
+    res, inner_out = ewmcorr_psd(
+        X, n, min_sample=min_sample,
+        min_periods=min_periods * overlapping, demean=demean,
+        shrinkage=shrinkage, state=inner_state,
+    )
+    if overlapping > 1:
+        pad = np.full((overlapping - 1 - len(new_tail), m), np.nan)
+        tail_full = np.concatenate([pad, new_tail]) if len(pad) else new_tail
+        out_state = np.concatenate([inner_out, tail_full.ravel()])
+    else:
+        out_state = inner_out
+    return res, out_state

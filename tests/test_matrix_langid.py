@@ -142,3 +142,30 @@ def test_ewmcorr_psd_spark(spark):
     last = np.array(out["psd_cor"].iloc[-1]).reshape(m, m)
     assert np.allclose(np.diag(last), 1.0)
     assert np.allclose(last, last.T)
+
+
+def test_overlapping_rows_reference_vector():
+    """Matrix form of the overlapping_returns docstring vector
+    (reference _ewm_psd.py:28-33)."""
+    a = np.array([np.nan, np.nan, 1., 2., np.nan, 3., np.nan, np.nan,
+                  np.nan, np.nan]).reshape(-1, 1)
+    X, tail = MK.overlapping_rows(a, 3)
+    exp = np.array([np.nan, np.nan, 1, 3, 3, 5, 3, 3, np.nan, np.nan])
+    assert np.array_equal(X.ravel(), exp, equal_nan=True)
+    assert tail.shape == (2, 1)
+
+
+def test_ewmcorr_psd_overlapping_state_split():
+    rng = np.random.default_rng(12)
+    t, m = 400, 3
+    A = 0.4 * rng.normal(0, 1, (t, 1)) + rng.normal(0, 1, (t, m))
+    A[rng.random((t, m)) < 0.1] = np.nan
+    full, _ = MK.ewmcorr_psd_ov(A, 32, overlapping=4)
+    head, s = MK.ewmcorr_psd_ov(A[:150], 32, overlapping=4)
+    tail_res, _ = MK.ewmcorr_psd_ov(A[150:], 32, overlapping=4, state=s)
+    glued = np.concatenate([head, tail_res])
+    assert np.array_equal(glued, full, equal_nan=True)
+    # overlapping=1 reduces to the plain kernel
+    a1, s1 = MK.ewmcorr_psd_ov(A, 32, overlapping=1)
+    a0, s0 = MK.ewmcorr_psd(A, 32)
+    assert np.array_equal(a1, a0, equal_nan=True)
