@@ -36,8 +36,8 @@ from pyg_timeseries_spark.operators.ewm import (  # kernel
     ewma_, ewmrms_, ewmstd_, ewmvar_, ewmskew_,
 )
 from pyg_timeseries_spark.operators.pairwise import (  # kernel
-    ewmxcor, ewmxcor_, ewmxcovar, ewmxLR,
-    ewmcorrelation, ewmcovariance,
+    ewmxcor, ewmxcor_, ewmxcovar, ewmxcovar_, ewmxLR, ewmxLR_,
+    ewmcorrelation, ewmcorrelation_, ewmcovariance, ewmcovariance_,
 )
 from pyg_timeseries_spark.operators.composite import (  # DAG + nested state
     ou_factor, ewmacd, ewmacd_, ewmvol, ewmvol_,
@@ -179,11 +179,10 @@ ts_min_ = _expanding_pair(ts_min)
 ts_max_ = _expanding_pair(ts_max)
 ts_cor_ = _expanding_pair(ts_cor)
 
-ewmxLR_ = ewmxLR  # stateful form shares the kernel; state via ewmxcor_
-ewmcorrelation_ = ewmcorrelation
-ewmcovariance_ = ewmcovariance
-ewmcorr_ = ewmcorr
-ewmcovar_ = ewmcovar
+# real (data, state) stateful forms — state keyed per pair (key_i, key_j)
+# for the melted tensors; reference f_ contract _decorators.py:21-31
+ewmcorr_ = ewmcorrelation_
+ewmcovar_ = ewmcovariance_
 
 # ---- deferred (documented, out of v0 scope) --------------------------------
 # multibuffer, minimize_tracking_error, least_squares, riskparity, maxdiv —

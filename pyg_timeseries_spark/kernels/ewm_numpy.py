@@ -343,8 +343,14 @@ def _guarded_sweep(a, n, time, wgt, state, exc_zero, max_move, min_periods,
         mm = mm_arr[i] if mm_arr is not None else mm_scalar
         if is_std:
             bound = prev_res * mm if mm > 0 else 0.0
-            # vol>0 condition from the unrestricted moments
-            vol = _std_calc_scalar(t0, t1u, t2u, w2, True)
+            # vol>0 eligibility from the unrestricted moments, computed with
+            # the CALLER's bias and the same n0/n1 gate as the emitted result
+            # (reference _ewmstd:159-160 — vol uses `calculator(..., bias=bias)`
+            # and is nan'd when n0 < min_sample or n1 < min_periods)
+            if n0 < min_sample or n1 < min_periods:
+                vol = np.nan
+            else:
+                vol = _std_calc_scalar(t0, t1u, t2u, w2, bias)
             clip_ok = mm > 0 and vol > 0 and bound == bound and bound > 0
         else:
             vol = 0.0 if t0 == 0 else np.sqrt(t2u / t0)

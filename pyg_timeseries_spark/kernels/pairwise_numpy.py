@@ -9,7 +9,11 @@ panels); every both-valid row emits.  Same sequential-recurrence design as
 ewm_numpy — resumable bit-for-bit.
 
 State layout (XSTATE_LEN float64):
-  [t, t0, a1, a2, b1, b2, ab, w2, n0, n1]
+  [t, t0, a1, a2, b1, b2, ab, w2, n0, n1, pa, pb]
+where (pa, pb) are the previous valid row's values — carried so a row in the
+SAME time unit replaces the previous contribution (reference _ewmx in-bucket
+refresh, _ewm.py:247-263) and a resume split inside a time bucket still
+replaces the right contribution.
 """
 
 from __future__ import annotations
@@ -18,18 +22,20 @@ import numpy as np
 
 from pyg_timeseries_spark.kernels.ewm_numpy import decay_weight
 
-XSTATE_LEN = 10
+XSTATE_LEN = 12
 
 
 def fresh_xstate() -> np.ndarray:
     s = np.zeros(XSTATE_LEN)
     s[0] = np.nan
+    s[10] = np.nan
+    s[11] = np.nan
     return s
 
 
 def _xsweep(a, b, w, time=None, state=None):
     s = fresh_xstate() if state is None else np.asarray(state, float).copy()
-    t, t0, a1, a2, b1, b2, ab, w2, n0, n1 = s
+    t, t0, a1, a2, b1, b2, ab, w2, n0, n1, pa, pb = s
     one_minus_w = 1.0 - w
     n_rows = a.shape[0]
     trail = np.zeros((n_rows, 10))
@@ -39,21 +45,32 @@ def _xsweep(a, b, w, time=None, state=None):
         if ai != ai or bi != bi:
             continue
         ti = time[i] if have_time else np.nan
-        p = w if (not have_time or ti != ti or t != t) else w ** (ti - t)
-        n1 += 1.0
-        n0 = n0 * p + one_minus_w
-        t0 = t0 * p + one_minus_w
-        a1 = a1 * p + one_minus_w * ai
-        a2 = a2 * p + one_minus_w * ai * ai
-        b1 = b1 * p + one_minus_w * bi
-        b2 = b2 * p + one_minus_w * bi * bi
-        ab = ab * p + one_minus_w * ai * bi
-        w2 = w2 * p * p + one_minus_w * one_minus_w
-        t = ti
+        if have_time and ti == t:
+            # same time unit: REPLACE the previous row's contribution
+            # (t0/w2/n0/n1/t untouched — the per-row weight is constant
+            # one_minus_w, so the mass terms cancel; reference _ewmx:247-263)
+            a1 = a1 + one_minus_w * (ai - pa)
+            a2 = a2 + one_minus_w * (ai * ai - pa * pa)
+            b1 = b1 + one_minus_w * (bi - pb)
+            b2 = b2 + one_minus_w * (bi * bi - pb * pb)
+            ab = ab + one_minus_w * (ai * bi - pa * pb)
+        else:
+            p = w if (not have_time or ti != ti or t != t) else w ** (ti - t)
+            n1 += 1.0
+            n0 = n0 * p + one_minus_w
+            t0 = t0 * p + one_minus_w
+            a1 = a1 * p + one_minus_w * ai
+            a2 = a2 * p + one_minus_w * ai * ai
+            b1 = b1 * p + one_minus_w * bi
+            b2 = b2 * p + one_minus_w * bi * bi
+            ab = ab * p + one_minus_w * ai * bi
+            w2 = w2 * p * p + one_minus_w * one_minus_w
+            t = ti
+        pa, pb = ai, bi
         row = trail[i]
         row[0], row[1], row[2], row[3], row[4] = t0, a1, a2, b1, b2
         row[5], row[6], row[7], row[8], row[9] = ab, w2, n0, n1, 1.0
-    out = np.array([t, t0, a1, a2, b1, b2, ab, w2, n0, n1])
+    out = np.array([t, t0, a1, a2, b1, b2, ab, w2, n0, n1, pa, pb])
     return trail, out
 
 

@@ -1,4 +1,4 @@
-"""Versioned rollup + state store with exact incremental refresh.
+"""Versioned rollup + state store with exact, O(delta) incremental refresh.
 
 This is the engine's rendition of the reference's ``persist_data`` incremental
 driver (/root/reference/src/pyg_timeseries/_decorators.py:246-330): keep the
@@ -7,20 +7,36 @@ a new batch only touches buckets at/after the watermark, and the result is
 bit-identical to recomputing from all raw rows (CI-enforced invariant,
 SURVEY.md §7.0).
 
-Storage is a tiny snapshot-versioned parquet layout (an Iceberg-shaped
-contract: atomic pointer swap to an immutable snapshot, time-travel by
-version).  When Iceberg jars are on the classpath the same operations map to
-``writeTo(...).append()`` / ``MERGE INTO`` — gated behind an import-try in
-sources/tables.py; the sandbox image has no Iceberg runtime, so the parquet
-backend is the tested path.
+Storage is a manifest-versioned parquet layout — the Iceberg contract in
+miniature: immutable commit directories, an atomic pointer swap, and a
+per-partition manifest so a commit rewrites ONLY the day-partitions its
+delta touches.  Time-travel = read an older manifest.  When Iceberg jars are
+on the classpath the same operations map to ``writeTo(...).append()`` /
+``MERGE INTO`` — gated behind an import-try in sources/tables.py; the sandbox
+image has no Iceberg runtime, so the parquet backend is the tested path.
+
+O(delta) ingest (the engine's core scale claim — at 10^12 sequences the
+rollup history is petabytes; re-aggregating it per batch is the scale-killer):
+
+* the existing tier is READ only for the day-partitions the delta touches
+  (manifest + parquet partition pruning — cold history is never scanned);
+* only (source, bucket) cells present in the delta are re-aggregated; other
+  rows in the touched partitions are carried through untouched;
+* coarser tiers are recomputed from the merged child tier restricted to the
+  affected parent cells — exact regardless of arrival order, because a parent
+  cell is always rebuilt from ALL of its child rows (never merged
+  incrementally), and O(delta) because a parent cell has a bounded child
+  fan-in (60 or 24 rows per source);
+* the commit writes only the touched partitions into a new immutable
+  directory and flips their manifest entries.
 
 Layout::
 
     store/
-      meta.json                  # {tier: {version, watermark_ts}}
-      rollup_1m/v{N}/*.parquet   # immutable snapshots
-      state/{op}/v{N}/*.parquet  # operator state rows (key, state[])
-      lineage/*.parquet          # per-batch per-partition row counts
+      meta.json                    # manifests: {tier: {p_day: version}}
+      rollup_1m/v{N}/p_day=…/…     # immutable commits, only touched days
+      state/{op}/v{N}/*.parquet    # operator state rows (key, state[])
+      lineage/*.parquet            # per-batch per-partition row counts
 """
 
 from __future__ import annotations
@@ -33,8 +49,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.plans.rollup import (
-    merge_rollup, rollup_cascade, rollup_from_raw,
+    bucket_col, merge_rollup, rollup_cascade, rollup_from_raw,
 )
+
+PART_COL = "p_day"
+_CELL = ["source", "bucket"]
+
+
+def _with_pday(df: DataFrame) -> DataFrame:
+    """Day-partition column from the bucket timestamp.  Component-based (via
+    to_date on the already-truncated bucket) so NTZ buckets never route
+    through the session timezone."""
+    return df.withColumn(PART_COL, F.to_date("bucket").cast("string"))
 
 
 class RollupStore:
@@ -44,13 +70,14 @@ class RollupStore:
         os.makedirs(path, exist_ok=True)
         self.meta_path = os.path.join(path, "meta.json")
         self.meta = self._load_meta()
+        self.last_ingest_stats: dict = {}
 
     # -- meta ---------------------------------------------------------------
     def _load_meta(self) -> dict:
         if os.path.exists(self.meta_path):
             with open(self.meta_path) as f:
                 return json.load(f)
-        return {"tables": {}, "batches": 0}
+        return {"tables": {}, "batches": 0, "raw_complete": None}
 
     def _save_meta(self) -> None:
         tmp = self.meta_path + ".tmp"
@@ -58,7 +85,7 @@ class RollupStore:
             json.dump(self.meta, f, indent=1)
         os.replace(tmp, self.meta_path)  # atomic pointer swap
 
-    # -- snapshot io --------------------------------------------------------
+    # -- snapshot io (simple whole-table tables: states, chunks) -------------
     def _table_dir(self, name: str, version: int) -> str:
         return os.path.join(self.path, name, f"v{version}")
 
@@ -70,12 +97,66 @@ class RollupStore:
         self._save_meta()
         return new
 
-    def read_table(self, name: str, version: int | None = None) -> DataFrame | None:
+    # -- partitioned tables (rollup tiers) ------------------------------------
+    def _manifest(self, name: str, version: int | None = None) -> dict:
+        info = self.meta["tables"].get(name)
+        if not info or "manifests" not in info:
+            return {}
+        v = version or info["version"]
+        return info["manifests"].get(str(v), {})
+
+    def commit_partitions(
+        self, name: str, df: DataFrame, touched_parts: list[str],
+        drop_missing: bool = False,
+    ) -> int:
+        """Write ``df`` (the full new content of ``touched_parts``) as an
+        immutable commit and flip those partitions' manifest entries.  With
+        ``drop_missing`` the new manifest covers ONLY ``touched_parts``
+        (full-rewrite semantics, used by expire/compact)."""
+        info = self.meta["tables"].setdefault(
+            name, {"version": 0, "manifests": {}}
+        )
+        new = info["version"] + 1
+        _with_pday(df).write.partitionBy(PART_COL).mode("overwrite").parquet(
+            self._table_dir(name, new)
+        )
+        man = {} if drop_missing else dict(self._manifest(name))
+        for p in touched_parts:
+            man[p] = new
+        info["version"] = new
+        info.setdefault("manifests", {})[str(new)] = man
+        self._save_meta()
+        return new
+
+    def read_table(self, name: str, version: int | None = None,
+                   parts: list[str] | None = None) -> DataFrame | None:
+        """Current (or time-travel ``version``) view of a table.  For
+        partitioned tables, ``parts`` restricts the read to those
+        day-partitions — manifest planning + parquet partition pruning means
+        untouched history is never scanned."""
         info = self.meta["tables"].get(name)
         if not info:
             return None
-        v = version or info["version"]
-        return self.spark.read.parquet(self._table_dir(name, v))
+        if "manifests" not in info:
+            v = version or info["version"]
+            return self.spark.read.parquet(self._table_dir(name, v))
+        man = self._manifest(name, version)
+        if parts is not None:
+            man = {p: v for p, v in man.items() if p in set(parts)}
+        if not man:
+            return None
+        by_ver: dict[int, list[str]] = {}
+        for p, v in man.items():
+            by_ver.setdefault(v, []).append(p)
+        pieces = [
+            self.spark.read.parquet(self._table_dir(name, v))
+            .filter(F.col(PART_COL).isin(ps))
+            for v, ps in sorted(by_ver.items())
+        ]
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
+        return out.drop(PART_COL)
 
     # -- lineage ------------------------------------------------------------
     def record_lineage(self, batch_id: int, stage: str, df: DataFrame) -> None:
@@ -104,79 +185,125 @@ class RollupStore:
         with_lineage: bool = True,
         exact_rebuild: bool = False,
     ) -> dict[str, DataFrame]:
-        """Append a raw batch: roll it up, merge into each tier, snapshot.
+        """Append a raw batch: roll it up, merge into each tier, commit.
 
-        Exactness argument: all tier measures are associative and the merge
-        algebra equals the from-scratch aggregation (plans/rollup.py), so
-        ingest(head); ingest(tail) == ingest(full) row-for-row including
-        token arrays (append contract: batches arrive time-ordered per key).
+        Exactness argument: 1m cells touched by the delta are either merged
+        with the associative bucket algebra (append contract: batches arrive
+        time-ordered per key) or, under ``exact_rebuild``, recomputed from
+        retained raw; every coarser-tier cell a delta touches is rebuilt from
+        ALL of its child rows — so ingest(head); ingest(tail) == ingest(full)
+        row-for-row including token arrays.
 
-        ``exact_rebuild`` lifts the append contract entirely: raw batches
-        are retained in the store and any 1m bucket touched by BOTH history
-        and this batch (an interleaving late arrival) is recomputed from
-        retained raw — token order then matches a full recompute under
-        arbitrary out-of-order arrival, at the cost of raw retention.
+        Cost argument (O(delta), not O(history)): only delta-touched
+        day-partitions are read (manifest pruning), only delta-touched cells
+        are re-aggregated, only touched partitions are rewritten.
+
+        ``exact_rebuild`` lifts the append contract entirely: raw batches are
+        retained in the store and any 1m cell touched by BOTH history and
+        this batch (an interleaving late arrival) is recomputed from retained
+        raw.  Requires every prior batch to have retained raw (guarded).
         """
         batch_id = self.meta["batches"] + 1
         if with_lineage:
             self.record_lineage(batch_id, "raw", raw)
+        complete = self.meta.get("raw_complete")
+        self.meta["raw_complete"] = exact_rebuild if complete is None else (
+            complete and exact_rebuild
+        )
         if exact_rebuild:
             raw.write.mode("append").parquet(os.path.join(self.path, "raw"))
+
         delta = rollup_from_raw(raw, "1m", ts=ts, v=v, tokens=tokens, key=key)
+        delta = delta.persist()
+        touched_parts = [
+            r[0] for r in _with_pday(delta).select(PART_COL).distinct().collect()
+        ]
+        self.last_ingest_stats = {"touched_parts": touched_parts}
         out: dict[str, DataFrame] = {}
-        child = delta
-        rebuilt = False
-        for tier in ("1m", "1h", "1d"):
-            if tier != "1m":
-                child = rollup_cascade(prev_delta, tier, with_tokens=tokens is not None)
-            existing = self.read_table(f"rollup_{tier}")
-            if rebuilt:
-                # the parent tier was corrected wholesale → the cascade of
-                # the corrected FULL parent (prev_delta) REPLACES this tier
-                merged = child
+
+        # -- 1m: merge or rebuild delta-touched cells ------------------------
+        prev = self.read_table("rollup_1m", parts=touched_parts)
+        if prev is None:
+            content_1m = delta
+        else:
+            prev = prev.persist()
+            cells = delta.select(*_CELL)
+            overlap = prev.join(F.broadcast(cells), _CELL, "left_semi")
+            keep = prev.join(F.broadcast(cells), _CELL, "left_anti")
+            if exact_rebuild:
+                merged_cells = self._rebuild_overlaps(
+                    overlap, delta, ts=ts, v=v, tokens=tokens, key=key
+                )
             else:
-                merged = (
-                    merge_rollup(existing, child, with_tokens=tokens is not None)
-                    if existing is not None
-                    else child
+                merged_cells = merge_rollup(
+                    overlap, delta, with_tokens=tokens is not None
                 )
-            if tier == "1m" and exact_rebuild and existing is not None:
-                corrected = self._rebuild_overlaps(
-                    merged, existing, child, ts=ts, v=v, tokens=tokens, key=key
-                )
-                if corrected is not merged:
-                    merged = corrected
-                    rebuilt = True
-                    # cascade downstream from the corrected full 1m tier
-                    child = merged
-            self.write_table(f"rollup_{tier}", merged)
+            content_1m = keep.unionByName(merged_cells)
+            if with_lineage:
+                self.last_ingest_stats["prev_rows_scanned_1m"] = prev.count()
+        self.commit_partitions("rollup_1m", content_1m, touched_parts)
+        if prev is not None:
+            prev.unpersist()
+        out["1m"] = self.read_table("rollup_1m")
+
+        # -- coarser tiers: rebuild affected parent cells from the child ----
+        child_tier, delta_cells = "1m", delta.select(*_CELL)
+        for tier in ("1h", "1d"):
+            parent_cells = delta_cells.select(
+                "source", bucket_col("bucket", tier, delta_cells).alias("bucket")
+            ).distinct()
+            child_now = self.read_table(f"rollup_{child_tier}", parts=touched_parts)
+            child_subset = child_now.join(
+                F.broadcast(
+                    parent_cells.select(
+                        F.col("source").alias("_ps"), F.col("bucket").alias("_pb")
+                    )
+                ),
+                (F.col("source") == F.col("_ps"))
+                & (bucket_col("bucket", tier, child_now) == F.col("_pb")),
+                "left_semi",
+            )
+            recomputed = rollup_cascade(
+                child_subset, tier, with_tokens=tokens is not None
+            )
+            prev_t = self.read_table(f"rollup_{tier}", parts=touched_parts)
+            if prev_t is None:
+                content = recomputed
+            else:
+                keep_t = prev_t.join(F.broadcast(parent_cells), _CELL, "left_anti")
+                content = keep_t.unionByName(recomputed)
+                if with_lineage:
+                    self.last_ingest_stats[f"prev_rows_scanned_{tier}"] = prev_t.count()
+            self.commit_partitions(f"rollup_{tier}", content, touched_parts)
             out[tier] = self.read_table(f"rollup_{tier}")
-            # next tier cascades from: the corrected FULL tier after a
-            # rebuild, else just this batch's tier delta
-            prev_delta = out[tier] if rebuilt else child
+            child_tier, delta_cells = tier, parent_cells
+
+        delta.unpersist()
         self.meta["batches"] = batch_id
         self._save_meta()
         return out
 
-    def _rebuild_overlaps(self, merged, existing, delta, ts, v, tokens, key):
+    def _rebuild_overlaps(self, overlap, delta, ts, v, tokens, key):
         """Recompute from retained raw the (source, bucket) cells present in
         both history and the new delta — the only cells where a concat-order
-        merge can diverge from a full recompute."""
-        overlaps = (
-            existing.select("source", "bucket")
-            .join(delta.select("source", "bucket"), ["source", "bucket"], "inner")
-            .distinct()
-        )
-        if overlaps.isEmpty():
-            return merged
+        merge can diverge from a full recompute.  Delta-only cells pass
+        through unchanged."""
+        ov_cells = overlap.select(*_CELL)
+        delta_only = delta.join(F.broadcast(ov_cells), _CELL, "left_anti")
+        if ov_cells.isEmpty():
+            return delta_only
+        if not self.meta.get("raw_complete"):
+            raise ValueError(
+                "exact_rebuild needs retained raw spanning the store's "
+                "history, but earlier batches were ingested with "
+                "exact_rebuild=False — the rebuild would undercount."
+            )
         raw_all = self.spark.read.parquet(os.path.join(self.path, "raw"))
-        from pyg_timeseries_spark.plans.rollup import bucket_col
-
         affected_raw = (
-            raw_all.withColumn("_b", bucket_col(ts, "1m"))
+            raw_all.withColumn("_b", bucket_col(ts, "1m", raw_all))
             .join(
                 F.broadcast(
-                    overlaps.select(
+                    ov_cells.select(
                         F.col("source").alias("_os"), F.col("bucket").alias("_ob")
                     )
                 ),
@@ -187,10 +314,7 @@ class RollupStore:
         )
         rebuilt = rollup_from_raw(affected_raw, "1m", ts=ts, v=v,
                                   tokens=tokens, key=key)
-        untouched = merged.join(
-            F.broadcast(overlaps), ["source", "bucket"], "left_anti"
-        )
-        return untouched.unionByName(rebuilt)
+        return delta_only.unionByName(rebuilt)
 
     # -- operator state -----------------------------------------------------
     def write_state(self, op: str, state_df: DataFrame) -> int:
@@ -202,7 +326,8 @@ class RollupStore:
     # -- retention ----------------------------------------------------------
     def expire(self, tier: str, keep_buckets: int) -> None:
         """Tier TTL: keep only the newest ``keep_buckets`` buckets per source
-        (finer tiers retain less history — the retention pyramid)."""
+        (finer tiers retain less history — the retention pyramid).  Full
+        rewrite commit: the new manifest covers only surviving partitions."""
         from pyspark.sql import Window
 
         name = f"rollup_{tier}"
@@ -214,11 +339,16 @@ class RollupStore:
             cur.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= keep_buckets)
             .drop("_rn")
-        )
-        self.write_table(name, kept)
+        ).persist()
+        parts = [r[0] for r in _with_pday(kept).select(PART_COL).distinct().collect()]
+        self.commit_partitions(name, kept, parts, drop_missing=True)
+        kept.unpersist()
 
     def expire_snapshots(self, keep: int = 2) -> None:
-        """Drop old snapshot dirs (Iceberg expire_snapshots equivalent)."""
+        """Drop commit dirs no live manifest references (Iceberg
+        expire_snapshots equivalent): for partitioned tables a commit stays
+        live while any of the newest ``keep`` manifests maps a partition to
+        it."""
         import shutil
 
         for name, info in self.meta["tables"].items():
@@ -226,6 +356,21 @@ class RollupStore:
             base = os.path.join(self.path, name)
             if not os.path.isdir(base):
                 continue
+            if "manifests" in info:
+                live_manifests = [
+                    info["manifests"].get(str(v), {})
+                    for v in range(max(1, cur - keep + 1), cur + 1)
+                ]
+                live = {v for m in live_manifests for v in m.values()}
+                live.add(cur)
+            else:
+                live = set(range(max(1, cur - keep + 1), cur + 1))
             for d in os.listdir(base):
-                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) <= cur - keep:
+                if d.startswith("v") and d[1:].isdigit() and int(d[1:]) not in live:
                     shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            if "manifests" in info:
+                info["manifests"] = {
+                    k: v for k, v in info["manifests"].items()
+                    if int(k) > cur - keep
+                }
+        self._save_meta()

@@ -66,6 +66,18 @@ def time_segments(df: DataFrame, n_segments: int, ts: str = "ts") -> list:
     return [(edges[i], edges[i + 1]) for i in range(len(edges) - 1)]
 
 
+def merge_state(prev: DataFrame | None, new: DataFrame, key: str) -> DataFrame:
+    """Carry state forward across segments: a key with no rows in a segment
+    emits no row in ``new``, so its accumulated state must survive from
+    ``prev`` (otherwise the next segment restarts it from scratch — silently
+    wrong for sparse/irregular keys).  New rows win; prior rows for absent
+    keys are kept via anti-join."""
+    if prev is None:
+        return new
+    carried = prev.join(new.select(key), on=key, how="left_anti")
+    return new.unionByName(carried)
+
+
 def run_segmented(
     df: DataFrame,
     op_: Callable[..., tuple[DataFrame, DataFrame]],
@@ -77,7 +89,9 @@ def run_segmented(
     """Run a stateful (data, state) operator (e.g. operators.ewm.ewma_) over
     contiguous time segments, chaining state.  Returns (data, final_state);
     data is the union of per-segment outputs — bit-identical to a single
-    sweep."""
+    sweep.  State for keys absent from a segment is carried forward
+    unchanged (merge_state), so sparsity never resets a key."""
+    key = op_kwargs.get("key", "key")
     segments = time_segments(df, n_segments, ts=ts)
     out_parts: list[DataFrame] = []
     state = state_df
@@ -87,7 +101,8 @@ def run_segmented(
             seg = seg.filter(F.col(ts) >= F.lit(lo))
         if hi is not None:
             seg = seg.filter(F.col(ts) < F.lit(hi))
-        data, state = op_(seg, ts=ts, state_df=state, **op_kwargs)
+        data, seg_state = op_(seg, ts=ts, state_df=state, **op_kwargs)
+        state = merge_state(state, seg_state, key)
         out_parts.append(data)
     out = out_parts[0]
     for p in out_parts[1:]:

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TIERS = ("1m", "1h", "1d")
 _TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
@@ -42,8 +43,23 @@ ROLLUP_COLS = [
 ]
 
 
-def bucket_col(ts_col: str, tier: str) -> F.Column:
-    return F.date_trunc(_TRUNC[tier], F.col(ts_col))
+def bucket_col(ts_col: str, tier: str, df: DataFrame | None = None) -> F.Column:
+    """Truncate ``ts_col`` to the tier's bucket.
+
+    For TIMESTAMP_NTZ inputs Spark's date_trunc routes through the session
+    timezone (a non-UTC session shifts buckets — fractional-hour zones even
+    shift HOUR buckets), so when ``df`` is given and the column is NTZ the
+    bucket is rebuilt from components, which never touches the timezone.
+    """
+    unit = _TRUNC[tier]
+    if df is not None and isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        c = F.col(ts_col)
+        h = F.hour(c) if unit in ("hour", "minute") else F.lit(0)
+        mi = F.minute(c) if unit == "minute" else F.lit(0)
+        return F.make_timestamp_ntz(
+            F.year(c), F.month(c), F.dayofmonth(c), h, mi, F.lit(0.0)
+        )
+    return F.date_trunc(unit, F.col(ts_col))
 
 
 def rollup_from_raw(
@@ -78,7 +94,9 @@ def rollup_from_raw(
             ).alias("tokens")
         )
     return (
-        df.groupBy(F.col(key).alias("source"), bucket_col(ts, tier).alias("bucket"))
+        df.groupBy(
+            F.col(key).alias("source"), bucket_col(ts, tier, df).alias("bucket")
+        )
         .agg(*aggs)
     )
 
@@ -106,7 +124,7 @@ def rollup_cascade(child: DataFrame, tier: str, with_tokens: bool = True) -> Dat
             ).alias("tokens")
         )
     return (
-        child.groupBy("source", bucket_col("bucket", tier).alias("bucket"))
+        child.groupBy("source", bucket_col("bucket", tier, child).alias("bucket"))
         .agg(*aggs)
     )
 

@@ -88,6 +88,58 @@ def test_ewmxcor_spark_and_state(spark, series_df):
                           f["ewmxcor"].to_numpy(float), equal_nan=True)
 
 
+def test_ewmxcor_same_time_replaces():
+    """A duplicate clock value must REPLACE the previous in-bucket
+    contribution (reference _ewmx, _ewm.py:247-263), not stack on top:
+    the sweep over [..., x_old@t, x_new@t] ends in the same state as the
+    sweep over [..., x_new@t]."""
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, 50)
+    b = rng.normal(0, 1, 50)
+    t = np.arange(50, dtype=float)
+    t[30] = t[29]  # rows 29,30 share a clock value
+    dup, s_dup = PK.ewmxcor(a, b, 10, time=t)
+    # drop the overwritten row 29 → identical trailing state and outputs
+    keep = np.ones(50, bool)
+    keep[29] = False
+    solo, s_solo = PK.ewmxcor(a[keep], b[keep], 10, time=t[keep])
+    # subtract-then-add vs direct accumulate: algebraically identical,
+    # float-equal only to rounding — hence allclose, not array_equal
+    assert np.allclose(s_dup, s_solo, atol=1e-12, equal_nan=True)
+    assert np.allclose(dup[31:], solo[30:], atol=1e-10, equal_nan=True)
+
+
+def test_ewmxcor_same_time_state_split():
+    """Resume split INSIDE a time bucket still replaces the right
+    contribution — (pa, pb) ride the state."""
+    rng = np.random.default_rng(4)
+    a = rng.normal(0, 1, 40)
+    b = rng.normal(0, 1, 40)
+    t = np.repeat(np.arange(20.0), 2)  # every clock value twice
+    full, _ = PK.ewmxcor(a, b, 10, time=t)
+    k = 15  # split lands mid-bucket (t[14] == t[15])
+    head, s = PK.ewmxcor(a[:k], b[:k], 10, time=t[:k])
+    tail, _ = PK.ewmxcor(a[k:], b[k:], 10, time=t[k:], state=s)
+    assert np.array_equal(np.concatenate([head, tail]), full, equal_nan=True)
+
+
+def test_ewmcorrelation_stateful_split(spark, series_df):
+    """Melted tensor stateful form: resume from per-pair state == full."""
+    from pyg_timeseries_spark.operators.pairwise import ewmcorrelation_
+
+    cut = F.lit("2024-01-01 02:00:00").cast("timestamp")
+    full = ewmcorrelation(series_df, 10).toPandas().sort_values(
+        ["key_i", "key_j", "ts"]).reset_index(drop=True)
+    _, st = ewmcorrelation_(series_df.filter(F.col("ts") < cut), 10)
+    assert {f.name for f in st.schema.fields} == {"key_i", "key_j", "state"}
+    resumed = ewmcorrelation(
+        series_df.filter(F.col("ts") >= cut), 10, state_df=st
+    ).toPandas().sort_values(["key_i", "key_j", "ts"]).reset_index(drop=True)
+    f = full[full.ts >= resumed.ts.min()].reset_index(drop=True)
+    assert np.array_equal(resumed["cor"].to_numpy(float),
+                          f["cor"].to_numpy(float), equal_nan=True)
+
+
 def test_ewmcorrelation_melted(spark, series_df):
     cor = ewmcorrelation(series_df, 10).toPandas()
     assert set(zip(cor.key_i, cor.key_j)) == {("k0", "k1"), ("k0", "k2"), ("k1", "k2")}

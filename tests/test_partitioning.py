@@ -33,6 +33,34 @@ def test_segmented_ewmstd_bitexact(spark, series_df):
     assert np.array_equal(full, _collect(seg_data, "ewmstd"), equal_nan=True)
 
 
+def test_segmented_sparse_key_bitexact(spark, series_df):
+    """A key with rows only at the head and tail of the range (absent from
+    every middle segment) must carry its state across the empty segments —
+    the ADVICE-r1 bug: state restart for keys absent from a segment."""
+    import pandas as pd
+
+    sparse = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "key": "sparse",
+                "ts": [
+                    pd.Timestamp("2024-01-01 00:00:00"),
+                    pd.Timestamp("2024-01-01 00:01:00"),
+                    pd.Timestamp("2024-01-01 04:58:00"),
+                    pd.Timestamp("2024-01-01 04:59:00"),
+                ],
+                "v": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    df = series_df.unionByName(sparse)
+    full = _collect(ewma(df, 10), "ewma")
+    seg_data, seg_state = run_segmented(df, ewma_, n_segments=6, n=10)
+    assert np.array_equal(full, _collect(seg_data, "ewma"), equal_nan=True)
+    # final state must still cover every key, including the sparse one
+    assert seg_state.count() == df.select("key").distinct().count()
+
+
 def test_segmented_resume_chains(spark, series_df):
     """Segmented head + segmented tail from the head's state == full."""
     cut = F.lit("2024-01-01 02:00:00").cast("timestamp")

@@ -72,6 +72,80 @@ def test_incremental_equals_full(spark, raw, tmp_path):
     assert (lin.rows > 0).all()
 
 
+def test_ingest_is_o_delta(spark, tmp_path):
+    """The scale claim made executable: merging a batch reads only the
+    day-partitions the delta touches — never the full rollup history."""
+    import io
+    import contextlib
+
+    raw = sequences(spark, 20_000, interval_s=60).persist()  # ~7-14 days/source
+    cut = F.lit("2024-01-05 12:00:00").cast("timestamp")  # mid-day → day 05 overlaps
+    head, tail = raw.filter(F.col("ts") < cut), raw.filter(F.col("ts") >= cut)
+
+    store = RollupStore(str(tmp_path / "odelta"), spark)
+    store.ingest(head)
+    hist_1m = store.read_table("rollup_1m").persist()
+    total_hist = hist_1m.count()
+
+    store.ingest(tail)
+    stats = store.last_ingest_stats
+    touched = set(stats["touched_parts"])
+    # the tail batch spans a strict subset of the store's days
+    all_days = {
+        r[0] for r in hist_1m.select(F.to_date("bucket").cast("string")).distinct().collect()
+    }
+    assert touched - all_days, "tail must add new days"
+    overlap_days = touched & all_days
+    hist_in_touched = hist_1m.filter(
+        F.to_date("bucket").cast("string").isin(list(touched))
+    ).count()
+    assert overlap_days, "fixture must overlap at least one existing day"
+    # O(delta): the merge scanned exactly the touched partitions' rows…
+    assert stats["prev_rows_scanned_1m"] == hist_in_touched
+    # …which is a strict subset of history
+    assert stats["prev_rows_scanned_1m"] < total_hist
+
+    # and the pruned read pushes the partition filter into the scan
+    pruned = store.read_table("rollup_1m", parts=sorted(touched))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "p_day" in plan
+
+    # manifest: untouched days still point at commit 1, touched days at 2
+    man = store.meta["tables"]["rollup_1m"]["manifests"]["2"]
+    assert {man[d] for d in (all_days - touched)} == {1}
+    assert {man[d] for d in touched} == {2}
+
+    # incremental result equals a from-scratch ingest (tokens included)
+    full = RollupStore(str(tmp_path / "odelta_full"), spark).ingest(raw)
+    for tier in ("1m", "1h", "1d"):
+        assert rows_of(store.read_table(f"rollup_{tier}")) == rows_of(full[tier]), tier
+    hist_1m.unpersist()
+    raw.unpersist()
+
+
+def test_time_travel_versions(spark, raw, tmp_path):
+    cut = F.lit("2024-01-01 03:00:00").cast("timestamp")
+    store = RollupStore(str(tmp_path / "tt"), spark)
+    store.ingest(raw.filter(F.col("ts") < cut))
+    v1_rows = rows_of(store.read_table("rollup_1m"))
+    store.ingest(raw.filter(F.col("ts") >= cut))
+    assert rows_of(store.read_table("rollup_1m", version=1)) == v1_rows
+    assert len(rows_of(store.read_table("rollup_1m"))) > len(v1_rows)
+
+
+def test_exact_rebuild_guarded_without_retained_raw(spark, raw, tmp_path):
+    """exact_rebuild on a store whose earlier batches did not retain raw must
+    refuse the rebuild instead of silently undercounting overlap cells."""
+    cut = F.lit("2024-01-01 03:00:30").cast("timestamp")  # mid-bucket cut
+    store = RollupStore(str(tmp_path / "guard"), spark)
+    store.ingest(raw.filter(F.col("ts") < cut), exact_rebuild=False)
+    with pytest.raises(ValueError, match="exact_rebuild"):
+        store.ingest(raw.filter(F.col("ts") >= cut), exact_rebuild=True)
+
+
 def test_retention_expiry(spark, raw, tmp_path):
     store = RollupStore(str(tmp_path / "ttl"), spark)
     store.ingest(raw)
