@@ -202,14 +202,12 @@ def q_rolling_rms(spark, sf_dir):
 
 def q_ts_agg(spark, sf_dir):
     s = _series(spark, sf_dir)
-    out = (
-        TS.ts_count(s, out="cnt")
-        .join(TS.ts_sum(s, out="sum_v"), "key")
-        .join(TS.ts_mean(s, out="mean_v"), "key")
-        .join(TS.ts_std(s, out="std_v"), "key")
-        .join(TS.ts_min(s, out="min_v"), "key")
-        .join(TS.ts_max(s, out="max_v"), "key")
-        .join(TS.ts_median(s, out="med_v"), "key")
+    # single-pass multi-measure aggregate: one partial+final hash agg
+    # computes the shared moment vector (no per-measure scans/joins)
+    out = TS.ts_agg(
+        s,
+        {"count": "cnt", "sum": "sum_v", "mean": "mean_v", "std": "std_v",
+         "min": "min_v", "max": "max_v", "median": "med_v"},
     )
     return out.select(
         "key", "cnt", R6(F.col("sum_v")).alias("sum_v"),

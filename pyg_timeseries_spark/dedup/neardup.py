@@ -296,23 +296,33 @@ def embedding_neardup(
     scheme: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate vectors by cosine ≥ threshold, LSH-bucketed candidates
-    (random-hyperplane bands from similarity/ann.py) + exact verify."""
-    from pyg_timeseries_spark.similarity.ann import add_simhash_buckets, cosine
+    (random-hyperplane bands from similarity/ann.py) + exact verify.
 
-    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec, scheme=scheme)
-    cand = None
-    for bnd in range(bands):
-        x = cb.select(F.col(id_col).alias("id_a"),
-                      F.col(vec).cast("array<double>").alias("va"),
-                      F.col(f"bucket_{bnd}").alias("bkt"))
-        y = cb.select(F.col(id_col).alias("id_b"),
-                      F.col(vec).cast("array<double>").alias("vb"),
-                      F.col(f"bucket_{bnd}").alias("bkt"))
-        p = x.join(y, on="bkt").filter(F.col("id_a") < F.col("id_b")).drop("bkt")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.dropDuplicates(["id_a", "id_b"])
+    Plan shape: the self-join on (band, bucket) carries ids only (one
+    posexplode pass over all bands); vectors re-attach by id AFTER the
+    candidate pairs are deduplicated — the embedding payload never rides
+    the band shuffle."""
+    from pyg_timeseries_spark.similarity.ann import cosine, simhash_bucket_rows
+
+    br = simhash_bucket_rows(corpus, dim, n_planes, bands, id_col, vec,
+                             scheme, out_id="id")
+    cand = (
+        br.select(F.col("id").alias("id_a"), "band", "bucket")
+        .join(br.select(F.col("id").alias("id_b"), "band", "bucket"),
+              on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"), F.col(vec).cast("array<double>").alias("_v")
+    )
     return (
-        cand.withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        cand.join(vecs.select(F.col("_vid").alias("id_a"),
+                              F.col("_v").alias("va")), on="id_a")
+        .join(vecs.select(F.col("_vid").alias("id_b"),
+                          F.col("_v").alias("vb")), on="id_b")
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

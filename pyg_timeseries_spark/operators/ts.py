@@ -81,6 +81,60 @@ def ts_median(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_median
     return df.groupBy(key).agg(F.expr(f"percentile({v}, 0.5)").alias(out))
 
 
+def ts_agg(
+    df: DataFrame,
+    measures: dict[str, str] | None = None,
+    key: str = KEY,
+    v: str = VAL,
+    bias: bool = False,
+) -> DataFrame:
+    """ALL requested whole-series reductions in ONE aggregation pass.
+
+    ``measures`` maps measure name → output column, e.g.
+    ``{"count": "cnt", "mean": "mean_v"}``; default emits every measure.
+    The individual ``ts_*`` ops compose fine, but each is its own
+    groupBy().agg() — at scale that is one scan per measure where a single
+    partial+final hash aggregate computes the shared moment vector once
+    (the reference's Σ1/Σx/Σx²/Σx³ accumulator, _ts.py:26-37)."""
+    if measures is None:
+        measures = {m: f"ts_{m}" for m in
+                    ("count", "sum", "mean", "rms", "std", "skew",
+                     "min", "max", "median")}
+    c = F.col(v)
+    need_t3 = "skew" in measures
+    aggs = [
+        F.count(c).cast("double").alias("_t0"),
+        F.sum(c).alias("_t1"),
+        F.sum(c * c).alias("_t2"),
+    ]
+    if need_t3:
+        aggs.append(F.sum(c * c * c).alias("_t3"))
+    if "min" in measures:
+        aggs.append(F.min(c).alias("_min"))
+    if "max" in measures:
+        aggs.append(F.max(c).alias("_max"))
+    if "median" in measures:
+        aggs.append(F.expr(f"percentile({v}, 0.5)").alias("_med"))
+    m = df.groupBy(key).agg(*aggs)
+    t0, t1, t2 = F.col("_t0"), F.col("_t1"), F.col("_t2")
+    exprs = {
+        "count": t0.cast("long"),
+        "sum": t1,
+        "mean": t1 / F.when(t0 == 0, F.lit(None)).otherwise(t0),
+        "rms": F.sqrt(t2 / F.when(t0 == 0, F.lit(None)).otherwise(t0)),
+        "std": stdev_calc(t0, t1, t2),
+        "min": F.col("_min") if "min" in measures else None,
+        "max": F.col("_max") if "max" in measures else None,
+        "median": F.col("_med") if "median" in measures else None,
+    }
+    if need_t3:
+        exprs["skew"] = skew_calc(t0, t1, t2, F.col("_t3"), bias=bias)
+    cols = [F.col(key)] + [
+        exprs[name].alias(out) for name, out in measures.items()
+    ]
+    return m.select(*cols)
+
+
 def ts_cor(df: DataFrame, a: str, b: str, key: str = KEY, out: str = "ts_cor") -> DataFrame:
     """Full-sample correlation of two columns per key, rows where either is
     NULL skipped (reference _ts.py:281-347, cor_calculation _math.py:69-82)."""

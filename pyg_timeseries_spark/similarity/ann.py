@@ -145,6 +145,64 @@ def add_simhash_buckets(
     return out
 
 
+def simhash_bucket_rows(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    scheme: str = "xxhash",
+    out_id: str = "id",
+) -> DataFrame:
+    """(id, band, bucket) rows — ALL bands in one posexplode pass, and no
+    vector column in the output: the candidate join then shuffles only
+    3-column integer rows, never the embedding payload (which at dim 768+
+    would otherwise ride the shuffle bands× over)."""
+    v = F.col(vec).cast("array<double>")
+    per_band = n_planes // bands
+    bit_fn = _hyperplane_bit_md5int if scheme == "md5int" else _hyperplane_bit
+    band_buckets = []
+    for b in range(bands):
+        bits = [
+            bit_fn(v, dim, b * per_band + p) * (2 ** p)
+            for p in range(per_band)
+        ]
+        bucket = bits[0]
+        for x in bits[1:]:
+            bucket = bucket + x
+        band_buckets.append(bucket)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.array(*band_buckets)).alias("band", "bucket"),
+    )
+
+
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    scheme: str = "xxhash",
+) -> DataFrame:
+    """Slim candidate pairs (query_id, neighbor_id): equi-join on
+    (band, bucket) carrying ids only, then distinct.  The heavy vector
+    payload re-attaches by id AFTER deduplication (lsh_topk)."""
+    cbr = simhash_bucket_rows(corpus, dim, n_planes, bands, id_col, vec,
+                              scheme, out_id="neighbor_id")
+    qbr = simhash_bucket_rows(queries, dim, n_planes, bands, id_col, vec,
+                              scheme, out_id="query_id")
+    return (
+        cbr.join(qbr, on=["band", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -156,28 +214,26 @@ def lsh_topk(
     vec: str = "embedding",
     scheme: str = "xxhash",
 ) -> DataFrame:
-    """Approximate top-k: score only candidates sharing ≥1 band bucket."""
-    cb = add_simhash_buckets(corpus, dim, n_planes, bands, vec, scheme=scheme)
-    qb = add_simhash_buckets(queries, dim, n_planes, bands, vec, scheme=scheme)
-    cand = None
-    for b in range(bands):
-        c = cb.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec).cast("array<double>").alias("cv"),
-            F.col(f"bucket_{b}").alias("bkt"),
-        )
-        q = qb.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec).cast("array<double>").alias("qv"),
-            F.col(f"bucket_{b}").alias("bkt"),
-        )
-        pairs = c.join(q, on="bkt").drop("bkt")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
+    """Approximate top-k: score only candidates sharing ≥1 band bucket.
+
+    Plan shape (the 100 TB path): bucket rows are (id, band, bucket) — the
+    band join and the distinct never see an array column; vectors join back
+    by id once, query side broadcast."""
+    cand = lsh_candidates(corpus, queries, dim, n_planes, bands, id_col, vec,
+                          scheme)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec).cast("array<double>").alias("qv"),
     )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -57,6 +57,94 @@ def test_minhash_no_cartesian(spark):
     assert "CartesianProduct" not in plan, "band join must be an equi-join"
 
 
+def test_lsh_candidate_join_carries_no_vectors(spark):
+    """The LSH band join must shuffle (band, bucket, id) rows only — the
+    embedding payload re-attaches by id after dedup (VERDICT-r1 #6)."""
+    from pyspark.sql.types import ArrayType
+
+    from pyg_timeseries_spark.dedup.neardup import embedding_neardup
+    from pyg_timeseries_spark.similarity.ann import lsh_candidates, lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    cand = lsh_candidates(emb, q, dim=64)
+    # the candidate frame itself is slim: no array columns anywhere
+    assert not any(isinstance(f.dataType, ArrayType) for f in cand.schema.fields)
+    # its plan joins and dedups without a cartesian product
+    p = plan_of(cand)
+    assert "CartesianProduct" not in p
+    # the full query still broadcasts the query side and pushes the rank limit
+    full = plan_of(lsh_topk(emb, q, dim=64, k=5))
+    assert "BroadcastExchange" in full
+    assert "WindowGroupLimit" in full
+    nd = plan_of(embedding_neardup(emb.filter(F.col("vec_id") < 200), dim=64))
+    assert "CartesianProduct" not in nd
+
+
+def test_lsh_slim_join_same_results(spark):
+    """De-fattening is a plan change only: candidate sets and scores match a
+    reference all-pairs computation restricted to shared buckets."""
+    from pyg_timeseries_spark.similarity.ann import (
+        add_simhash_buckets, cosine, lsh_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 300
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    got = lsh_topk(emb, q, dim=64, k=5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+    # reference: fat per-band loop (the old construction)
+    cb = add_simhash_buckets(emb, 64)
+    qb = add_simhash_buckets(q, 64)
+    cand = None
+    for b in range(4):
+        c = cb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").cast("array<double>").alias("cv"),
+                      F.col(f"bucket_{b}").alias("bkt"))
+        qq = qb.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("qv"),
+                       F.col(f"bucket_{b}").alias("bkt"))
+        pp = c.join(qq, on="bkt").drop("bkt")
+        cand = pp if cand is None else cand.unionByName(pp)
+    from pyspark.sql import Window
+
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select("query_id", "neighbor_id",
+                         cosine(F.col("qv"), F.col("cv")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id"))
+    exp = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert got[["query_id", "neighbor_id", "rank"]].equals(
+        exp[["query_id", "neighbor_id", "rank"]])
+
+
+def test_ts_agg_single_pass(spark):
+    """ts_agg computes all measures in ONE aggregation: exactly one exchange,
+    no joins (VERDICT-r1 #7)."""
+    from pyg_timeseries_spark.operators.ts import ts_agg, ts_mean, ts_std
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    df = ts_agg(s)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+    # values agree with the single-measure ops
+    got = df.toPandas().sort_values("key").reset_index(drop=True)
+    exp_mean = ts_mean(s).toPandas().sort_values("key").reset_index(drop=True)
+    exp_std = ts_std(s).toPandas().sort_values("key").reset_index(drop=True)
+    import numpy as np
+
+    assert np.allclose(got["ts_mean"], exp_mean["ts_mean"], equal_nan=True)
+    assert np.allclose(got["ts_std"], exp_std["ts_std"], equal_nan=True)
+    assert (got["ts_count"] >= 0).all()
+
+
 def test_ewm_single_exchange_to_python(spark):
     from pyg_timeseries_spark.operators.ewm import ewma
     from pyg_timeseries_spark.sources.tables import events_series
