@@ -1131,9 +1131,30 @@ FROM filled
                    OVER ({_WIN} {_ROWS_N})) * 1000000 + 0.4997) AS BIGINT) AS qh
             FROM ({VALID_SQL})
         """,
-        # remaining rows-only check: media_features — its features come
-        # from a python RNG over payloads synthesized at query time, and the
-        # media table is not a registered oracle view.
+        # media_features: the fake-decode pipeline is a pure function of
+        # media_id (md5/sha2 metadata + sha256-seeded RNG pixels), so an
+        # INDEPENDENT plain-Python replica (hashlib + numpy, no Spark)
+        # computes the golden frame, inlined as VALUES.
+        "media_features": _media_golden_sql(),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }
+
+
+def _media_golden_sql() -> str:
+    from pyg_timeseries_spark.multimodal.binaryops import golden_image_features
+
+    def r6(x: float) -> int:
+        import math
+
+        return math.floor(x * 1_000_000 + 0.4997)
+
+    rows = ", ".join(
+        f"({mid}, {r6(mr)}, {r6(sa)}, {ch})"
+        for mid, mr, _mg, _mb, sa, ch in golden_image_features(90)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(media_id, mean_r, std_all, content_hash)"
+    )

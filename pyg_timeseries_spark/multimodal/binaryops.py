@@ -38,8 +38,22 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _md5_mod(col_expr, salt: str, mod: int):
+    """First 8 md5 hex digits mod ``mod`` — md5 is identical in every engine
+    and in hashlib, so an external golden can reproduce the exact table."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(col_expr.cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long"),
+        F.lit(mod),
+    )
+
+
 def synthesize_media(spark, n_rows: int = 100, payload_bytes: int = 256) -> DataFrame:
-    """Deterministic fake media table (hash-generated payloads)."""
+    """Deterministic fake media table.  Every column is a pure md5/sha2
+    function of media_id, reproducible bit-for-bit in plain Python (hashlib)
+    — which is what makes the driver-side golden oracle possible."""
     df = spark.range(n_rows)
     payload = F.sha2(F.concat(F.lit("media"), F.col("id").cast("string")), 512)
     return df.select(
@@ -49,11 +63,39 @@ def synthesize_media(spark, n_rows: int = 100, payload_bytes: int = 256) -> Data
             (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
         ).alias("kind"),
         F.repeat(payload, payload_bytes // 128 + 1).cast("binary").alias("payload"),
-        (F.pmod(F.xxhash64("id", F.lit("w")), F.lit(512)) + 32).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("id", F.lit("h")), F.lit(512)) + 32).cast("int").alias("height"),
+        (_md5_mod(F.col("id"), ",w", 512) + 32).cast("int").alias("width"),
+        (_md5_mod(F.col("id"), ",h", 512) + 32).cast("int").alias("height"),
         F.lit(16000).alias("sample_rate"),
-        (F.pmod(F.xxhash64("id", F.lit("f")), F.lit(300)) + 1).cast("int").alias("n_frames"),
+        (_md5_mod(F.col("id"), ",f", 300) + 1).cast("int").alias("n_frames"),
     )
+
+
+def golden_image_features(n_rows: int = 100, payload_bytes: int = 256) -> list[tuple]:
+    """Pure-Python (hashlib + numpy, no Spark) replica of
+    image_features(synthesize_media(n_rows)) — the independent oracle for the
+    deterministic fake-decode pipeline.  Returns
+    (media_id, mean_r, mean_g, mean_b, std_all, content_hash) tuples."""
+    rows = []
+    reps = payload_bytes // 128 + 1
+    for i in range(n_rows):
+        if i % 3 != 0:  # element_at(..., pmod(id,3)+1): images are id%3==0
+            continue
+        payload = (hashlib.sha512(f"media{i}".encode()).hexdigest() * reps).encode()
+        w = 32 + int(hashlib.md5(f"{i},w".encode()).hexdigest()[:8], 16) % 512
+        h = 32 + int(hashlib.md5(f"{i},h".encode()).hexdigest()[:8], 16) % 512
+        img = fake_decode_image(payload, w, h)
+        rows.append(
+            (
+                i,
+                float(img[..., 0].mean()),
+                float(img[..., 1].mean()),
+                float(img[..., 2].mean()),
+                float(img.std()),
+                int.from_bytes(hashlib.sha256(payload).digest()[:8],
+                               "little", signed=True),
+            )
+        )
+    return rows
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
