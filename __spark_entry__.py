@@ -385,6 +385,46 @@ def q_media_features(spark, sf_dir):
 
 
 
+def q_tokens_chunked(spark, sf_dir):
+    """Bounded token-chunk rollup: (source, 1m bucket, part, tokens) with
+    ≤cap tokens per stored row — the scale-safe token payload representation
+    (plans/rollup.py token_chunk_rows).  Tokens are md5-derived ints so the
+    DuckDB oracle reproduces them bit-for-bit; the value hash compares the
+    CHUNKED representation itself."""
+    from pyg_timeseries_spark.plans.rollup import token_chunk_rows
+
+    d = load(spark, sf_dir, "documents")
+    raw = d.select(
+        "source",
+        # NTZ time axis (no session-tz dependence), 7s cadence per doc
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+            + F.expr("make_interval(0, 0, 0, 0, 0, 0, doc_id * 7)")
+        ).alias("ts"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda j: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit(","), j.cast("string"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(50257),
+            ).cast("int"),
+        ).alias("tokens"),
+    )
+    out = token_chunk_rows(raw, cap=48)
+    return out.select(
+        "source", "bucket", "part",
+        # hash the chunk content as a stable string (array<->list compare
+        # across engines is repr-sensitive; md5 of the joined ints is not)
+        F.md5(F.concat_ws(",", F.col("tokens"))).alias("chunk_md5"),
+        F.size("tokens").alias("chunk_len"),
+    )
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -515,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_rank": q_expanding_rank,
         "ewfill": q_ewfill,
         "rolling_quantile_heap": q_rolling_quantile_heap,
+        "tokens_chunked": q_tokens_chunked,
     }
 
 
@@ -1136,6 +1177,31 @@ FROM filled
         # INDEPENDENT plain-Python replica (hashlib + numpy, no Spark)
         # computes the golden frame, inlined as VALUES.
         "media_features": _media_golden_sql(),
+        "tokens_chunked": """
+            WITH docs AS (
+                SELECT source,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                           + doc_id * 7 * INTERVAL 1 SECOND AS ts,
+                       list_transform(range(0, 32), j ->
+                           CAST(('0x' || substr(md5(doc_id || ',' || j), 1, 8))::BIGINT
+                                % 50257 AS INTEGER)) AS tokens
+                FROM documents
+            ), flat AS (
+                SELECT source, date_trunc('minute', ts) AS bucket,
+                       flatten(list(tokens ORDER BY ts)) AS f
+                FROM docs GROUP BY 1, 2
+            ), parts AS (
+                SELECT source, bucket, f,
+                       unnest(range(0, greatest(CAST(ceil(len(f) / 48.0) AS BIGINT), 1)))
+                           AS part
+                FROM flat
+            )
+            SELECT source, CAST(bucket AS TIMESTAMP) AS bucket,
+                   CAST(part AS INTEGER) AS part,
+                   md5(array_to_string(f[(part * 48 + 1):(part * 48 + 48)], ',')) AS chunk_md5,
+                   CAST(len(f[(part * 48 + 1):(part * 48 + 48)]) AS INTEGER) AS chunk_len
+            FROM parts
+        """,
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }

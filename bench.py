@@ -126,6 +126,12 @@ def main():
     run_action(_rfr(tok_raw, "1m"))
     queries["rollup_1m_tokens"] = round(time.time() - t0, 3)
     result_extra = {"token_rollup_rows_per_sec": round(n_tok_rows / max(queries["rollup_1m_tokens"], 1e-9))}
+    # bounded-row chunked representation (the 100 TB-safe token path)
+    from pyg_timeseries_spark.plans.rollup import token_chunk_rows as _tcr
+
+    t0 = time.time()
+    run_action(_tcr(tok_raw))
+    queries["tokens_chunked_1m"] = round(time.time() - t0, 3)
     tok_raw.unpersist()
 
     # 3) representative driver queries at the bench sf

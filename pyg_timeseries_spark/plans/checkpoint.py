@@ -49,7 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.plans.rollup import (
-    bucket_col, merge_rollup, rollup_cascade, rollup_from_raw,
+    MAX_TOKENS_PER_ROW, bucket_col, merge_rollup, merge_token_chunks,
+    rollup_cascade, rollup_from_raw, token_chunk_rows, tokens_at_tier,
 )
 
 PART_COL = "p_day"
@@ -184,6 +185,8 @@ class RollupStore:
         key: str = "source",
         with_lineage: bool = True,
         exact_rebuild: bool = False,
+        token_mode: str = "array",
+        chunk_cap: int = MAX_TOKENS_PER_ROW,
     ) -> dict[str, DataFrame]:
         """Append a raw batch: roll it up, merge into each tier, commit.
 
@@ -202,6 +205,12 @@ class RollupStore:
         retained in the store and any 1m cell touched by BOTH history and
         this batch (an interleaving late arrival) is recomputed from retained
         raw.  Requires every prior batch to have retained raw (guarded).
+
+        ``token_mode``: 'array' carries token payloads inside the tier rows
+        (concatenated per bucket — unbounded for a hot (source, day) at the
+        1d tier); 'chunked' stores them ONCE at 1m granularity as bounded
+        part-rows ≤ ``chunk_cap`` tokens (tokens_1m table; coarser tiers are
+        measures-only and token payloads flatten at read via read_tokens).
         """
         batch_id = self.meta["batches"] + 1
         if with_lineage:
@@ -213,7 +222,9 @@ class RollupStore:
         if exact_rebuild:
             raw.write.mode("append").parquet(os.path.join(self.path, "raw"))
 
-        delta = rollup_from_raw(raw, "1m", ts=ts, v=v, tokens=tokens, key=key)
+        chunked = tokens is not None and token_mode == "chunked"
+        tier_tokens = None if chunked else tokens
+        delta = rollup_from_raw(raw, "1m", ts=ts, v=v, tokens=tier_tokens, key=key)
         delta = delta.persist()
         touched_parts = [
             r[0] for r in _with_pday(delta).select(PART_COL).distinct().collect()
@@ -232,11 +243,11 @@ class RollupStore:
             keep = prev.join(F.broadcast(cells), _CELL, "left_anti")
             if exact_rebuild:
                 merged_cells = self._rebuild_overlaps(
-                    overlap, delta, ts=ts, v=v, tokens=tokens, key=key
+                    overlap, delta, ts=ts, v=v, tokens=tier_tokens, key=key
                 )
             else:
                 merged_cells = merge_rollup(
-                    overlap, delta, with_tokens=tokens is not None
+                    overlap, delta, with_tokens=tier_tokens is not None
                 )
             content_1m = keep.unionByName(merged_cells)
             if with_lineage:
@@ -246,8 +257,34 @@ class RollupStore:
             prev.unpersist()
         out["1m"] = self.read_table("rollup_1m")
 
+        # -- chunked token payload: one bounded-row table at 1m granularity --
+        if chunked:
+            delta_chunks = token_chunk_rows(
+                raw, ts=ts, tokens=tokens, key=key, cap=chunk_cap
+            ).persist()
+            prev_c = self.read_table("tokens_1m", parts=touched_parts)
+            if prev_c is None:
+                content_c = delta_chunks
+            else:
+                c_cells = delta_chunks.select(*_CELL).distinct()
+                overlap_c = prev_c.join(F.broadcast(c_cells), _CELL, "left_semi")
+                keep_c = prev_c.join(F.broadcast(c_cells), _CELL, "left_anti")
+                if exact_rebuild:
+                    merged_c = self._rebuild_token_overlaps(
+                        overlap_c, delta_chunks, ts=ts, tokens=tokens,
+                        key=key, cap=chunk_cap,
+                    )
+                else:
+                    merged_c = merge_token_chunks(overlap_c, delta_chunks,
+                                                  cap=chunk_cap)
+                content_c = keep_c.unionByName(merged_c)
+            self.commit_partitions("tokens_1m", content_c, touched_parts)
+            delta_chunks.unpersist()
+            out["tokens_1m"] = self.read_table("tokens_1m")
+
         # -- coarser tiers: rebuild affected parent cells from the child ----
         child_tier, delta_cells = "1m", delta.select(*_CELL)
+        tier_has_tokens = tier_tokens is not None
         for tier in ("1h", "1d"):
             parent_cells = delta_cells.select(
                 "source", bucket_col("bucket", tier, delta_cells).alias("bucket")
@@ -264,7 +301,7 @@ class RollupStore:
                 "left_semi",
             )
             recomputed = rollup_cascade(
-                child_subset, tier, with_tokens=tokens is not None
+                child_subset, tier, with_tokens=tier_has_tokens
             )
             prev_t = self.read_table(f"rollup_{tier}", parts=touched_parts)
             if prev_t is None:
@@ -316,6 +353,48 @@ class RollupStore:
                                   tokens=tokens, key=key)
         return delta_only.unionByName(rebuilt)
 
+    def _rebuild_token_overlaps(self, overlap_c, delta_chunks, ts, tokens,
+                                key, cap):
+        """Chunked-mode analog of _rebuild_overlaps: buckets present in both
+        history and delta re-chunk from retained raw (a pure function of the
+        bucket's full ts-ordered content — exact under out-of-order
+        arrival); delta-only buckets pass through."""
+        ov_cells = overlap_c.select(*_CELL).distinct()
+        delta_only = delta_chunks.join(F.broadcast(ov_cells), _CELL, "left_anti")
+        if ov_cells.isEmpty():
+            return delta_only
+        if not self.meta.get("raw_complete"):
+            raise ValueError(
+                "exact_rebuild needs retained raw spanning the store's "
+                "history, but earlier batches were ingested with "
+                "exact_rebuild=False — the rebuild would undercount."
+            )
+        raw_all = self.spark.read.parquet(os.path.join(self.path, "raw"))
+        affected_raw = (
+            raw_all.withColumn("_b", bucket_col(ts, "1m", raw_all))
+            .join(
+                F.broadcast(
+                    ov_cells.select(
+                        F.col("source").alias("_os"), F.col("bucket").alias("_ob")
+                    )
+                ),
+                (F.col(key) == F.col("_os")) & (F.col("_b") == F.col("_ob")),
+                "left_semi",
+            )
+            .drop("_b")
+        )
+        rebuilt = token_chunk_rows(affected_raw, ts=ts, tokens=tokens, key=key,
+                                   cap=cap)
+        return delta_only.unionByName(rebuilt)
+
+    def read_tokens(self, tier: str = "1m") -> DataFrame | None:
+        """Token payloads at any tier granularity, flattened at read from the
+        bounded 1m chunk rows (chunked token_mode only)."""
+        chunks = self.read_table("tokens_1m")
+        if chunks is None:
+            return None
+        return tokens_at_tier(chunks, tier)
+
     # -- operator state -----------------------------------------------------
     def write_state(self, op: str, state_df: DataFrame) -> int:
         return self.write_table(f"state_{op}", state_df)
@@ -328,18 +407,24 @@ class RollupStore:
         """Tier TTL: keep only the newest ``keep_buckets`` buckets per source
         (finer tiers retain less history — the retention pyramid).  Full
         rewrite commit: the new manifest covers only surviving partitions."""
+        self._expire_table(f"rollup_{tier}", keep_buckets)
+
+    def expire_tokens(self, keep_buckets: int) -> None:
+        """TTL for the chunked token table (its own retention — token
+        payloads are the bulky tier and usually expire before measures)."""
+        self._expire_table("tokens_1m", keep_buckets)
+
+    def _expire_table(self, name: str, keep_buckets: int) -> None:
         from pyspark.sql import Window
 
-        name = f"rollup_{tier}"
         cur = self.read_table(name)
         if cur is None:
             return
         w = Window.partitionBy("source").orderBy(F.col("bucket").desc())
-        kept = (
-            cur.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= keep_buckets)
-            .drop("_rn")
-        ).persist()
+        ranked = cur.select("source", "bucket").distinct().withColumn(
+            "_rn", F.row_number().over(w)
+        ).filter(F.col("_rn") <= keep_buckets).drop("_rn")
+        kept = cur.join(F.broadcast(ranked), _CELL, "left_semi").persist()
         parts = [r[0] for r in _with_pday(kept).select(PART_COL).distinct().collect()]
         self.commit_partitions(name, kept, parts, drop_missing=True)
         kept.unpersist()

@@ -144,6 +144,122 @@ def rollup_all_tiers(
     return out
 
 
+# ---- bounded token chunks ----------------------------------------------------
+# The array-token cascade carries a (source, day)'s ENTIRE token payload as
+# one row at the 1d tier — at 10^12-sequence scale a single hot row is GBs
+# and collect_list on one grouping key OOMs an executor regardless of
+# parallelism.  Chunked mode instead stores tokens ONCE, at 1m granularity,
+# split into part-rows of at most MAX_TOKENS_PER_ROW tokens; coarser tiers
+# carry measures only and token payloads FLATTEN AT READ (tokens_at_tier).
+# The bit-for-bit invariant lives on the chunked representation:
+# chunks(head)+chunks(tail) == chunks(full) row-for-row.
+
+MAX_TOKENS_PER_ROW = 65_536
+
+
+def _slice_parts(arr, cap: int):
+    """array<int> → array of ≤cap-length slices (1 slice minimum)."""
+    n_parts = F.greatest(F.ceil(F.size(arr) / F.lit(cap)).cast("int"), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n_parts - 1),
+        lambda i: F.slice(arr, i * cap + 1, cap),
+    )
+
+
+def token_chunk_rows(
+    df: DataFrame,
+    ts: str = "ts",
+    tokens: str = "tokens",
+    key: str = "source",
+    cap: int = MAX_TOKENS_PER_ROW,
+) -> DataFrame:
+    """raw → (source, bucket[1m], part, tokens) with every row ≤ cap tokens.
+
+    Within a bucket, docs concat in ts order (the same order the array-token
+    rollup uses), then the flat array slices into parts.  The flat array is
+    transient per (source, minute) — bounded by per-minute ingest volume,
+    never by day/history volume."""
+    flat = (
+        df.groupBy(
+            F.col(key).alias("source"), bucket_col(ts, "1m", df).alias("bucket")
+        )
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(ts), F.col(tokens)))),
+                    lambda s: s.getField(tokens),
+                )
+            ).alias("_flat")
+        )
+    )
+    return flat.select(
+        "source", "bucket",
+        F.posexplode(_slice_parts(F.col("_flat"), cap)).alias("part", "tokens"),
+    )
+
+
+def merge_token_chunks(
+    existing: DataFrame, delta: DataFrame, cap: int = MAX_TOKENS_PER_ROW
+) -> DataFrame:
+    """Merge delta chunk rows into existing ones for the SAME buckets —
+    re-chunks each touched bucket from (existing parts, then delta parts),
+    exactly the append order.  Only touched buckets should be passed in
+    (the store's O(delta) contract)."""
+    tagged = existing.withColumn("_d", F.lit(0)).unionByName(
+        delta.withColumn("_d", F.lit(1))
+    )
+    flat = tagged.groupBy("source", "bucket").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_d", "part", "tokens"))),
+                lambda s: s.getField("tokens"),
+            )
+        ).alias("_flat")
+    )
+    return flat.select(
+        "source", "bucket",
+        F.posexplode(_slice_parts(F.col("_flat"), cap)).alias("part", "tokens"),
+    )
+
+
+def tokens_at_tier(chunks: DataFrame, tier: str) -> DataFrame:
+    """Flatten 1m chunk rows to (source, bucket, tokens) at any tier — the
+    read-time view.  The output row for a hot (source, day) is inherently
+    big (it IS the payload); the STORED representation stays bounded."""
+    if tier == "1m":
+        grp = chunks
+    else:
+        grp = chunks.withColumn(
+            "_tb", bucket_col("bucket", tier, chunks)
+        ).select("source", F.col("_tb").alias("_nb"),
+                 F.col("bucket").alias("_ob"), "part", "tokens")
+        grp = grp.select("source", F.col("_nb").alias("bucket"),
+                         F.struct(F.col("_ob"), F.col("part")).alias("_ord"),
+                         "tokens")
+        return (
+            grp.groupBy("source", "bucket")
+            .agg(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_ord", "tokens"))),
+                        lambda s: s.getField("tokens"),
+                    )
+                ).alias("tokens")
+            )
+        )
+    return (
+        grp.groupBy("source", "bucket")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("part", "tokens"))),
+                    lambda s: s.getField("tokens"),
+                )
+            ).alias("tokens")
+        )
+    )
+
+
 def merge_rollup(existing: DataFrame, delta: DataFrame, with_tokens: bool = True) -> DataFrame:
     """Merge an incremental rollup delta into an existing rollup table —
     the continuous-aggregate refresh.  Buckets present in both are combined

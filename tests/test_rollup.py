@@ -146,6 +146,92 @@ def test_exact_rebuild_guarded_without_retained_raw(spark, raw, tmp_path):
         store.ingest(raw.filter(F.col("ts") >= cut), exact_rebuild=True)
 
 
+def test_chunked_tokens_incremental_equals_full(spark, raw, tmp_path):
+    """Chunked token mode: ingest(head)+ingest(tail) == ingest(full) on the
+    BOUNDED chunk table, and the read-time flatten equals the array-mode 1d
+    token payload exactly."""
+    cut = F.lit("2024-01-01 03:00:30").cast("timestamp")  # mid-bucket cut
+    cap = 512
+
+    full = RollupStore(str(tmp_path / "cf"), spark)
+    full.ingest(raw, token_mode="chunked", chunk_cap=cap)
+    inc = RollupStore(str(tmp_path / "ci"), spark)
+    inc.ingest(raw.filter(F.col("ts") < cut), token_mode="chunked", chunk_cap=cap)
+    inc.ingest(raw.filter(F.col("ts") >= cut), token_mode="chunked", chunk_cap=cap)
+
+    def chunk_rows(store):
+        pdf = store.read_table("tokens_1m").toPandas().sort_values(
+            ["source", "bucket", "part"]).reset_index(drop=True)
+        pdf["tokens"] = pdf["tokens"].apply(tuple)
+        return list(map(tuple, pdf.itertuples(index=False)))
+
+    assert chunk_rows(inc) == chunk_rows(full)
+    # every stored row is bounded
+    mx = inc.read_table("tokens_1m").select(F.max(F.size("tokens"))).first()[0]
+    assert mx <= cap
+    # measures-only tiers have no token column
+    assert "tokens" not in inc.read_table("rollup_1d").columns
+
+    # flatten-at-read == the array-mode cascade's 1d payload
+    arr = RollupStore(str(tmp_path / "ca"), spark)
+    arr.ingest(raw, token_mode="array")
+    exp = arr.read_table("rollup_1d").select("source", "bucket", "tokens")
+    got = inc.read_tokens("1d")
+    assert rows_of(got) == rows_of(exp)
+
+
+def test_chunked_tokens_hot_bucket_bounded(spark, tmp_path):
+    """A single hot (source, day) with 10M+ tokens: the stored representation
+    stays ≤ cap tokens/row (the array-mode 1d row would be one 10M-element
+    array — the executor-OOM shape at real scale)."""
+    import pandas as pd  # noqa: F401
+
+    n_docs, toks_per_doc = 2_500, 4_096  # 10.24M tokens, one source, one day
+    df = spark.range(n_docs).select(
+        F.lit("hot").alias("source"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-03-01 00:00:00"))
+            + (F.col("id") % 1200) * 60 + F.floor(F.col("id") / 1200)
+        ).alias("ts"),
+        F.lit(toks_per_doc).cast("int").alias("n_tok"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(toks_per_doc - 1)),
+            lambda i: F.pmod(F.xxhash64(F.col("id"), i), F.lit(50257)).cast("int"),
+        ).alias("tokens"),
+    )
+    store = RollupStore(str(tmp_path / "hot"), spark)
+    store.ingest(df, token_mode="chunked")
+    chunks = store.read_table("tokens_1m")
+    stats = chunks.select(
+        F.sum(F.size("tokens")).alias("total"),
+        F.max(F.size("tokens")).alias("mx"),
+        F.count(F.lit(1)).alias("rows"),
+    ).first()
+    assert stats["total"] == n_docs * toks_per_doc
+    from pyg_timeseries_spark.plans.rollup import MAX_TOKENS_PER_ROW
+
+    assert stats["mx"] <= MAX_TOKENS_PER_ROW
+    # day-level read view reassembles the full payload count
+    day = store.read_tokens("1d").select(F.sum(F.size("tokens"))).first()[0]
+    assert day == n_docs * toks_per_doc
+
+
+def test_chunked_exact_rebuild_out_of_order(spark, raw, tmp_path):
+    """Interleaved late arrival + chunked tokens: exact_rebuild re-chunks
+    overlap buckets from retained raw — equals the one-shot ingest."""
+    odd = raw.filter(F.col("seq") % 2 == 1)
+    even = raw.filter(F.col("seq") % 2 == 0)
+    inc = RollupStore(str(tmp_path / "oc"), spark)
+    inc.ingest(odd, token_mode="chunked", exact_rebuild=True, chunk_cap=256)
+    inc.ingest(even, token_mode="chunked", exact_rebuild=True, chunk_cap=256)
+    full = RollupStore(str(tmp_path / "of"), spark)
+    full.ingest(raw, token_mode="chunked", exact_rebuild=True, chunk_cap=256)
+    assert rows_of(inc.read_tokens("1m")) == rows_of(full.read_tokens("1m"))
+    for tier in ("1m", "1h", "1d"):
+        assert rows_of(inc.read_table(f"rollup_{tier}")) == rows_of(
+            full.read_table(f"rollup_{tier}")), tier
+
+
 def test_retention_expiry(spark, raw, tmp_path):
     store = RollupStore(str(tmp_path / "ttl"), spark)
     store.ingest(raw)
