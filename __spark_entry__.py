@@ -425,6 +425,29 @@ def q_tokens_chunked(spark, sf_dir):
     )
 
 
+def q_multibuffer(spark, sf_dir):
+    """Risk-targeted multi-asset buffering (bisection recurrence) — rows-only
+    driver check (not SQL-expressible; invariants + reference-literal parity
+    covered in tests/test_multibuffer.py)."""
+    from pyg_timeseries_spark.operators.multibuffer import multibuffer
+
+    s = _series(spark, sf_dir)
+    hourly = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "hour").alias("ts"))
+        .agg(F.sum("v").alias("target"))
+        .withColumn("pf", F.lit("p1"))
+        .withColumnRenamed("key", "asset")
+        .withColumn("band", F.lit(0.25))
+        .withColumn("vol", F.lit(1.0))
+        .withColumn("pv", F.lit(1.0))
+    )
+    out = multibuffer(hourly, corr=0.3, key="pf", unit=1.0)
+    return out.select(
+        "pf", "ts", "asset", F.col("pos").cast("long").alias("pos"),
+        R6(F.col("mult")).alias("mult"),
+    )
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -556,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewfill": q_ewfill,
         "rolling_quantile_heap": q_rolling_quantile_heap,
         "tokens_chunked": q_tokens_chunked,
+        "multibuffer": q_multibuffer,
     }
 
 

@@ -45,6 +45,12 @@ from pyg_timeseries_spark.operators.composite import (  # DAG + nested state
 from pyg_timeseries_spark.operators.recurrence import (  # kernel
     zmooth, zmooth_, buffer, buffer_, rolling_tover, rolling_tover_,
 )
+from pyg_timeseries_spark.operators.multibuffer import (  # kernel (bisection)
+    multibuffer, multibuffer_,
+)
+from pyg_timeseries_spark.kernels.multibuffer_numpy import (
+    beta_correlation_matrix, near_correlation_matrix,
+)
 from pyg_timeseries_spark.operators.xrank import xrank, xrank_simple
 from pyg_timeseries_spark.operators.matrix import (  # kernel (np.linalg)
     ewmAAi, ewmAAi_, ewmGLM, ewmGLM_, ewmcorr_psd, ewmcorr_psd_,
@@ -185,9 +191,11 @@ ewmcorr_ = ewmcorrelation_
 ewmcovar_ = ewmcovariance_
 
 # ---- deferred (documented, out of v0 scope) --------------------------------
-# multibuffer, minimize_tracking_error, least_squares, riskparity, maxdiv —
+# minimize_tracking_error, least_squares, riskparity, maxdiv —
 #   portfolio optimizers (scipy/cvxpy applications, not engine operators;
-#   SURVEY.md §2.7 marks them out of scope).
+#   SURVEY.md §2.7 marks them out of scope).  multibuffer — the one
+#   scoped-out module that IS an operator (bisection recurrence) — is now
+#   implemented (operators/multibuffer.py).
 # rms_combine           dead in the reference as shipped (_rms_join.py:4
 #   imports a module that does not exist) — not reproduced.
 # ts_iterate            superseded by the incremental RollupStore driver.
