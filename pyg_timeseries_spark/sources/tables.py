@@ -21,8 +21,12 @@ TABLES = (
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime is actually loadable.  NB: plain
+    attribute access (spark._jvm.org.apache.iceberg.Table) is NOT a check —
+    py4j returns a JavaPackage placeholder for missing classes — so force a
+    real classload via Class.forName."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
         return True
     except Exception:
         return False
