@@ -84,6 +84,9 @@ def bench_ewm_over_rollup(spark, n_rows: int) -> float:
     raw = sequences(spark, n_rows, with_tokens=False)
     m1 = rollup_from_raw(raw, "1m", tokens=None).persist()
     m1.count()  # materialize the tier outside the timed region
+    # warm the Python-worker pool (first applyInPandas in a session forks
+    # the daemon workers — ~2-4s of one-time cost that is not the operator)
+    run_action(ewma(m1.limit(64), 10, key="source", ts="bucket", v="sum_n_tok"))
     t0 = time.time()
     run_action(ewma(m1, 10, key="source", ts="bucket", v="sum_n_tok"))
     sec = time.time() - t0
