@@ -319,9 +319,119 @@ def _guard_state(state):
     return s
 
 
+def _guarded_sweep_arrays(a, time, wgt, w, exc_zero, mm_arr, min_periods,
+                          min_sample, is_std, bias, s, res):
+    """Array-typed twin of the guarded loop (numba-JIT-able unchanged).
+    mm_arr: per-row max_move (all-0 == off); time all-nan == no clock;
+    wgt all-1 == unweighted.  Mutates s (GSTATE layout) and res."""
+    omw = 1.0 - w
+    t, t0, t1, t2 = s[0], s[1], s[2], s[3]
+    w2, n0, n1 = s[5], s[6], s[7]
+    pv, pa = s[8], s[9]
+    t1u, t2u, prev_res, pa_raw = s[10], s[11], s[12], s[13]
+    for i in range(a.shape[0]):
+        araw = a[i]
+        if araw != araw:
+            continue
+        mm = mm_arr[i]
+        if is_std:
+            bound = prev_res * mm if mm > 0 else 0.0
+            if n0 < min_sample or n1 < min_periods:
+                vol = np.nan
+            elif t0 <= 0:
+                vol = np.nan
+            else:
+                variance = t2u / t0 - (t1u / t0) ** 2
+                if variance < 0:
+                    vol = np.nan
+                elif bias:
+                    vol = np.sqrt(variance)
+                else:
+                    r = 1.0 - w2 / (t0 * t0)
+                    vol = np.sqrt(variance / r) if r > 0 else np.nan
+            clip_ok = mm > 0 and vol > 0 and bound == bound and bound > 0
+        else:
+            vol = 0.0 if t0 == 0 else np.sqrt(t2u / t0)
+            bound = vol * mm
+            clip_ok = mm > 0 and vol > 0
+        ai = min(max(araw, -bound), bound) if clip_ok else araw
+        vi = omw * wgt[i]
+        ti = time[i]
+        if exc_zero and ai == 0:
+            pass
+        elif ti == t:
+            t0 = t0 + vi - pv
+            t1 = t1 + vi * ai - pv * pa
+            t2 = t2 + vi * ai * ai - pv * pa * pa
+            t1u = t1u + vi * araw - pv * pa_raw
+            t2u = t2u + vi * araw * araw - pv * pa_raw * pa_raw
+        else:
+            if ti != ti or t != t:
+                p = w
+            else:
+                p = w ** (ti - t)
+            n1 += 1.0
+            n0 = n0 * p + omw
+            w2 = w2 * p * p + vi * vi
+            t0 = t0 * p + vi
+            t1 = t1 * p + vi * ai
+            t2 = t2 * p + vi * ai * ai
+            t1u = t1u * p + vi * araw
+            t2u = t2u * p + vi * araw * araw
+            t = ti
+        pv, pa, pa_raw = vi, ai, araw
+        if is_std:
+            if n0 < min_sample or n1 < min_periods:
+                res[i] = np.nan
+            elif t0 <= 0:
+                res[i] = np.nan
+            else:
+                variance = t2 / t0 - (t1 / t0) ** 2
+                if variance < 0:
+                    res[i] = np.nan
+                elif bias:
+                    res[i] = np.sqrt(variance)
+                else:
+                    r = 1.0 - w2 / (t0 * t0)
+                    res[i] = np.sqrt(variance / r) if r > 0 else np.nan
+        else:
+            res[i] = np.nan if (t0 == 0 or n1 < min_periods) else np.sqrt(t2 / t0)
+        prev_res = res[i]
+    s[0], s[1], s[2], s[3] = t, t0, t1, t2
+    s[5], s[6], s[7], s[8], s[9] = w2, n0, n1, pv, pa
+    s[10], s[11], s[12], s[13] = t1u, t2u, prev_res, pa_raw
+
+
+try:  # pragma: no cover - exercised only on hosts with numba installed
+    import numba as _numba_g
+
+    _guarded_sweep_jit = _numba_g.njit(nogil=True, cache=True)(_guarded_sweep_arrays)
+except ImportError:
+    _guarded_sweep_jit = None
+
+
 def _guarded_sweep(a, n, time, wgt, state, exc_zero, max_move, min_periods,
                    min_sample, mode, bias=False):
-    """mode: 'rms' or 'std'."""
+    """mode: 'rms' or 'std'.  Dispatches to the numba twin when available."""
+    if _guarded_sweep_jit is not None:
+        w = decay_weight(n)
+        s = _guard_state(state)
+        n_rows = a.shape[0]
+        res = np.full(n_rows, np.nan)
+        time_arr = np.full(n_rows, np.nan) if time is None else np.asarray(time, float)
+        wgt_arr = np.ones(n_rows) if wgt is None else np.asarray(wgt, float)
+        if max_move is None:
+            mm = np.zeros(n_rows)
+        elif isinstance(max_move, np.ndarray):
+            mm = np.asarray(max_move, float)
+        else:
+            mm = np.full(n_rows, float(max_move))
+        _guarded_sweep_jit(
+            np.asarray(a, float), time_arr, wgt_arr, w, bool(exc_zero), mm,
+            float(min_periods), float(min_sample), mode == "std", bool(bias),
+            s, res,
+        )
+        return res, s
     w = decay_weight(n)
     omw = 1.0 - w
     s = _guard_state(state)
