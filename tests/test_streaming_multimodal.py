@@ -67,6 +67,81 @@ def test_stream_foreach_batch_ingest_matches_batch(spark, tmp_path):
     assert got[cols].equals(exp[cols]), "streamed store != batch store"
 
 
+def test_stream_ewma_out_of_order(spark, tmp_path):
+    """transformWithStateInPandas path: late rows inside the watermark revise
+    their open bucket; buckets finalize in order through the exact EWM
+    kernel when the watermark passes — emitted rows match the batch engine
+    over the same finalized buckets."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.ewm import ewma
+    from pyg_timeseries_spark.streaming.stream_rollup import stream_ewma_ooo
+
+    def mk(rows):
+        return pd.DataFrame(rows, columns=["source", "ts", "n_tok"]).assign(
+            ts=lambda d: pd.to_datetime(d.ts)
+        )
+
+    t0 = "2024-01-01 00:0{m}:{s}"
+    f1 = mk([("a", t0.format(m=i, s="10"), float(10 + i)) for i in range(7)]
+            + [("b", t0.format(m=i, s="20"), float(50 + i)) for i in range(7)])
+    # f2: LATE row into minute 4 (open — wm after f1 is 00:04:30) + advance
+    f2 = mk([("a", "2024-01-01 00:04:40", 100.0),
+             ("a", "2024-01-01 00:10:10", 1.0),
+             ("b", "2024-01-01 00:10:20", 2.0)])
+    # f3: advance far enough to flush everything through minute 10
+    f3 = mk([("a", "2024-01-01 00:20:00", 5.0),
+             ("b", "2024-01-01 00:20:00", 6.0)])
+
+    src = str(tmp_path / "ooo_src")
+    for i, f in enumerate([f1, f2, f3]):
+        spark.createDataFrame(f).coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+        # distinct mtimes → deterministic file order with maxFilesPerTrigger
+        import time as _time
+
+        _time.sleep(1.1)
+
+    schema = spark.read.parquet(f"{src}/f0.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = stream_ewma_ooo(stream, 10, watermark="2 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName("ewma_ooo")
+        .option("checkpointLocation", str(tmp_path / "ooo_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM ewma_ooo").toPandas().sort_values(
+        ["source", "bucket"]).reset_index(drop=True)
+
+    # batch reference over ALL rows: 1m sums → ewma
+    allf = pd.concat([f1, f2, f3], ignore_index=True)
+    raw = spark.createDataFrame(allf)
+    m1 = raw.groupBy(
+        "source", F.date_trunc("minute", "ts").alias("bucket")
+    ).agg(F.sum("n_tok").alias("sum_v"))
+    exp = ewma(m1, 10, key="source", ts="bucket", v="sum_v").toPandas()
+
+    # finalized set: the event-time timeout adds a flush batch after the
+    # last file, so everything closed by the final watermark
+    # (00:20 - 2min = 00:18) emits — all buckets except the 00:20 ones.
+    exp_final = exp[exp.bucket < pd.Timestamp("2024-01-01 00:18:00")]
+    assert len(got) == len(exp_final)
+    m = got.merge(exp, on=["source", "bucket"], suffixes=("", "_exp"))
+    assert len(m) == len(got)
+    # the late f2 row revised minute 4 before it closed
+    a4 = got[(got.source == "a")
+             & (got.bucket == pd.Timestamp("2024-01-01 00:04:00"))]
+    assert len(a4) == 1 and a4["sum_v"].iloc[0] == 114.0
+    assert np.array_equal(m["ewma"].to_numpy(float),
+                          m["ewma_exp"].to_numpy(float)), "not bit-identical"
+
+
 def test_media_features_plumbing(spark):
     media = synthesize_media(spark, 60)
     feats = image_features(media).toPandas()
