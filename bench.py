@@ -194,7 +194,10 @@ def scaling_main():
     per_level = {}
     for n in sorted(set(levels + pair)):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), BENCH_SEQ_PARQUET=data,
-                   SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "64g"))
+                   # 16-32g, NOT bigger: an oversized heap (64g) makes G1
+                   # young-gen pauses collapse 32-thread throughput ~4x on
+                   # this VM (measured: 5.4s vs 1.5s for the same job)
+                   SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
         out = subprocess.run(
             [sys.executable, __file__, "--scaling-child"],
             capture_output=True, text=True, env=env, check=True,
@@ -222,22 +225,34 @@ def scaling_child():
     raw = spark.read.parquet(data)
     n_raw = raw.count()
     iters = int(os.environ.get("BENCH_ITERS", "4"))
+    # The timed quantity per tier is the aggregation itself (scan +
+    # partial/final hash agg + shuffle, via noop write) with the tier's
+    # INPUT materialized beforehand — not the deserialized-cache store,
+    # whose JVM object churn dominates at high thread counts and would
+    # measure the cache, not the engine.  NB: raw→1m must be timed BEFORE
+    # m1 is persisted — Spark's cache manager substitutes any persisted
+    # identical plan fragment, which would turn the timed job into a cache
+    # read.
     best = {"raw_to_1m": 1e18, "1m_to_1h": 1e18, "1h_to_1d": 1e18}
-    counts = {}
+    run_action(rollup_from_raw(raw, "1m", tokens=None))  # warm (JIT/codegen)
     for _ in range(iters):
         t0 = time.time()
-        m1 = rollup_from_raw(raw, "1m", tokens=None).persist()
-        counts["1m"] = m1.count()
+        run_action(rollup_from_raw(raw, "1m", tokens=None))
         best["raw_to_1m"] = min(best["raw_to_1m"], time.time() - t0)
+    m1 = rollup_from_raw(raw, "1m", tokens=None).persist()
+    counts = {"1m": m1.count()}
+    for _ in range(iters):
         t0 = time.time()
-        h1 = rollup_cascade(m1, "1h", with_tokens=False).persist()
-        counts["1h"] = h1.count()
+        run_action(rollup_cascade(m1, "1h", with_tokens=False))
         best["1m_to_1h"] = min(best["1m_to_1h"], time.time() - t0)
+    h1 = rollup_cascade(m1, "1h", with_tokens=False).persist()
+    counts["1h"] = h1.count()
+    for _ in range(iters):
         t0 = time.time()
-        counts["1d"] = rollup_cascade(h1, "1d", with_tokens=False).count()
+        run_action(rollup_cascade(h1, "1d", with_tokens=False))
         best["1h_to_1d"] = min(best["1h_to_1d"], time.time() - t0)
-        m1.unpersist()
-        h1.unpersist()
+    m1.unpersist()
+    h1.unpersist()
     in_points = {"raw_to_1m": n_raw, "1m_to_1h": counts["1m"],
                  "1h_to_1d": counts["1h"]}
     tiers = {
