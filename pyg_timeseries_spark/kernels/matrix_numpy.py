@@ -18,34 +18,41 @@ import numpy as np
 from pyg_timeseries_spark.kernels.ewm_numpy import decay_weight
 
 
-def aai_state_len(m: int) -> int:
-    return 2 + m * m + m
+def aai_state_len(m: int, overlapping: int = 1) -> int:
+    return 2 + m * m + overlapping * m
 
 
-def glm_state_len(m: int) -> int:
-    return 2 + m * m + m + 1 + m
+def glm_state_len(m: int, overlapping: int = 1) -> int:
+    return 2 + m * m + overlapping * m + overlapping + m
 
 
-def ewmAAi(A: np.ndarray, n: float, state=None, min_sample: float = 0.25):
-    """A: (t, m) feature panel.  Returns (res (t, m, m), state)."""
+def ewmAAi(A: np.ndarray, n: float, state=None, min_sample: float = 0.25,
+           overlapping: int = 1):
+    """A: (t, m) feature panel.  Returns (res (t, m, m), state).
+
+    ``overlapping`` k > 1 differences against the value k VALID rows back
+    (a shift-register of previous rows — reference _ewmAAinv's ``prev``
+    ring, _ewm.py:962,976-979); state grows by (k-1)·m and resume stays
+    bit-exact."""
     t_rows, m = A.shape
+    k = max(int(overlapping), 1)
     w = decay_weight(n)
     one_minus_w = 1.0 - w
     if state is None:
         t0 = n0 = 0.0
         a2 = np.zeros((m, m))
-        prev = np.full(m, np.nan)
+        prev = np.full((k, m), np.nan)
     else:
         t0, n0 = float(state[0]), float(state[1])
         a2 = np.asarray(state[2 : 2 + m * m], float).reshape(m, m).copy()
-        prev = np.asarray(state[2 + m * m : 2 + m * m + m], float).copy()
+        prev = np.asarray(state[2 + m * m : 2 + m * m + k * m], float).reshape(k, m).copy()
     res = np.full((t_rows, m, m), np.nan)
     ok = ~np.isnan(A).any(axis=1)
     for i in range(t_rows):
         if not ok[i]:
             continue
-        if not np.isnan(prev[0]):
-            da = A[i] - prev
+        if not np.isnan(prev[-1, 0]):
+            da = A[i] - prev[-1]
             n0 = n0 * w + one_minus_w
             t0 = t0 * w + one_minus_w
             a2 = a2 * w + one_minus_w * np.outer(da, da)
@@ -54,38 +61,46 @@ def ewmAAi(A: np.ndarray, n: float, state=None, min_sample: float = 0.25):
                     res[i] = np.linalg.inv(a2 / t0)
                 except np.linalg.LinAlgError:
                     pass
-        prev = A[i].copy()
-    out_state = np.concatenate([[t0, n0], a2.ravel(), prev])
+        if k > 1:
+            prev[1:] = prev[:-1]
+        prev[0] = A[i]
+    out_state = np.concatenate([[t0, n0], a2.ravel(), prev.ravel()])
     return res, out_state
 
 
 def ewmGLM(A: np.ndarray, b: np.ndarray, n: float, state=None,
-           min_sample: float = 0.25):
+           min_sample: float = 0.25, overlapping: int = 1):
     """Fit db ~ Σ_j m_j·da_j under EWM weights.  A: (t, m); b: (t,).
-    Returns (betas (t, m), state)."""
+    Returns (betas (t, m), state).  ``overlapping`` as in ewmAAi
+    (reference _ewmGLM1d, _ewm.py:983-1123)."""
     t_rows, m = A.shape
+    k = max(int(overlapping), 1)
     w = decay_weight(n)
     one_minus_w = 1.0 - w
     if state is None:
         t0 = n0 = 0.0
         a2 = np.zeros((m, m))
-        prev_a = np.full(m, np.nan)
-        prev_b = np.nan
+        prev_a = np.full((k, m), np.nan)
+        prev_b = np.full(k, np.nan)
         ab = np.zeros(m)
     else:
         t0, n0 = float(state[0]), float(state[1])
-        a2 = np.asarray(state[2 : 2 + m * m], float).reshape(m, m).copy()
-        prev_a = np.asarray(state[2 + m * m : 2 + m * m + m], float).copy()
-        prev_b = float(state[2 + m * m + m])
-        ab = np.asarray(state[2 + m * m + m + 1 :], float).copy()
+        o = 2
+        a2 = np.asarray(state[o : o + m * m], float).reshape(m, m).copy()
+        o += m * m
+        prev_a = np.asarray(state[o : o + k * m], float).reshape(k, m).copy()
+        o += k * m
+        prev_b = np.asarray(state[o : o + k], float).copy()
+        o += k
+        ab = np.asarray(state[o : o + m], float).copy()
     res = np.full((t_rows, m), np.nan)
     ok = ~np.isnan(A).any(axis=1) & ~np.isnan(b)
     for i in range(t_rows):
         if not ok[i]:
             continue
-        if not np.isnan(prev_a[0]) and not np.isnan(prev_b):
-            da = A[i] - prev_a
-            db = b[i] - prev_b
+        if not np.isnan(prev_a[-1, 0]) and not np.isnan(prev_b[-1]):
+            da = A[i] - prev_a[-1]
+            db = b[i] - prev_b[-1]
             n0 = n0 * w + one_minus_w
             t0 = t0 * w + one_minus_w
             a2 = a2 * w + one_minus_w * np.outer(da, da)
@@ -95,9 +110,13 @@ def ewmGLM(A: np.ndarray, b: np.ndarray, n: float, state=None,
                     res[i] = np.linalg.inv(a2 / t0) @ (ab / t0)
                 except np.linalg.LinAlgError:
                     pass
-        prev_a = A[i].copy()
-        prev_b = b[i]
-    out_state = np.concatenate([[t0, n0], a2.ravel(), prev_a, [prev_b], ab])
+        if k > 1:
+            prev_a[1:] = prev_a[:-1]
+            prev_b[1:] = prev_b[:-1]
+        prev_a[0] = A[i]
+        prev_b[0] = b[i]
+    out_state = np.concatenate([[t0, n0], a2.ravel(), prev_a.ravel(),
+                                prev_b, ab])
     return res, out_state
 
 

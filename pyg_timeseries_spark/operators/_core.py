@@ -26,20 +26,29 @@ from pyspark.sql import functions as F
 KEY, TS, VAL = "key", "ts", "v"
 
 
-def wspec(key: str | Sequence[str] = KEY, ts: str = TS) -> WindowSpec:
-    """Per-key time-ordered window (ordering ties broken arbitrarily —
-    callers needing total order must ensure unique (key, ts))."""
+def wspec(key: str | Sequence[str] = KEY, ts: str = TS,
+          tiebreak: str | None = None) -> WindowSpec:
+    """Per-key time-ordered window.  Pass ``tiebreak`` (any column giving a
+    total order — e.g. doc_id, or the value column) when (key, ts) can hold
+    duplicates: without it, duplicate-timestamp rows order arbitrarily per
+    run/partitioning, making shift/diff/rank nondeterministic vs an oracle.
+    (The engine's datagen guarantees unique ts; real feeds may not.)"""
     keys = [key] if isinstance(key, str) else list(key)
-    return Window.partitionBy(*keys).orderBy(ts)
+    order = [ts] if tiebreak is None else [ts, tiebreak]
+    return Window.partitionBy(*keys).orderBy(*order)
 
 
-def w_rows(n: int, key: str | Sequence[str] = KEY, ts: str = TS) -> WindowSpec:
+def w_rows(n: int, key: str | Sequence[str] = KEY, ts: str = TS,
+           tiebreak: str | None = None) -> WindowSpec:
     """Trailing count-n frame over *valid* rows (caller pre-filters nulls)."""
-    return wspec(key, ts).rowsBetween(-(n - 1), Window.currentRow)
+    return wspec(key, ts, tiebreak).rowsBetween(-(n - 1), Window.currentRow)
 
 
-def w_unbounded(key: str | Sequence[str] = KEY, ts: str = TS) -> WindowSpec:
-    return wspec(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+def w_unbounded(key: str | Sequence[str] = KEY, ts: str = TS,
+                tiebreak: str | None = None) -> WindowSpec:
+    return wspec(key, ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
 
 
 def apply_on_valid(

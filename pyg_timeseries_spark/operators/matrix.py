@@ -63,18 +63,21 @@ def _features_matrix(pdf, features):
 
 def ewmAAi(df: DataFrame, n: float, features: str = "features",
            key: str = KEY, ts: str = TS, out: str = "aai",
-           min_sample: float = 0.25,
+           min_sample: float = 0.25, overlapping: int = 1,
            state_df: DataFrame | None = None) -> DataFrame:
-    """Rolling inv(E(dAᵀdA)) per row; output flattened (m·m) row-major."""
+    """Rolling inv(E(dAᵀdA)) per row; output flattened (m·m) row-major.
+    ``overlapping`` k differences against the value k valid rows back."""
 
     def build(pdf):
         return (_features_matrix(pdf, features),)
 
     # state length depends on m, so validate inside the kernel call
     def run2(A, state):
-        if state is not None and len(state) != MK.aai_state_len(A.shape[1]):
+        if state is not None and len(state) != MK.aai_state_len(
+                A.shape[1], overlapping):
             state = None
-        return MK.ewmAAi(A, n, state=state, min_sample=min_sample)
+        return MK.ewmAAi(A, n, state=state, min_sample=min_sample,
+                         overlapping=overlapping)
 
     return _matrix_apply(
         df, key, ts, build, run2, out, state_df, state_len=-1
@@ -83,15 +86,17 @@ def ewmAAi(df: DataFrame, n: float, features: str = "features",
 
 def ewmAAi_(df: DataFrame, n: float, features: str = "features",
             key: str = KEY, ts: str = TS, out: str = "aai",
-            min_sample: float = 0.25,
+            min_sample: float = 0.25, overlapping: int = 1,
             state_df: DataFrame | None = None, persist: bool = True):
     def build(pdf):
         return (_features_matrix(pdf, features),)
 
     def run2(A, state):
-        if state is not None and len(state) != MK.aai_state_len(A.shape[1]):
+        if state is not None and len(state) != MK.aai_state_len(
+                A.shape[1], overlapping):
             state = None
-        return MK.ewmAAi(A, n, state=state, min_sample=min_sample)
+        return MK.ewmAAi(A, n, state=state, min_sample=min_sample,
+                         overlapping=overlapping)
 
     combined = _matrix_apply(df, key, ts, build, run2, out, state_df, state_len=-1)
     if persist:
@@ -105,7 +110,7 @@ def ewmAAi_(df: DataFrame, n: float, features: str = "features",
 
 def ewmGLM(df: DataFrame, n: float, features: str = "features",
            b: str = "v", key: str = KEY, ts: str = TS, out: str = "betas",
-           min_sample: float = 0.25,
+           min_sample: float = 0.25, overlapping: int = 1,
            state_df: DataFrame | None = None) -> DataFrame:
     """EWM linear-model betas of db ~ dA per row; output (m,) array."""
 
@@ -115,9 +120,11 @@ def ewmGLM(df: DataFrame, n: float, features: str = "features",
         return (A, bv)
 
     def run2(A, bv, state):
-        if state is not None and len(state) != MK.glm_state_len(A.shape[1]):
+        if state is not None and len(state) != MK.glm_state_len(
+                A.shape[1], overlapping):
             state = None
-        return MK.ewmGLM(A, bv, n, state=state, min_sample=min_sample)
+        return MK.ewmGLM(A, bv, n, state=state, min_sample=min_sample,
+                         overlapping=overlapping)
 
     return _matrix_apply(
         df, key, ts, build, run2, out, state_df, state_len=-1
@@ -126,7 +133,7 @@ def ewmGLM(df: DataFrame, n: float, features: str = "features",
 
 def ewmGLM_(df: DataFrame, n: float, features: str = "features",
             b: str = "v", key: str = KEY, ts: str = TS, out: str = "betas",
-            min_sample: float = 0.25,
+            min_sample: float = 0.25, overlapping: int = 1,
             state_df: DataFrame | None = None, persist: bool = True):
     def build(pdf):
         A = _features_matrix(pdf, features)
@@ -134,9 +141,11 @@ def ewmGLM_(df: DataFrame, n: float, features: str = "features",
         return (A, bv)
 
     def run2(A, bv, state):
-        if state is not None and len(state) != MK.glm_state_len(A.shape[1]):
+        if state is not None and len(state) != MK.glm_state_len(
+                A.shape[1], overlapping):
             state = None
-        return MK.ewmGLM(A, bv, n, state=state, min_sample=min_sample)
+        return MK.ewmGLM(A, bv, n, state=state, min_sample=min_sample,
+                         overlapping=overlapping)
 
     combined = _matrix_apply(df, key, ts, build, run2, out, state_df, state_len=-1)
     if persist:

@@ -39,15 +39,17 @@ def shift(
     v: str = VAL,
     out: str = "shift",
     time_col: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """n-lag (n<0 = lead) over valid rows. Reference _rolling.py:947-1005.
-    With ``time_col``, the lag is the last value of the bucket n units back."""
+    With ``time_col``, the lag is the last value of the bucket n units back.
+    Pass ``tiebreak`` when (key, ts) may repeat (see _core.wspec)."""
     if time_col:
         joined = _bucket_lag(df, n, key, ts, v, time_col)
         return joined.withColumn(
             out, F.when(F.col(v).isNotNull(), F.col("_lagv"))
         ).drop("_lagv")
-    w = wspec(key, ts)
+    w = wspec(key, ts, tiebreak)
     expr = F.lag(v, n).over(w) if n >= 0 else F.lead(v, -n).over(w)
     return apply_on_valid(df, out, expr, v=v)
 
@@ -60,6 +62,7 @@ def diff(
     v: str = VAL,
     out: str = "diff",
     time_col: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """n-period difference over valid rows (diff(a,0) == zeros-with-NaNs,
     reference _rolling.py:818-870, 847-848); clock-aware with ``time_col``
@@ -69,7 +72,7 @@ def diff(
     if time_col:
         joined = _bucket_lag(df, n, key, ts, v, time_col)
         return joined.withColumn(out, F.col(v) - F.col("_lagv")).drop("_lagv")
-    w = wspec(key, ts)
+    w = wspec(key, ts, tiebreak)
     lagv = F.lag(v, n).over(w) if n > 0 else F.lead(v, -n).over(w)
     return apply_on_valid(df, out, F.col(v) - lagv, v=v)
 
@@ -82,6 +85,7 @@ def ratio(
     v: str = VAL,
     out: str = "ratio",
     time_col: str | None = None,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """n-period ratio; NULL when the lagged value is 0 (reference
     _rolling.py:349-368, 1007-1044); clock-aware with ``time_col``."""
@@ -90,7 +94,7 @@ def ratio(
         return joined.withColumn(
             out, F.when(F.col("_lagv") != 0.0, F.col(v) / F.col("_lagv"))
         ).drop("_lagv")
-    w = wspec(key, ts)
+    w = wspec(key, ts, tiebreak)
     lagv = F.lag(v, n).over(w) if n > 0 else F.lead(v, -n).over(w)
     expr = F.when(lagv != 0.0, F.col(v) / lagv)
     return apply_on_valid(df, out, expr, v=v)

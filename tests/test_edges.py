@@ -77,3 +77,30 @@ def test_kernel_empty_and_single():
     assert np.isnan(res).all()
     res2, s2 = K.ewma(np.array([1.0]), 10, state=s)
     assert res2[0] == 1.0
+
+
+def test_shift_tiebreak_deterministic(spark):
+    """Duplicate (key, ts) rows: with a tiebreak column the lag order is a
+    total order — stable across partitionings (ADVICE-r1 wspec note)."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.shift import shift
+
+    pdf = pd.DataFrame(
+        {
+            "key": "k",
+            "ts": pd.to_datetime(["2024-01-01"] * 4 + ["2024-01-02"] * 2),
+            "v": [4.0, 1.0, 3.0, 2.0, 9.0, 5.0],
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        out = shift(df, 1, tiebreak="v").toPandas().sort_values(
+            ["ts", "v"]).reset_index(drop=True)
+        outs.append(out["shift"].to_numpy(float))
+    import numpy as np
+
+    assert np.array_equal(outs[0], outs[1], equal_nan=True)
+    # order within the duplicate bucket follows the tiebreak column
+    assert np.isnan(outs[0][0]) and outs[0][1:4].tolist() == [1.0, 2.0, 3.0]

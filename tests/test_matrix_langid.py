@@ -169,3 +169,40 @@ def test_ewmcorr_psd_overlapping_state_split():
     a1, s1 = MK.ewmcorr_psd_ov(A, 32, overlapping=1)
     a0, s0 = MK.ewmcorr_psd(A, 32)
     assert np.array_equal(a1, a0, equal_nan=True)
+
+
+def test_ewmAAi_glm_overlapping_state_split():
+    """overlapping>1: k-step valid-row differences; resume bit-exact with
+    the shift-register ring riding the state; overlapping=1 unchanged."""
+    import numpy as np
+
+    from pyg_timeseries_spark.kernels import matrix_numpy as MK
+
+    rng = np.random.default_rng(21)
+    A = rng.normal(0, 1, (300, 3)).cumsum(axis=0)
+    A[rng.random((300, 3)) > 2.5] = np.nan  # no missing → also test with:
+    A[rng.random(300) < 0.1] = np.nan       # whole-row gaps
+    b = (A @ np.array([0.5, -1.0, 2.0]))
+    b = np.where(np.isnan(b), 0.0, b) + rng.normal(0, 0.1, 300)
+
+    # overlapping=1 equals the old single-step behavior by construction
+    r1, s1 = MK.ewmAAi(A, 10, overlapping=1)
+    assert len(s1) == MK.aai_state_len(3, 1)
+
+    for k in (2, 3):
+        full, fs = MK.ewmAAi(A, 10, overlapping=k)
+        h, s = MK.ewmAAi(A[:137], 10, overlapping=k)
+        t, s2 = MK.ewmAAi(A[137:], 10, state=s, overlapping=k)
+        assert np.array_equal(np.concatenate([h, t]), full, equal_nan=True), k
+        assert np.array_equal(s2, fs, equal_nan=True), k
+
+        gfull, gfs = MK.ewmGLM(A, b, 10, overlapping=k)
+        gh, gs = MK.ewmGLM(A[:137], b[:137], 10, overlapping=k)
+        gt, gs2 = MK.ewmGLM(A[137:], b[137:], 10, state=gs, overlapping=k)
+        assert np.array_equal(np.concatenate([gh, gt]), gfull, equal_nan=True), k
+        assert np.array_equal(gs2, gfs, equal_nan=True), k
+
+    # k=2 actually differs from k=1 (it is a different estimator)
+    r2, _ = MK.ewmAAi(A, 10, overlapping=2)
+    both = ~(np.isnan(r1) | np.isnan(r2))
+    assert (r1[both] != r2[both]).any()
