@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.operators import expanding as E
@@ -448,6 +448,70 @@ def q_multibuffer(spark, sf_dir):
     )
 
 
+def q_riskparity_diag(spark, sf_dir):
+    """Risk parity on a DIAGONAL per-date covariance (variances of the five
+    event-type series per day) — the closed form w_i ∝ 1/σ_i is
+    SQL-expressible, so the iterative solver gets a real value oracle."""
+    from pyg_timeseries_spark.operators.optimizers import riskparity
+
+    s = _series(spark, sf_dir)
+    var = (
+        s.filter(F.col("v").isNotNull())
+        .groupBy(_trunc_ntz(F.col("ts"), "day").alias("ts"), "key")
+        .agg(F.var_samp("v").alias("var_v"), F.count("v").alias("cnt"))
+        .filter((F.col("cnt") >= 3) & (F.col("var_v") > 0))
+    )
+    cov = var.select(
+        "ts", F.col("key").alias("key_i"), F.col("key").alias("key_j"),
+        F.col("var_v").alias("cov"),
+    )
+    out = riskparity(cov)
+    return out.select("ts", "key", R6(F.col("weight")).alias("weight"))
+
+
+def q_least_squares(spark, sf_dir):
+    """Per-key OLS of v ~ lag(v) (single regressor): x = Σab/Σa², an exact
+    SQL closed form for the lstsq solver."""
+    from pyg_timeseries_spark.operators.optimizers import least_squares
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    w = Window.partitionBy("key").orderBy("ts")
+    pairs = s.withColumn("a", F.lag("v").over(w)).filter(F.col("a").isNotNull())
+    rows = pairs.groupBy("key").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "a"))).alias("_sa"),
+        F.sort_array(F.collect_list(F.struct("ts", "v"))).alias("_sv"),
+    ).select(
+        "key",
+        F.transform("_sa", lambda x: x.getField("a")).alias("A"),
+        F.transform("_sv", lambda x: x.getField("v")).alias("b"),
+    )
+    out = least_squares(rows, a="A", b="b")
+    return out.select("key", R6(F.element_at("x", 1)).alias("beta"))
+
+
+def q_maxdiv(spark, sf_dir):
+    """Max-diversification weights per day from the melted ts_cor tensor —
+    rows-only driver check (QP; KKT/closed-form checks in
+    tests/test_optimizers.py)."""
+    from pyg_timeseries_spark.operators.optimizers import maxdiv
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    # align keys on minute buckets (raw timestamps are irregular per key)
+    day = s.groupBy(
+        _trunc_ntz(F.col("ts"), "day").alias("d"),
+        _trunc_ntz(F.col("ts"), "minute").alias("m"),
+        "key",
+    ).agg(F.sum("v").alias("v"))
+    a = day.select("d", "m", F.col("key").alias("key_i"), F.col("v").alias("v_i"))
+    b = day.select("d", "m", F.col("key").alias("key_j"), F.col("v").alias("v_j"))
+    pairs = a.join(b, ["d", "m"]).filter(F.col("key_i") < F.col("key_j"))
+    cor = pairs.groupBy("d", "key_i", "key_j").agg(
+        F.corr("v_i", "v_j").alias("cor"), F.count(F.lit(1)).alias("n")
+    ).filter(F.col("n") >= 3).drop("n").withColumnRenamed("d", "ts")
+    out = maxdiv(cor)
+    return out.select("ts", "key", R6(F.col("weight")).alias("weight"))
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -580,6 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_quantile_heap": q_rolling_quantile_heap,
         "tokens_chunked": q_tokens_chunked,
         "multibuffer": q_multibuffer,
+        "riskparity_diag": q_riskparity_diag,
+        "least_squares": q_least_squares,
+        "maxdiv": q_maxdiv,
     }
 
 
@@ -1201,6 +1268,33 @@ FROM filled
         # INDEPENDENT plain-Python replica (hashlib + numpy, no Spark)
         # computes the golden frame, inlined as VALUES.
         "media_features": _media_golden_sql(),
+        # riskparity on a DIAGONAL covariance has the closed form
+        # w_i ∝ 1/σ_i (equal budgets) — an independent value oracle for the
+        # iterative CCD solver.
+        "riskparity_diag": f"""
+            WITH var AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ts, key,
+                       var_samp(v) AS var_v, count(v) AS cnt
+                FROM ({VALID_SQL}) GROUP BY 1, 2
+            ), ok AS (
+                SELECT * FROM var WHERE cnt >= 3 AND var_v > 0
+            )
+            SELECT ts, key,
+                   CAST(floor(((1/sqrt(var_v)) / sum(1/sqrt(var_v))
+                        OVER (PARTITION BY ts)) * 1000000 + 0.4997) AS BIGINT)
+                       AS weight
+            FROM ok
+        """,
+        # single-regressor OLS: x = Σab / Σa²
+        "least_squares": f"""
+            SELECT key, CAST(floor((sum(a*v)/sum(a*a)) * 1000000 + 0.4997)
+                   AS BIGINT) AS beta
+            FROM (
+                SELECT key, v,
+                       lag(v) OVER (PARTITION BY key ORDER BY ts) AS a
+                FROM ({VALID_SQL})
+            ) WHERE a IS NOT NULL GROUP BY key
+        """,
         "tokens_chunked": """
             WITH docs AS (
                 SELECT source,

@@ -48,6 +48,10 @@ from pyg_timeseries_spark.operators.recurrence import (  # kernel
 from pyg_timeseries_spark.operators.multibuffer import (  # kernel (bisection)
     multibuffer, multibuffer_,
 )
+from pyg_timeseries_spark.operators.optimizers import (  # per-date QPs
+    least_squares, maxdiv, minimize_tracking_error, minimize_tracking_error_,
+    riskparity,
+)
 from pyg_timeseries_spark.kernels.multibuffer_numpy import (
     beta_correlation_matrix, near_correlation_matrix,
 )
@@ -190,12 +194,14 @@ ts_cor_ = _expanding_pair(ts_cor)
 ewmcorr_ = ewmcorrelation_
 ewmcovar_ = ewmcovariance_
 
-# ---- deferred (documented, out of v0 scope) --------------------------------
-# minimize_tracking_error, least_squares, riskparity, maxdiv —
-#   portfolio optimizers (scipy/cvxpy applications, not engine operators;
-#   SURVEY.md §2.7 marks them out of scope).  multibuffer — the one
-#   scoped-out module that IS an operator (bisection recurrence) — is now
-#   implemented (operators/multibuffer.py).
+# ---- formerly deferred, now implemented -------------------------------------
+# multibuffer (bisection recurrence, operators/multibuffer.py) and the
+# portfolio optimizers (operators/optimizers.py — plain-NumPy solvers:
+# least_squares == lstsq; riskparity via cyclical coordinate descent, which
+# zeroes the reference's scipy objective exactly; maxdiv via an exact
+# active-set QP; minimize_tracking_error's greedy integer descent was
+# already scipy-free).  Custom least_squares cost functions (cvxpy) remain
+# out of scope — only the default sum_squares cost is supported.
 # rms_combine           dead in the reference as shipped (_rms_join.py:4
 #   imports a module that does not exist) — not reproduced.
 # ts_iterate            superseded by the incremental RollupStore driver.
