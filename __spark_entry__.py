@@ -512,6 +512,18 @@ def q_maxdiv(spark, sf_dir):
     return out.select("ts", "key", R6(F.col("weight")).alias("weight"))
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: md5-seeded integer-exact coarse quantizer — the inverted
+    lists and probe sets reproduce bit-for-bit in DuckDB, so the full
+    approximate result has a value oracle (rank output like lsh_topk)."""
+    from pyg_timeseries_spark.similarity.ivf import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(emb, q, dim=64, k=10, n_clusters=8, n_probe=4)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -644,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_quantile_heap": q_rolling_quantile_heap,
         "tokens_chunked": q_tokens_chunked,
         "multibuffer": q_multibuffer,
+        "ivf_topk": q_ivf_topk,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -1268,6 +1281,46 @@ FROM filled
         # INDEPENDENT plain-Python replica (hashlib + numpy, no Spark)
         # computes the golden frame, inlined as VALUES.
         "media_features": _media_golden_sql(),
+        "ivf_topk": """
+WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+cent AS (
+  SELECT iv AS cv, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid
+  FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8
+),
+dists AS (
+  SELECT e.id, e.v, c.cid,
+         list_sum(list_transform(generate_series(1, 64),
+             j -> (e.iv[j]-c.cv[j])*(e.iv[j]-c.cv[j]))) AS d
+  FROM e, cent c
+),
+assign AS (
+  SELECT id, v, cid FROM (
+    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, v AS qv, cid FROM (
+    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+    FROM dists WHERE id < 5
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.id AS neighbor_id, p.qv, a.v AS cv
+  FROM probes p JOIN assign a ON p.cid = a.cid
+  WHERE a.id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= 10
+        """,
         # riskparity on a DIAGONAL covariance has the closed form
         # w_i ∝ 1/σ_i (equal budgets) — an independent value oracle for the
         # iterative CCD solver.

@@ -1,0 +1,156 @@
+"""IVF (inverted-file) approximate nearest neighbor — the partition-based
+scale path beside the hyperplane-LSH one (similarity/ann.py).
+
+Index = a coarse quantizer: every corpus vector is assigned to its nearest
+of ``n_clusters`` centroids (the inverted lists).  A query probes only its
+``n_probe`` nearest clusters and scores those lists exactly.
+
+Determinism / oracle design: centroids seed from the corpus rows with the
+``n_clusters`` smallest md5(vec_id) (reproducible in any engine), and both
+assignment and probing use EXACT INTEGER L2 distances over quantized
+vectors (floor(x·1000)) with an index tie-break — so an external engine
+(the DuckDB oracle) reproduces the same inverted lists and probe sets
+bit-for-bit.  Optional Lloyd refinement (``kmeans_iters``) moves to float
+centroids for better lists (Spark-only; probing ALL clusters still equals
+brute force exactly, which is the refinement-independent invariant).
+
+Plan shape at scale: the corpus NEVER shuffles — assignment is a map-only
+codegen expression, the probe join broadcasts (query_id, cluster) pairs,
+and only slim (query_id, neighbor_id, sim) rows reach the final top-k
+window.  Cluster lists can additionally back a bucketed layout so repeated
+query batches prune files by cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.similarity.ann import cosine
+
+_BIG = 1 << 62
+
+
+def _ivec(vec_col):
+    return F.transform(
+        vec_col.cast("array<double>"), lambda x: F.floor(x * 1000).cast("long")
+    )
+
+
+def _int_l2(ivec_col, centroid: list[int]):
+    c = F.array(*[F.lit(int(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(ivec_col, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def seed_centroids(corpus: DataFrame, n_clusters: int, id_col: str = "vec_id",
+                   vec: str = "embedding") -> list[list[int]]:
+    """The quantized vectors of the ``n_clusters`` corpus rows with the
+    smallest md5(id) — a deterministic, engine-reproducible seeding.
+    Driver-side size: n_clusters × dim ints (a dimension table)."""
+    rows = (
+        corpus.select(_ivec(F.col(vec)).alias("iv"),
+                      F.md5(F.col(id_col).cast("string")).alias("r"),
+                      F.col(id_col).alias("i"))
+        .orderBy("r", "i")
+        .limit(n_clusters)
+        .collect()
+    )
+    return [[int(x) for x in r["iv"]] for r in rows]
+
+
+def refine_centroids(corpus: DataFrame, centroids: list[list[int]],
+                     kmeans_iters: int, id_col: str, vec: str) -> list[list[int]]:
+    """Lloyd iterations: reassign, recompute integer-quantized means.
+    Centroids stay integer-quantized so assignment distances remain exact
+    integers (and ties deterministic) after refinement."""
+    for _ in range(kmeans_iters):
+        assigned = assign_clusters(corpus, centroids, id_col=id_col, vec=vec)
+        means = (
+            assigned.groupBy("cluster")
+            .agg(*[
+                F.avg(F.element_at(_ivec(F.col(vec)), j + 1)).alias(f"m{j}")
+                for j in range(len(centroids[0]))
+            ])
+            .collect()
+        )
+        new = {r["cluster"]: [int(r[f"m{j}"]) for j in range(len(centroids[0]))]
+               for r in means}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def _best_cluster(ivec_col, centroids: list[list[int]]):
+    best = F.struct(F.lit(_BIG).alias("d"), F.lit(-1).alias("i"))
+    for ci, cv in enumerate(centroids):
+        d = _int_l2(ivec_col, cv)
+        cand = F.struct(d.alias("d"), F.lit(ci).alias("i"))
+        best = F.when(d < best["d"], cand).otherwise(best)
+    return best["i"]
+
+
+def assign_clusters(corpus: DataFrame, centroids: list[list[int]],
+                    id_col: str = "vec_id", vec: str = "embedding",
+                    out: str = "cluster") -> DataFrame:
+    """Map-only nearest-centroid assignment (codegen expression, no UDF,
+    no shuffle); ties break toward the smaller centroid index."""
+    return corpus.withColumn(out, _best_cluster(_ivec(F.col(vec)), centroids))
+
+
+def probe_clusters(queries: DataFrame, centroids: list[list[int]],
+                   n_probe: int, id_col: str = "vec_id",
+                   vec: str = "embedding") -> DataFrame:
+    """(query_id, cluster) rows for each query's n_probe nearest centroids
+    (ordered by integer distance, index tie-break)."""
+    iv = _ivec(F.col(vec))
+    dists = F.array(*[
+        F.struct(_int_l2(iv, cv).alias("d"), F.lit(ci).alias("i"))
+        for ci, cv in enumerate(centroids)
+    ])
+    probed = F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s.getField("i")
+    )
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probed).alias("cluster"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 0,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: score only corpus rows in the
+    query's ``n_probe`` nearest inverted lists.  ``n_probe == n_clusters``
+    degrades gracefully to exact brute force (tested invariant)."""
+    centroids = seed_centroids(corpus, n_clusters, id_col, vec)
+    if kmeans_iters:
+        centroids = refine_centroids(corpus, centroids, kmeans_iters, id_col, vec)
+    assigned = assign_clusters(corpus, centroids, id_col, vec)
+    probes = probe_clusters(queries, centroids, n_probe, id_col, vec)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec).cast("array<double>").alias("qv"),
+    )
+    qp = probes.join(q, on="query_id")  # tiny × tiny
+    scored = (
+        assigned.join(F.broadcast(qp), on="cluster")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("qv"), F.col(vec).cast("array<double>")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
