@@ -256,6 +256,11 @@ class RollupStore:
         if prev is not None:
             prev.unpersist()
         out["1m"] = self.read_table("rollup_1m")
+        if with_lineage:
+            self.record_lineage(
+                batch_id, "commit_1m",
+                self.read_table("rollup_1m", parts=touched_parts),
+            )
 
         # -- chunked token payload: one bounded-row table at 1m granularity --
         if chunked:
@@ -313,6 +318,13 @@ class RollupStore:
                     self.last_ingest_stats[f"prev_rows_scanned_{tier}"] = prev_t.count()
             self.commit_partitions(f"rollup_{tier}", content, touched_parts)
             out[tier] = self.read_table(f"rollup_{tier}")
+            if with_lineage:
+                # per-stage lineage over the COMMIT content (delta-touched
+                # partitions only — never a full-tier read)
+                self.record_lineage(
+                    batch_id, f"commit_{tier}",
+                    self.read_table(f"rollup_{tier}", parts=touched_parts),
+                )
             child_tier, delta_cells = tier, parent_cells
 
         delta.unpersist()

@@ -104,3 +104,34 @@ def test_shift_tiebreak_deterministic(spark):
     assert np.array_equal(outs[0], outs[1], equal_nan=True)
     # order within the duplicate bucket follows the tiebreak column
     assert np.isnan(outs[0][0]) and outs[0][1:4].tolist() == [1.0, 2.0, 3.0]
+
+
+def test_optimizers_empty_and_degenerate(spark):
+    """Empty frames and single-asset inputs through the optimizer wrappers."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.optimizers import maxdiv, riskparity
+
+    empty = spark.createDataFrame(
+        [], schema="ts timestamp, key_i string, key_j string, cov double"
+    )
+    assert riskparity(empty).count() == 0
+    assert maxdiv(empty.withColumnRenamed("cov", "cor")).count() == 0
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"ts": [pd.Timestamp("2024-01-01")], "key_i": ["a"],
+                      "key_j": ["a"], "cov": [2.0]})
+    )
+    o = riskparity(one).toPandas()
+    assert len(o) == 1 and abs(o["weight"].iloc[0] - 1.0) < 1e-12
+
+
+def test_multibuffer_empty(spark):
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.multibuffer import multibuffer
+
+    empty = spark.createDataFrame(
+        [], schema="key string, ts timestamp, asset string, target double"
+    )
+    assert multibuffer(empty).count() == 0

@@ -232,6 +232,36 @@ def test_chunked_exact_rebuild_out_of_order(spark, raw, tmp_path):
             full.read_table(f"rollup_{tier}")), tier
 
 
+def test_lineage_per_stage(spark, raw, tmp_path):
+    """Every ingest stage (raw + each tier commit) emits per-partition row
+    counts (north-rule lineage)."""
+    store = RollupStore(str(tmp_path / "lin"), spark)
+    store.ingest(raw)
+    lin = store.lineage().toPandas()
+    assert set(lin.stage) == {"raw", "commit_1m", "commit_1h", "commit_1d"}
+    assert (lin.rows > 0).all()
+
+
+def test_expire_snapshots_manifest_gc(spark, raw, tmp_path):
+    """expire_snapshots keeps every commit a live manifest references and
+    removes the rest; the current view is unaffected."""
+    import os
+
+    cut = F.lit("2024-01-01 03:00:00").cast("timestamp")
+    store = RollupStore(str(tmp_path / "gc"), spark)
+    store.ingest(raw.filter(F.col("ts") < cut))
+    store.ingest(raw.filter(F.col("ts") >= cut))
+    store.expire("1m", keep_buckets=10_000)  # v3: full-rewrite commit
+    before = rows_of(store.read_table("rollup_1m"))
+    store.expire_snapshots(keep=1)
+    base = os.path.join(store.path, "rollup_1m")
+    live_dirs = sorted(os.listdir(base))
+    # only the newest manifest's referenced commits survive (v3 references
+    # only itself after the full rewrite)
+    assert live_dirs == ["v3"]
+    assert rows_of(store.read_table("rollup_1m")) == before
+
+
 def test_retention_expiry(spark, raw, tmp_path):
     store = RollupStore(str(tmp_path / "ttl"), spark)
     store.ingest(raw)
