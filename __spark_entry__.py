@@ -524,6 +524,85 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ewmvar(spark, sf_dir):
+    return _valid_only(M.ewmvar(_series(spark, sf_dir), 10), "ewmvar")
+
+
+def q_ewmskew(spark, sf_dir):
+    return _valid_only(M.ewmskew(_series(spark, sf_dir), 10), "ewmskew")
+
+
+def q_ewmxcor(spark, sf_dir):
+    from pyg_timeseries_spark.operators.pairwise import ewmxcor
+
+    s = _series(spark, sf_dir).withColumn("v2", F.col("v") * F.col("v"))
+    out = ewmxcor(s, 10, "v", "v2")
+    return out.filter(F.col("v").isNotNull()).select(
+        "key", "ts", R6(F.col("ewmxcor")).alias("xcor")
+    )
+
+
+def q_ewmxLR(spark, sf_dir):
+    from pyg_timeseries_spark.operators.pairwise import ewmxLR
+
+    s = _series(spark, sf_dir).withColumn("v2", F.col("v") * F.col("v"))
+    out = ewmxLR(s, 10, "v", "v2")
+    return out.filter(F.col("v").isNotNull()).select(
+        "key", "ts", R6(F.col("lr_c")).alias("lr_c"), R6(F.col("lr_m")).alias("lr_m")
+    )
+
+
+def q_cumprod(spark, sf_dir):
+    from pyg_timeseries_spark.operators.expanding import cumprod
+
+    # first 100 valid rows per key, values near 1 — keeps the running
+    # product in a numerically representable range at any sf
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    w = Window.partitionBy("key").orderBy("ts")
+    s = (
+        s.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 100)
+        .drop("_rn")
+        .withColumn("v", 1.0 + (F.col("v") - 50.0) / 5000.0)
+    )
+    return _valid_only(cumprod(s), "cumprod")
+
+
+def q_expanding_skew(spark, sf_dir):
+    from pyg_timeseries_spark.operators.expanding import expanding_skew
+
+    return _valid_only(expanding_skew(_series(spark, sf_dir)), "expanding_skew")
+
+
+def q_expanding_median(spark, sf_dir):
+    from pyg_timeseries_spark.operators.expanding import expanding_median
+
+    return _valid_only(expanding_median(_series(spark, sf_dir)), "expanding_median")
+
+
+def q_ts_rms_skew(spark, sf_dir):
+    s = _series(spark, sf_dir)
+    out = TS.ts_agg(s, {"rms": "rms_v", "skew": "skew_v"})
+    return out.select("key", R6(F.col("rms_v")).alias("rms_v"),
+                      R6(F.col("skew_v")).alias("skew_v"))
+
+
+def q_fnna(spark, sf_dir):
+    from pyg_timeseries_spark.operators.fill import fnna
+
+    return fnna(_series(spark, sf_dir)).select("key", "ts")
+
+
+def q_bar_eod(spark, sf_dir):
+    from pyg_timeseries_spark.operators.bars import bar_daily_to_eod
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    bars = s.select("key", "ts", F.col("v").alias("close"))
+    # no open/volume → day-boundary mask: last row per (key, UTC date)
+    eod = bar_daily_to_eod(bars, o=None, v=None)
+    return eod.select("key", "ts", R6(F.col("close")).alias("close"))
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -657,6 +736,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_chunked": q_tokens_chunked,
         "multibuffer": q_multibuffer,
         "ivf_topk": q_ivf_topk,
+        "ewmvar": q_ewmvar,
+        "ewmskew": q_ewmskew,
+        "ewmxcor": q_ewmxcor,
+        "ewmxLR": q_ewmxLR,
+        "cumprod": q_cumprod,
+        "expanding_skew": q_expanding_skew,
+        "expanding_median": q_expanding_median,
+        "ts_rms_skew": q_ts_rms_skew,
+        "fnna": q_fnna,
+        "bar_eod": q_bar_eod,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -1372,6 +1461,208 @@ SELECT query_id, neighbor_id, rank FROM (
                    md5(array_to_string(f[(part * 48 + 1):(part * 48 + 48)], ',')) AS chunk_md5,
                    CAST(len(f[(part * 48 + 1):(part * 48 + 48)]) AS INTEGER) AS chunk_len
             FROM parts
+        """,
+        "ewmvar": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, v, rn,
+         (1.0 - 10.0/11.0) AS t0, (1.0 - 10.0/11.0) * v AS t1, (1.0 - 10.0/11.0) * v * v AS t2,
+         (1.0 - 10.0/11.0) * (1.0 - 10.0/11.0) AS w2, (1.0 - 10.0/11.0) AS n0
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0),
+         r.t1 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v,
+         r.t2 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v * o.v,
+         r.w2 * (10.0/11.0) * (10.0/11.0) + (1.0 - 10.0/11.0) * (1.0 - 10.0/11.0),
+         r.n0 * (10.0/11.0) + (1.0 - 10.0/11.0)
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CASE WHEN n0 >= 0.25 AND rn >= 3 AND var >= 0 AND r > 0
+       THEN CAST(floor((var / r) * 1000000 + 0.4997) AS BIGINT) END AS ewmvar
+FROM (SELECT key, ts, rn, n0,
+             t2/t0 - (t1/t0) * (t1/t0) AS var,
+             1.0 - w2/(t0*t0) AS r
+      FROM rec)
+        """,
+        "ewmskew": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, v, rn,
+         (1.0 - 10.0/11.0) AS t0, (1.0 - 10.0/11.0) * v AS t1,
+         (1.0 - 10.0/11.0) * v * v AS t2, (1.0 - 10.0/11.0) * v * v * v AS t3,
+         (1.0 - 10.0/11.0) AS n0
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0),
+         r.t1 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v,
+         r.t2 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v * o.v,
+         r.t3 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v * o.v * o.v,
+         r.n0 * (10.0/11.0) + (1.0 - 10.0/11.0)
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+),
+scaled AS (
+  SELECT key, ts, rn, n0, t0*11.0 AS T0, t1*11.0 AS T1, t2*11.0 AS T2, t3*11.0 AS T3
+  FROM rec
+),
+mom AS (
+  SELECT key, ts, rn, n0, T0,
+         T2/T0 - (T1/T0)*(T1/T0) AS m2,
+         T3/T0 - 3.0*(T1/T0)*(T2/T0) + 2.0*(T1/T0)*(T1/T0)*(T1/T0) AS m3
+  FROM scaled
+)
+SELECT key, ts, CASE WHEN n0 >= 0.25 AND rn >= 4 AND m2 > 0 THEN
+       CAST(floor((CASE WHEN T0 <= 2 THEN m3/pow(m2, 1.5)
+            ELSE m3/pow(m2, 1.5) * sqrt(T0*(T0-1.0))/(T0-2.0) END)
+            * 1000000 + 0.4997) AS BIGINT) END AS ewmskew
+FROM mom
+        """,
+        "ewmxcor": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, v*v AS b, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, rn,
+         (1.0/11.0) AS t0, (1.0/11.0)*v AS a1, (1.0/11.0)*v*v AS a2,
+         (1.0/11.0)*b AS b1, (1.0/11.0)*b*b AS b2, (1.0/11.0)*v*b AS ab,
+         (1.0/11.0)*(1.0/11.0) AS w2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn,
+         r.t0*(10.0/11.0) + (1.0/11.0),
+         r.a1*(10.0/11.0) + (1.0/11.0)*o.v,
+         r.a2*(10.0/11.0) + (1.0/11.0)*o.v*o.v,
+         r.b1*(10.0/11.0) + (1.0/11.0)*o.b,
+         r.b2*(10.0/11.0) + (1.0/11.0)*o.b*o.b,
+         r.ab*(10.0/11.0) + (1.0/11.0)*o.v*o.b,
+         r.w2*(10.0/11.0)*(10.0/11.0) + (1.0/11.0)*(1.0/11.0)
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+),
+calc AS (
+  SELECT key, ts,
+         ab/t0 - (a1/t0)*(b1/t0) AS num,
+         CASE WHEN a2/t0 - (a1/t0)*(a1/t0) < 0 THEN NULL
+              WHEN 1.0 - w2/(t0*t0) > 0
+              THEN sqrt((a2/t0 - (a1/t0)*(a1/t0)) / (1.0 - w2/(t0*t0))) END AS sa,
+         CASE WHEN b2/t0 - (b1/t0)*(b1/t0) < 0 THEN NULL
+              WHEN 1.0 - w2/(t0*t0) > 0
+              THEN sqrt((b2/t0 - (b1/t0)*(b1/t0)) / (1.0 - w2/(t0*t0))) END AS sb
+  FROM rec
+)
+SELECT key, ts, CASE WHEN sa*sb > 0
+       THEN CAST(floor((num/(sa*sb)) * 1000000 + 0.4997) AS BIGINT) END AS xcor
+FROM calc
+        """,
+        "ewmxLR": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, v*v AS b, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, rn,
+         (1.0/11.0) AS t0, (1.0/11.0)*v AS a1, (1.0/11.0)*v*v AS a2,
+         (1.0/11.0)*b AS b1, (1.0/11.0)*v*b AS ab,
+         (1.0/11.0)*(1.0/11.0) AS w2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn,
+         r.t0*(10.0/11.0) + (1.0/11.0),
+         r.a1*(10.0/11.0) + (1.0/11.0)*o.v,
+         r.a2*(10.0/11.0) + (1.0/11.0)*o.v*o.v,
+         r.b1*(10.0/11.0) + (1.0/11.0)*o.b,
+         r.ab*(10.0/11.0) + (1.0/11.0)*o.v*o.b,
+         r.w2*(10.0/11.0)*(10.0/11.0) + (1.0/11.0)*(1.0/11.0)
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+),
+calc AS (
+  SELECT key, ts, a1/t0 AS Ea, b1/t0 AS Eb, ab/t0 AS Eab,
+         CASE WHEN a2/t0 - (a1/t0)*(a1/t0) < 0 THEN NULL
+              WHEN 1.0 - w2/(t0*t0) > 0
+              THEN (a2/t0 - (a1/t0)*(a1/t0)) / (1.0 - w2/(t0*t0)) END AS var
+  FROM rec
+)
+SELECT key, ts,
+       CAST(floor((Eb - CASE WHEN var > 0 THEN (Eab - Ea*Eb)/var END * Ea)
+            * 1000000 + 0.4997) AS BIGINT) AS lr_c,
+       CASE WHEN var > 0 THEN
+            CAST(floor(((Eab - Ea*Eb)/var) * 1000000 + 0.4997) AS BIGINT) END AS lr_m
+FROM calc
+        """,
+        "cumprod": f"""
+            SELECT key, ts, CAST(floor((CASE WHEN nz > 0 THEN 0.0
+                   ELSE (CASE WHEN nneg % 2 = 0 THEN 1.0 ELSE -1.0 END) * exp(slog) END)
+                   * 1000000 + 0.4997) AS BIGINT) AS cumprod
+            FROM (
+                SELECT key, ts,
+                       sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) OVER ({_WIN} {_ROWS_INF}) AS nz,
+                       sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) OVER ({_WIN} {_ROWS_INF}) AS nneg,
+                       sum(ln(abs(nullif(v, 0)))) OVER ({_WIN} {_ROWS_INF}) AS slog
+                FROM (
+                    SELECT key, ts, 1.0 + (v - 50.0)/5000.0 AS v FROM (
+                        SELECT key, ts, v,
+                               row_number() OVER ({_WIN}) AS _rn
+                        FROM ({VALID_SQL})
+                    ) WHERE _rn <= 100
+                )
+            )
+        """,
+        "expanding_skew": f"""
+            SELECT key, ts, CASE WHEN m2 > 0 AND t0 > 2 THEN
+                   CAST(floor((m3/pow(m2, 1.5) * sqrt(t0*(t0-1.0))/(t0-2.0))
+                        * 1000000 + 0.4997) AS BIGINT) END AS expanding_skew
+            FROM (
+                SELECT key, ts, t0,
+                       t2/t0 - (t1/t0)*(t1/t0) AS m2,
+                       t3/t0 - 3.0*(t1/t0)*(t2/t0) + 2.0*(t1/t0)*(t1/t0)*(t1/t0) AS m3
+                FROM (
+                    SELECT key, ts,
+                           CAST(count(v) OVER ({_WIN} {_ROWS_INF}) AS DOUBLE) AS t0,
+                           sum(v) OVER ({_WIN} {_ROWS_INF}) AS t1,
+                           sum(v*v) OVER ({_WIN} {_ROWS_INF}) AS t2,
+                           sum(v*v*v) OVER ({_WIN} {_ROWS_INF}) AS t3
+                    FROM ({VALID_SQL})
+                )
+            )
+        """,
+        "expanding_median": f"""
+            SELECT key, ts, CAST(floor((quantile_cont(v, 0.5)
+                   OVER ({_WIN} {_ROWS_INF})) * 1000000 + 0.4997) AS BIGINT)
+                   AS expanding_median
+            FROM ({VALID_SQL})
+        """,
+        "ts_rms_skew": f"""
+            SELECT key,
+                   CAST(floor(sqrt(msq) * 1000000 + 0.4997) AS BIGINT) AS rms_v,
+                   CASE WHEN m2 > 0 AND t0 > 2 THEN
+                       CAST(floor((m3/pow(m2, 1.5) * sqrt(t0*(t0-1.0))/(t0-2.0))
+                            * 1000000 + 0.4997) AS BIGINT) END AS skew_v
+            FROM (
+                SELECT key, avg(v*v) AS msq, CAST(count(v) AS DOUBLE) AS t0,
+                       sum(v*v)/count(v) - pow(sum(v)/count(v), 2) AS m2,
+                       sum(v*v*v)/count(v) - 3.0*(sum(v)/count(v))*(sum(v*v)/count(v))
+                           + 2.0*pow(sum(v)/count(v), 3) AS m3
+                FROM ({VALID_SQL}) GROUP BY key
+            )
+        """,
+        "fnna": f"""
+            SELECT key, min(ts) AS ts FROM ({VALID_SQL}) GROUP BY key
+        """,
+        "bar_eod": f"""
+            SELECT key, ts, CAST(floor(close * 1000000 + 0.4997) AS BIGINT) AS close
+            FROM (
+                SELECT key, ts, v AS close,
+                       row_number() OVER (PARTITION BY key, CAST(ts AS DATE)
+                           ORDER BY ts DESC) AS rn
+                FROM ({VALID_SQL})
+            ) WHERE rn = 1
         """,
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
