@@ -603,6 +603,44 @@ def q_bar_eod(spark, sf_dir):
     return eod.select("key", "ts", R6(F.col("close")).alias("close"))
 
 
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Gorilla (delta-of-delta ts + XOR values) encode→decode of the 1m
+    sum series: the oracle is the ORIGINAL series — lossless round-trip is
+    the checked property."""
+    from pyg_timeseries_spark.compress.chunks import (
+        compress_series, decompress_series,
+    )
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sum_v"))
+        .filter(F.col("sum_v").isNotNull())
+    )
+    chunks = compress_series(m1, key="key", ts="bucket", v="sum_v")
+    back = decompress_series(chunks, key="key", ts_name="bucket", v_name="sum_v")
+    return back.select(
+        "key", F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        R6(F.col("sum_v")).alias("sum_v"),
+    )
+
+
+def q_ewmcorrelation(spark, sf_dir):
+    """Melted EWM correlation tensor over minute-aligned per-key series
+    (key_i < key_j) — the pairwise kernel on real pair alignment, value-
+    checked via the recursive-CTE oracle."""
+    from pyg_timeseries_spark.operators.pairwise import ewmcorrelation
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sum_v"))
+        .filter(F.col("sum_v").isNotNull())
+    )
+    out = ewmcorrelation(m1, 10, key="key", ts="bucket", v="sum_v")
+    return out.select("bucket", "key_i", "key_j", R6(F.col("cor")).alias("cor"))
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -746,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rms_skew": q_ts_rms_skew,
         "fnna": q_fnna,
         "bar_eod": q_bar_eod,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "ewmcorrelation": q_ewmcorrelation,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -1664,6 +1704,58 @@ FROM calc
                 FROM ({VALID_SQL})
             ) WHERE rn = 1
         """,
+        # lossless round-trip: the oracle IS the original series
+        "gorilla_roundtrip": f"""
+            SELECT key, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+                   CAST(floor(sum(v) * 1000000 + 0.4997) AS BIGINT) AS sum_v
+            FROM ({{SERIES}}) GROUP BY 1, 2 HAVING sum(v) IS NOT NULL
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewmcorrelation": f"""
+WITH RECURSIVE m1 AS (
+  SELECT key, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket, sum(v) AS sum_v
+  FROM ({{SERIES}}) GROUP BY 1, 2 HAVING sum(v) IS NOT NULL
+),
+pairs AS (
+  SELECT a.bucket, a.key AS key_i, b.key AS key_j, a.sum_v AS vi, b.sum_v AS vj
+  FROM m1 a JOIN m1 b ON a.bucket = b.bucket AND a.key < b.key
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY key_i, key_j ORDER BY bucket) AS rn
+  FROM pairs
+),
+rec AS (
+  SELECT key_i, key_j, bucket, rn,
+         (1.0/11.0) AS t0, (1.0/11.0)*vi AS a1, (1.0/11.0)*vi*vi AS a2,
+         (1.0/11.0)*vj AS b1, (1.0/11.0)*vj*vj AS b2, (1.0/11.0)*vi*vj AS ab,
+         (1.0/11.0)*(1.0/11.0) AS w2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key_i, o.key_j, o.bucket, o.rn,
+         r.t0*(10.0/11.0) + (1.0/11.0),
+         r.a1*(10.0/11.0) + (1.0/11.0)*o.vi,
+         r.a2*(10.0/11.0) + (1.0/11.0)*o.vi*o.vi,
+         r.b1*(10.0/11.0) + (1.0/11.0)*o.vj,
+         r.b2*(10.0/11.0) + (1.0/11.0)*o.vj*o.vj,
+         r.ab*(10.0/11.0) + (1.0/11.0)*o.vi*o.vj,
+         r.w2*(10.0/11.0)*(10.0/11.0) + (1.0/11.0)*(1.0/11.0)
+  FROM ordered o JOIN rec r
+    ON o.key_i = r.key_i AND o.key_j = r.key_j AND o.rn = r.rn + 1
+),
+calc AS (
+  SELECT key_i, key_j, bucket,
+         ab/t0 - (a1/t0)*(b1/t0) AS num,
+         CASE WHEN a2/t0 - (a1/t0)*(a1/t0) < 0 THEN NULL
+              WHEN 1.0 - w2/(t0*t0) > 0
+              THEN sqrt((a2/t0 - (a1/t0)*(a1/t0)) / (1.0 - w2/(t0*t0))) END AS sa,
+         CASE WHEN b2/t0 - (b1/t0)*(b1/t0) < 0 THEN NULL
+              WHEN 1.0 - w2/(t0*t0) > 0
+              THEN sqrt((b2/t0 - (b1/t0)*(b1/t0)) / (1.0 - w2/(t0*t0))) END AS sb
+  FROM rec
+)
+SELECT bucket, key_i, key_j, CASE WHEN sa*sb > 0
+       THEN CAST(floor((num/(sa*sb)) * 1000000 + 0.4997) AS BIGINT) END AS cor
+FROM calc
+        """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }
