@@ -641,6 +641,31 @@ def q_ewmcorrelation(spark, sf_dir):
     return out.select("bucket", "key_i", "key_j", R6(F.col("cor")).alias("cor"))
 
 
+def q_ewmAAi(spark, sf_dir):
+    """Rolling inv(E(dAᵀdA)) with m=2 features over minute-aligned series —
+    the 2×2 inverse has a closed form, so the matrix recursion is
+    value-checked via a recursive-CTE oracle."""
+    from pyg_timeseries_spark.operators.matrix import ewmAAi
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sum_v"))
+        .filter(F.col("sum_v").isNotNull())
+    )
+    feats = m1.select(
+        "key", F.col("bucket").alias("ts"),
+        F.array(F.col("sum_v"), F.col("sum_v") * F.col("sum_v") / 100.0).alias("features"),
+    )
+    out = ewmAAi(feats, 10)
+    return out.filter(F.col("aai").isNotNull()).select(
+        "key", "ts",
+        R6(F.element_at("aai", 1)).alias("i11"),
+        R6(F.element_at("aai", 2)).alias("i12"),
+        R6(F.element_at("aai", 4)).alias("i22"),
+    )
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -786,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bar_eod": q_bar_eod,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "ewmcorrelation": q_ewmcorrelation,
+        "ewmAAi": q_ewmAAi,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -1755,6 +1781,44 @@ calc AS (
 SELECT bucket, key_i, key_j, CASE WHEN sa*sb > 0
        THEN CAST(floor((num/(sa*sb)) * 1000000 + 0.4997) AS BIGINT) END AS cor
 FROM calc
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewmAAi": """
+WITH RECURSIVE m1 AS (
+  SELECT key, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts, sum(v) AS sum_v
+  FROM ({SERIES}) GROUP BY 1, 2 HAVING sum(v) IS NOT NULL
+),
+ordered AS (
+  SELECT key, ts, sum_v AS f1, sum_v*sum_v/100.0 AS f2,
+         row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM m1
+),
+rec AS (
+  SELECT key, ts, rn,
+         CAST(0.0 AS DOUBLE) AS t0, CAST(0.0 AS DOUBLE) AS n0,
+         CAST(0.0 AS DOUBLE) AS a11, CAST(0.0 AS DOUBLE) AS a12,
+         CAST(0.0 AS DOUBLE) AS a22, f1 AS p1, f2 AS p2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn,
+         r.t0*(10.0/11.0) + (1.0/11.0),
+         r.n0*(10.0/11.0) + (1.0/11.0),
+         r.a11*(10.0/11.0) + (1.0/11.0)*(o.f1 - r.p1)*(o.f1 - r.p1),
+         r.a12*(10.0/11.0) + (1.0/11.0)*(o.f1 - r.p1)*(o.f2 - r.p2),
+         r.a22*(10.0/11.0) + (1.0/11.0)*(o.f2 - r.p2)*(o.f2 - r.p2),
+         o.f1, o.f2
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+),
+calc AS (
+  SELECT key, ts, rn, n0,
+         a11/t0 AS c11, a12/t0 AS c12, a22/t0 AS c22
+  FROM rec WHERE rn > 1
+)
+SELECT key, ts,
+       CAST(floor((c22/det) * 1000000 + 0.4997) AS BIGINT) AS i11,
+       CAST(floor((-c12/det) * 1000000 + 0.4997) AS BIGINT) AS i12,
+       CAST(floor((c11/det) * 1000000 + 0.4997) AS BIGINT) AS i22
+FROM (SELECT *, c11*c22 - c12*c12 AS det FROM calc)
+WHERE n0 > 0.25 AND det <> 0
         """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
