@@ -666,6 +666,45 @@ def q_ewmAAi(spark, sf_dir):
     )
 
 
+def q_ewmGLM(spark, sf_dir):
+    """EWM GLM betas (db ~ dA) with m=2 — betas = inv(E(dAdA'))·E(dA·db),
+    closed-form 2×2 solve in the recursive-CTE oracle."""
+    from pyg_timeseries_spark.operators.matrix import ewmGLM
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sum_v"))
+        .filter(F.col("sum_v").isNotNull())
+    )
+    feats = m1.select(
+        "key", F.col("bucket").alias("ts"),
+        F.array(F.col("sum_v"),
+                F.col("sum_v") * F.col("sum_v") / 100.0).alias("features"),
+        (F.col("sum_v") * 2.0 + F.lit(3.0)).alias("b"),
+    )
+    out = ewmGLM(feats, 10, b="b")
+    return out.filter(F.col("betas").isNotNull()).select(
+        "key", "ts",
+        R6(F.element_at("betas", 1)).alias("m1_"),
+        R6(F.element_at("betas", 2)).alias("m2_"),
+    )
+
+
+def q_ewmcovariance(spark, sf_dir):
+    """Melted EWM covariance tensor incl. the diagonal, minute-aligned."""
+    from pyg_timeseries_spark.operators.pairwise import ewmcovariance
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sum_v"))
+        .filter(F.col("sum_v").isNotNull())
+    )
+    out = ewmcovariance(m1, 10, key="key", ts="bucket", v="sum_v")
+    return out.select("bucket", "key_i", "key_j", R6(F.col("cov")).alias("cov"))
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -812,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "ewmcorrelation": q_ewmcorrelation,
         "ewmAAi": q_ewmAAi,
+        "ewmGLM": q_ewmGLM,
+        "ewmcovariance": q_ewmcovariance,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -1819,6 +1860,79 @@ SELECT key, ts,
        CAST(floor((c11/det) * 1000000 + 0.4997) AS BIGINT) AS i22
 FROM (SELECT *, c11*c22 - c12*c12 AS det FROM calc)
 WHERE n0 > 0.25 AND det <> 0
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewmGLM": """
+WITH RECURSIVE m1 AS (
+  SELECT key, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts, sum(v) AS sum_v
+  FROM ({SERIES}) GROUP BY 1, 2 HAVING sum(v) IS NOT NULL
+),
+ordered AS (
+  SELECT key, ts, sum_v AS f1, sum_v*sum_v/100.0 AS f2, sum_v*2.0 + 3.0 AS bb,
+         row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM m1
+),
+rec AS (
+  SELECT key, ts, rn,
+         CAST(0.0 AS DOUBLE) AS t0, CAST(0.0 AS DOUBLE) AS n0,
+         CAST(0.0 AS DOUBLE) AS a11, CAST(0.0 AS DOUBLE) AS a12,
+         CAST(0.0 AS DOUBLE) AS a22,
+         CAST(0.0 AS DOUBLE) AS ab1, CAST(0.0 AS DOUBLE) AS ab2,
+         f1 AS p1, f2 AS p2, bb AS pb
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn,
+         r.t0*(10.0/11.0) + (1.0/11.0),
+         r.n0*(10.0/11.0) + (1.0/11.0),
+         r.a11*(10.0/11.0) + (1.0/11.0)*(o.f1 - r.p1)*(o.f1 - r.p1),
+         r.a12*(10.0/11.0) + (1.0/11.0)*(o.f1 - r.p1)*(o.f2 - r.p2),
+         r.a22*(10.0/11.0) + (1.0/11.0)*(o.f2 - r.p2)*(o.f2 - r.p2),
+         r.ab1*(10.0/11.0) + (1.0/11.0)*(o.f1 - r.p1)*(o.bb - r.pb),
+         r.ab2*(10.0/11.0) + (1.0/11.0)*(o.f2 - r.p2)*(o.bb - r.pb),
+         o.f1, o.f2, o.bb
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+),
+calc AS (
+  SELECT key, ts, n0,
+         a11/t0 AS c11, a12/t0 AS c12, a22/t0 AS c22,
+         ab1/t0 AS d1, ab2/t0 AS d2
+  FROM rec WHERE rn > 1
+)
+SELECT key, ts,
+       CAST(floor(((c22*d1 - c12*d2)/det) * 1000000 + 0.4997) AS BIGINT) AS m1_,
+       CAST(floor(((c11*d2 - c12*d1)/det) * 1000000 + 0.4997) AS BIGINT) AS m2_
+FROM (SELECT *, c11*c22 - c12*c12 AS det FROM calc)
+WHERE n0 > 0.25 AND det <> 0
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewmcovariance": """
+WITH RECURSIVE m1 AS (
+  SELECT key, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket, sum(v) AS sum_v
+  FROM ({SERIES}) GROUP BY 1, 2 HAVING sum(v) IS NOT NULL
+),
+pairs AS (
+  SELECT a.bucket, a.key AS key_i, b.key AS key_j, a.sum_v AS vi, b.sum_v AS vj
+  FROM m1 a JOIN m1 b ON a.bucket = b.bucket AND a.key <= b.key
+),
+ordered AS (
+  SELECT *, row_number() OVER (PARTITION BY key_i, key_j ORDER BY bucket) AS rn
+  FROM pairs
+),
+rec AS (
+  SELECT key_i, key_j, bucket, rn,
+         (1.0/11.0) AS t0, (1.0/11.0)*vi AS a1, (1.0/11.0)*vj AS b1,
+         (1.0/11.0)*vi*vj AS ab
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key_i, o.key_j, o.bucket, o.rn,
+         r.t0*(10.0/11.0) + (1.0/11.0),
+         r.a1*(10.0/11.0) + (1.0/11.0)*o.vi,
+         r.b1*(10.0/11.0) + (1.0/11.0)*o.vj,
+         r.ab*(10.0/11.0) + (1.0/11.0)*o.vi*o.vj
+  FROM ordered o JOIN rec r
+    ON o.key_i = r.key_i AND o.key_j = r.key_j AND o.rn = r.rn + 1
+)
+SELECT bucket, key_i, key_j,
+       CAST(floor((ab/t0 - (a1/t0)*(b1/t0)) * 1000000 + 0.4997) AS BIGINT) AS cov
+FROM rec
         """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
