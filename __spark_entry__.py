@@ -705,6 +705,35 @@ def q_ewmcovariance(spark, sf_dir):
     return out.select("bucket", "key_i", "key_j", R6(F.col("cov")).alias("cov"))
 
 
+def q_ewmvol(spark, sf_dir):
+    """ewmvol = ewmrms(diff(x, 1)) — oracle: the ewmrms recursive CTE over
+    the lagged-difference series."""
+    from pyg_timeseries_spark.operators.composite import ewmvol
+
+    out = ewmvol(_series(spark, sf_dir), 10)
+    return out.filter(F.col("ewmvol").isNotNull()).select(
+        "key", "ts", R6(F.col("ewmvol")).alias("ewmvol"))
+
+
+def q_rolling_tover(spark, sf_dir):
+    """Rolling turnover/risk ratio (ring-buffer recurrence, n=5) — the ring
+    zero-fill makes it a plain n-row window over ffilled positions."""
+    from pyg_timeseries_spark.operators.recurrence import rolling_tover
+
+    out = rolling_tover(_series(spark, sf_dir), n=5)
+    return out.filter(F.col("rolling_tover").isNotNull()).select(
+        "key", "ts", R6(F.col("rolling_tover")).alias("tover"))
+
+
+def q_na2v_v2na(spark, sf_dir):
+    from pyg_timeseries_spark.operators.fill import na2v, v2na
+
+    s = _series(spark, sf_dir)
+    # NULL → -1, then 50.0 → NULL (exercises both directions)
+    out = v2na(na2v(s, new=-1.0, out="f"), old=50.0, v="f", out="g")
+    return out.select("key", "ts", R6(F.col("g")).alias("g"))
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -853,6 +882,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewmAAi": q_ewmAAi,
         "ewmGLM": q_ewmGLM,
         "ewmcovariance": q_ewmcovariance,
+        "ewmvol": q_ewmvol,
+        "rolling_tover": q_rolling_tover,
+        "na2v_v2na": q_na2v_v2na,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -1933,6 +1965,58 @@ rec AS (
 SELECT bucket, key_i, key_j,
        CAST(floor((ab/t0 - (a1/t0)*(b1/t0)) * 1000000 + 0.4997) AS BIGINT) AS cov
 FROM rec
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewmvol": f"""
+WITH RECURSIVE diffs AS (
+  SELECT key, ts, v - lag(v) OVER (PARTITION BY key ORDER BY ts) AS d
+  FROM ({VALID_SQL})
+),
+ordered AS (
+  SELECT key, ts, d, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM diffs WHERE d IS NOT NULL
+),
+rec AS (
+  SELECT key, ts, d, rn, (1.0/11.0) AS t0, (1.0/11.0) * d * d AS t2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.d, o.rn,
+         r.t0 * (10.0/11.0) + (1.0/11.0), r.t2 * (10.0/11.0) + (1.0/11.0) * o.d * o.d
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor((sqrt(t2/t0)) * 1000000 + 0.4997) AS BIGINT) AS ewmvol FROM rec
+        """,
+        "rolling_tover": """
+            WITH pos AS (
+                SELECT key, ts,
+                       coalesce(last_value(v IGNORE NULLS)
+                           OVER (PARTITION BY key ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS p
+                FROM ({SERIES})
+            ),
+            tr AS (
+                SELECT key, ts, p,
+                       abs(p - coalesce(lag(p) OVER (PARTITION BY key ORDER BY ts), 0.0)) AS t
+                FROM pos
+            ),
+            sums AS (
+                SELECT key, ts,
+                       -- the kernel's ring subtracts the slot n-1 back:
+                       -- the effective window is n-1 = 4 rows
+                       sum(p*p) OVER (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sv,
+                       sum(t) OVER (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS st
+                FROM tr
+            )
+            SELECT key, ts, CAST(floor(((st * 260.0 / 5.0) / sqrt(sv / 5.0))
+                   * 1000000 + 0.4997) AS BIGINT) AS tover
+            FROM sums WHERE sv > 0
+        """.replace("{SERIES}", SERIES_SQL),
+        "na2v_v2na": """
+            SELECT key, ts, CASE WHEN coalesce(v, -1.0) <> 50.0 THEN
+                   CAST(floor(coalesce(v, -1.0) * 1000000 + 0.4997) AS BIGINT)
+                   END AS g
+            FROM ({SERIES})
         """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
