@@ -734,6 +734,34 @@ def q_na2v_v2na(spark, sf_dir):
     return out.select("key", "ts", R6(F.col("g")).alias("g"))
 
 
+def q_ewmcorr_psd(spark, sf_dir):
+    """PSD-by-construction EWM correlation (per-column state), m=2 panel of
+    the web/code minute series — the full per-column decay/demean recursion
+    is value-checked via a recursive-CTE oracle."""
+    from pyg_timeseries_spark.operators.matrix import ewmcorr_psd
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sum_v"))
+        .filter(F.col("sum_v").isNotNull())
+    )
+    grid = m1.groupBy("bucket").agg(
+        F.max(F.when(F.col("key") == "view", F.col("sum_v"))).alias("f1"),
+        F.max(F.when(F.col("key") == "click", F.col("sum_v"))).alias("f2"),
+    )
+    feats = grid.select(
+        F.lit("g").alias("key"), F.col("bucket").alias("ts"),
+        F.array("f1", "f2").alias("features"),
+    )
+    out = ewmcorr_psd(feats, 10, min_periods=1)
+    c12 = F.element_at("psd_cor", 2)
+    # NaN array elements arrive as NULL through Arrow — check both
+    return out.filter(
+        c12.isNotNull() & ~F.isnan(c12)
+    ).select(F.col("ts").alias("bucket"), R6(c12).alias("c12"))
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -885,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewmvol": q_ewmvol,
         "rolling_tover": q_rolling_tover,
         "na2v_v2na": q_na2v_v2na,
+        "ewmcorr_psd": q_ewmcorr_psd,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -2017,6 +2046,57 @@ SELECT key, ts, CAST(floor((sqrt(t2/t0)) * 1000000 + 0.4997) AS BIGINT) AS ewmvo
                    CAST(floor(coalesce(v, -1.0) * 1000000 + 0.4997) AS BIGINT)
                    END AS g
             FROM ({SERIES})
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewmcorr_psd": """
+WITH RECURSIVE m1 AS (
+  SELECT key, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket, sum(v) AS sum_v
+  FROM ({SERIES}) GROUP BY 1, 2 HAVING sum(v) IS NOT NULL
+),
+grid AS (
+  SELECT bucket,
+         max(CASE WHEN key = 'view' THEN sum_v END) AS f1,
+         max(CASE WHEN key = 'click' THEN sum_v END) AS f2
+  FROM m1 GROUP BY bucket
+),
+ordered AS (
+  SELECT bucket, f1, f2, row_number() OVER (ORDER BY bucket) AS rn FROM grid
+),
+rec AS (
+  SELECT bucket, rn,
+         (1.0/11.0) * (CASE WHEN f1 IS NULL THEN 0.0 ELSE f1*f1 END) AS s11,
+         (1.0/11.0) * (CASE WHEN f1 IS NULL OR f2 IS NULL THEN 0.0 ELSE f1*f2 END) AS s12,
+         (1.0/11.0) * (CASE WHEN f2 IS NULL THEN 0.0 ELSE f2*f2 END) AS s22,
+         CASE WHEN f1 IS NULL THEN 0.0 ELSE (1.0/11.0)*f1 END AS m1_,
+         CASE WHEN f2 IS NULL THEN 0.0 ELSE (1.0/11.0)*f2 END AS m2_,
+         CASE WHEN f1 IS NULL THEN 0.0 ELSE (1.0/11.0) END AS w1,
+         CASE WHEN f2 IS NULL THEN 0.0 ELSE (1.0/11.0) END AS w2,
+         CASE WHEN f1 IS NULL THEN 0 ELSE 1 END AS c1,
+         CASE WHEN f2 IS NULL THEN 0 ELSE 1 END AS c2
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn,
+         r.s11 * (CASE WHEN o.f1 IS NULL THEN 1.0 ELSE 10.0/11.0 END)
+             + (1.0/11.0) * (CASE WHEN o.f1 IS NULL THEN 0.0
+                 ELSE pow(o.f1 - (CASE WHEN r.w1 > 0 THEN r.m1_/r.w1 ELSE 0.0 END), 2) END),
+         r.s12 * sqrt(CASE WHEN o.f1 IS NULL THEN 1.0 ELSE 10.0/11.0 END)
+               * sqrt(CASE WHEN o.f2 IS NULL THEN 1.0 ELSE 10.0/11.0 END)
+             + (1.0/11.0) * (CASE WHEN o.f1 IS NULL OR o.f2 IS NULL THEN 0.0
+                 ELSE (o.f1 - (CASE WHEN r.w1 > 0 THEN r.m1_/r.w1 ELSE 0.0 END))
+                    * (o.f2 - (CASE WHEN r.w2 > 0 THEN r.m2_/r.w2 ELSE 0.0 END)) END),
+         r.s22 * (CASE WHEN o.f2 IS NULL THEN 1.0 ELSE 10.0/11.0 END)
+             + (1.0/11.0) * (CASE WHEN o.f2 IS NULL THEN 0.0
+                 ELSE pow(o.f2 - (CASE WHEN r.w2 > 0 THEN r.m2_/r.w2 ELSE 0.0 END), 2) END),
+         CASE WHEN o.f1 IS NULL THEN r.m1_ ELSE r.m1_*(10.0/11.0) + (1.0/11.0)*o.f1 END,
+         CASE WHEN o.f2 IS NULL THEN r.m2_ ELSE r.m2_*(10.0/11.0) + (1.0/11.0)*o.f2 END,
+         CASE WHEN o.f1 IS NULL THEN r.w1 ELSE r.w1*(10.0/11.0) + (1.0/11.0) END,
+         CASE WHEN o.f2 IS NULL THEN r.w2 ELSE r.w2*(10.0/11.0) + (1.0/11.0) END,
+         r.c1 + (CASE WHEN o.f1 IS NULL THEN 0 ELSE 1 END),
+         r.c2 + (CASE WHEN o.f2 IS NULL THEN 0 ELSE 1 END)
+  FROM ordered o JOIN rec r ON o.rn = r.rn + 1
+)
+SELECT bucket, CAST(floor((s12 / (sqrt(s11)*sqrt(s22))) * 1000000 + 0.4997) AS BIGINT) AS c12
+FROM rec
+WHERE s11 > 0 AND s22 > 0 AND w1 >= 0.25 AND w2 >= 0.25 AND c1 >= 1 AND c2 >= 1
         """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
