@@ -762,6 +762,36 @@ def q_ewmcorr_psd(spark, sf_dir):
     ).select(F.col("ts").alias("bucket"), R6(c12).alias("c12"))
 
 
+def q_cor_codec(spark, sf_dir):
+    """int8 correlation codec round-trip over the per-day ts_cor tensor —
+    the oracle recomputes encode(decode) in SQL (round(clip·100), sentinel
+    127; identical constants to the reference _cor.py)."""
+    from pyg_timeseries_spark.compress.cor_codec import (
+        decode_cor_col, encode_cor_col,
+    )
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    day = s.groupBy(
+        _trunc_ntz(F.col("ts"), "day").alias("d"),
+        _trunc_ntz(F.col("ts"), "minute").alias("m"), "key",
+    ).agg(F.sum("v").alias("v"))
+    a = day.select("d", "m", F.col("key").alias("key_i"), F.col("v").alias("v_i"))
+    b = day.select("d", "m", F.col("key").alias("key_j"), F.col("v").alias("v_j"))
+    cor = (
+        a.join(b, ["d", "m"]).filter(F.col("key_i") < F.col("key_j"))
+        .groupBy("d", "key_i", "key_j")
+        .agg(F.corr("v_i", "v_j").alias("cor"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    out = cor.withColumn("p", encode_cor_col(F.col("cor"), "int8")).withColumn(
+        "back", decode_cor_col(F.col("p"), "int8")
+    )
+    return out.select(
+        "d", "key_i", "key_j", F.col("p").cast("int").alias("p"),
+        R6(F.col("back")).alias("back"),
+    )
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -914,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_tover": q_rolling_tover,
         "na2v_v2na": q_na2v_v2na,
         "ewmcorr_psd": q_ewmcorr_psd,
+        "cor_codec": q_cor_codec,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -2097,6 +2128,31 @@ rec AS (
 SELECT bucket, CAST(floor((s12 / (sqrt(s11)*sqrt(s22))) * 1000000 + 0.4997) AS BIGINT) AS c12
 FROM rec
 WHERE s11 > 0 AND s22 > 0 AND w1 >= 0.25 AND w2 >= 0.25 AND c1 >= 1 AND c2 >= 1
+        """.replace("{SERIES}", SERIES_SQL),
+        "cor_codec": """
+            WITH cor AS (
+                SELECT d, key_i, key_j, corr(v_i, v_j) AS c
+                FROM (
+                    SELECT a.d, a.m, a.key AS key_i, b.key AS key_j,
+                           a.v AS v_i, b.v AS v_j
+                    FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) d,
+                                 CAST(date_trunc('minute', ts) AS TIMESTAMP) m,
+                                 key, sum(v) v
+                          FROM ({SERIES}) WHERE v IS NOT NULL GROUP BY 1,2,3) a
+                    JOIN (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) d,
+                                 CAST(date_trunc('minute', ts) AS TIMESTAMP) m,
+                                 key, sum(v) v
+                          FROM ({SERIES}) WHERE v IS NOT NULL GROUP BY 1,2,3) b
+                      ON a.d = b.d AND a.m = b.m AND a.key < b.key
+                ) GROUP BY 1, 2, 3 HAVING count(*) >= 3
+            )
+            SELECT d, key_i, key_j,
+                   CAST(CASE WHEN c IS NULL THEN 127
+                        ELSE round(greatest(least(c, 1.0), -1.0) * 100) END AS INTEGER) AS p,
+                   CASE WHEN c IS NULL THEN NULL ELSE
+                       CAST(floor((round(greatest(least(c, 1.0), -1.0) * 100) / 100.0)
+                            * 1000000 + 0.4997) AS BIGINT) END AS back
+            FROM cor
         """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
