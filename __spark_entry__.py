@@ -792,6 +792,23 @@ def q_cor_codec(spark, sf_dir):
     )
 
 
+def q_xrank_full(spark, sf_dir):
+    """Full xrank kernel: observation weights + vol-softened pairwise
+    probability (p = 1 - 0.5·exp(-|Δ|/vol)) — the per-timestamp m² sum is
+    SQL-expressible, so the weighted/soft path gets a value oracle (the
+    hard unweighted path is q_xrank_xsec)."""
+    from pyg_timeseries_spark.operators.xrank import xrank
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    m1 = s.groupBy(
+        "key", _trunc_ntz(F.col("ts"), "minute").alias("ts")
+    ).agg(F.sum("v").alias("v")).withColumn(
+        "w", F.length("key").cast("double")
+    )
+    out = xrank(m1, weight="w", vol=1.0)
+    return out.select("ts", "key", R6(F.col("xrank")).alias("r"))
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -945,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "na2v_v2na": q_na2v_v2na,
         "ewmcorr_psd": q_ewmcorr_psd,
         "cor_codec": q_cor_codec,
+        "xrank_full": q_xrank_full,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -2153,6 +2171,25 @@ WHERE s11 > 0 AND s22 > 0 AND w1 >= 0.25 AND w2 >= 0.25 AND c1 >= 1 AND c2 >= 1
                        CAST(floor((round(greatest(least(c, 1.0), -1.0) * 100) / 100.0)
                             * 1000000 + 0.4997) AS BIGINT) END AS back
             FROM cor
+        """.replace("{SERIES}", SERIES_SQL),
+        "xrank_full": """
+            WITH xs AS (
+                SELECT key, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS ts,
+                       sum(v) AS v, CAST(length(key) AS DOUBLE) AS w
+                FROM ({SERIES}) WHERE v IS NOT NULL GROUP BY 1, 2
+            ),
+            tot AS (SELECT ts, sum(w) AS tw FROM xs GROUP BY ts)
+            SELECT i.ts, i.key,
+                   CAST(floor(coalesce(sum(
+                       (j.w / t.tw) *
+                       (CASE WHEN i.v - j.v < 0
+                             THEN exp(-abs(i.v - j.v) / 1.0) - 1.0
+                             ELSE 1.0 - exp(-abs(i.v - j.v) / 1.0) END)
+                   ), 0.0) * 1000000 + 0.4997) AS BIGINT) AS r
+            FROM xs i
+            JOIN tot t ON t.ts = i.ts
+            LEFT JOIN xs j ON j.ts = i.ts AND j.key <> i.key
+            GROUP BY i.ts, i.key
         """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
