@@ -809,6 +809,44 @@ def q_xrank_full(spark, sf_dir):
     return out.select("ts", "key", R6(F.col("xrank")).alias("r"))
 
 
+def q_tdiff(spark, sf_dir):
+    """Clock diff: the lag base is the LAST valid value of the HOUR bucket n
+    units back — every row of a bucket diffs against the same base
+    (reference _tdiff semantics)."""
+    # NTZ-safe hour clock (components, no session-tz epoch conversion)
+    s = _series(spark, sf_dir).withColumn(
+        "clk",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) * 24
+         + F.hour("ts")).cast("double"),
+    )
+    out = S.diff(s, 1, time_col="clk", out="td")
+    return out.filter(F.col("td").isNotNull()).select(
+        "key", "ts", R6(F.col("td")).alias("td"))
+
+
+def q_ewma_clock(spark, sf_dir):
+    """EWM mean under an hour clock: decay w^(Δclock) between buckets and
+    same-bucket rows REPLACE the previous contribution (in-bucket refresh,
+    reference _ewm.py:41-44) — recursive-CTE oracle carries (t, t0, t1,
+    prev contribution)."""
+    s = _series(spark, sf_dir).withColumn(
+        "clk",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) * 24
+         + F.hour("ts")).cast("double"),
+    )
+    out = M.ewma(s, 10, time_col="clk")
+    return _valid_only(out, "ewma")
+
+
+def q_ewma_wgt(spark, sf_dir):
+    """Weighted EWM mean: per-row contribution (1-w)·wgt_i."""
+    s = _series(spark, sf_dir).withColumn(
+        "wgt", (F.minute(F.col("ts")) % 3 + 1).cast("double")
+    )
+    out = M.ewma(s, 10, wgt_col="wgt")
+    return _valid_only(out, "ewma")
+
+
 def q_overlapping_returns(spark, sf_dir):
     from pyg_timeseries_spark.operators.bars import overlapping_returns
 
@@ -963,6 +1001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewmcorr_psd": q_ewmcorr_psd,
         "cor_codec": q_cor_codec,
         "xrank_full": q_xrank_full,
+        "tdiff": q_tdiff,
+        "ewma_clock": q_ewma_clock,
+        "ewma_wgt": q_ewma_wgt,
         "riskparity_diag": q_riskparity_diag,
         "least_squares": q_least_squares,
         "maxdiv": q_maxdiv,
@@ -2190,6 +2231,75 @@ WHERE s11 > 0 AND s22 > 0 AND w1 >= 0.25 AND w2 >= 0.25 AND c1 >= 1 AND c2 >= 1
             JOIN tot t ON t.ts = i.ts
             LEFT JOIN xs j ON j.ts = i.ts AND j.key <> i.key
             GROUP BY i.ts, i.key
+        """.replace("{SERIES}", SERIES_SQL),
+        "tdiff": """
+            WITH valid AS (
+                SELECT key, ts, v,
+                       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24
+                            + hour(ts) AS DOUBLE) AS clk
+                FROM ({SERIES}) WHERE v IS NOT NULL
+            ),
+            last_per AS (
+                SELECT key, clk, max_by(v, ts) AS bucket_last
+                FROM valid GROUP BY key, clk
+            ),
+            lagged AS (
+                SELECT key, clk,
+                       lag(bucket_last) OVER (PARTITION BY key ORDER BY clk) AS lagv
+                FROM last_per
+            )
+            SELECT a.key, a.ts,
+                   CAST(floor((a.v - l.lagv) * 1000000 + 0.4997) AS BIGINT) AS td
+            FROM valid a JOIN lagged l ON a.key = l.key AND a.clk = l.clk
+            WHERE l.lagv IS NOT NULL
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewma_clock": """
+WITH RECURSIVE valid AS (
+  SELECT key, ts, v,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 24
+              + hour(ts) AS DOUBLE) AS clk
+  FROM ({SERIES}) WHERE v IS NOT NULL
+),
+ordered AS (
+  SELECT key, ts, v, clk, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM valid
+),
+rec AS (
+  SELECT key, ts, rn, clk AS t, (1.0/11.0) AS t0, (1.0/11.0) * v AS t1,
+         (1.0/11.0) AS pv, v AS pa
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn, o.clk,
+         CASE WHEN o.clk = r.t THEN r.t0 + (1.0/11.0) - r.pv
+              ELSE r.t0 * pow(10.0/11.0, o.clk - r.t) + (1.0/11.0) END,
+         CASE WHEN o.clk = r.t THEN r.t1 + (1.0/11.0)*o.v - r.pv*r.pa
+              ELSE r.t1 * pow(10.0/11.0, o.clk - r.t) + (1.0/11.0)*o.v END,
+         (1.0/11.0), o.v
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) AS ewma FROM rec
+        """.replace("{SERIES}", SERIES_SQL),
+        "ewma_wgt": """
+WITH RECURSIVE valid AS (
+  SELECT key, ts, v, CAST(minute(ts) % 3 + 1 AS DOUBLE) AS wgt
+  FROM ({SERIES}) WHERE v IS NOT NULL
+),
+ordered AS (
+  SELECT key, ts, v, wgt, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM valid
+),
+rec AS (
+  SELECT key, ts, rn, (1.0/11.0)*wgt AS t0, (1.0/11.0)*wgt*v AS t1
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.rn,
+         r.t0 * (10.0/11.0) + (1.0/11.0)*o.wgt,
+         r.t1 * (10.0/11.0) + (1.0/11.0)*o.wgt*o.v
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CASE WHEN t0 <> 0
+       THEN CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) END AS ewma
+FROM rec
         """.replace("{SERIES}", SERIES_SQL),
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
