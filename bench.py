@@ -142,6 +142,7 @@ def main():
     for name in (
         "rollup_1m", "rolling_mean", "ffill", "cumsum", "ts_agg",
         "rolling_median", "dedup_exact", "token_count", "quality", "ann_topk",
+        "ivf_topk", "riskparity_diag",
     ):
         t0 = time.time()
         run_action(qdict[name](spark, SF_DIR))

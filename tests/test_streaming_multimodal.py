@@ -67,6 +67,50 @@ def test_stream_foreach_batch_ingest_matches_batch(spark, tmp_path):
     assert got[cols].equals(exp[cols]), "streamed store != batch store"
 
 
+def test_stream_ingest_chunked_tokens(spark, tmp_path):
+    """foreachBatch ingest in chunked token mode: streamed micro-batches
+    build the same bounded chunk table as one batch ingest."""
+    from pyg_timeseries_spark.streaming.stream_rollup import foreach_batch_ingest
+
+    raw = sequences(spark, 4000, with_tokens=True)
+    src = str(tmp_path / "ctok_src")
+    cut = F.col("seq") < 1200
+    raw.filter(cut).coalesce(1).write.parquet(src + "/a.parquet")
+    raw.filter(~cut).coalesce(1).write.parquet(src + "/b.parquet")
+    schema = spark.read.parquet(src + "/a.parquet").schema
+
+    store = RollupStore(str(tmp_path / "ctok_store"), spark)
+
+    def fn(batch_df, epoch_id):
+        if batch_df.isEmpty():
+            return
+        store.ingest(batch_df, tokens="tokens", token_mode="chunked",
+                     chunk_cap=256)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        .writeStream.outputMode("update").foreachBatch(fn)
+        .option("checkpointLocation", str(tmp_path / "ctok_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    batch_store = RollupStore(str(tmp_path / "ctok_batch"), spark)
+    batch_store.ingest(raw, tokens="tokens", token_mode="chunked",
+                       chunk_cap=256)
+
+    def rows(st):
+        pdf = st.read_table("tokens_1m").toPandas().sort_values(
+            ["source", "bucket", "part"]).reset_index(drop=True)
+        pdf["tokens"] = pdf["tokens"].apply(tuple)
+        return list(map(tuple, pdf.itertuples(index=False)))
+
+    assert rows(store) == rows(batch_store)
+    mx = store.read_table("tokens_1m").select(F.max(F.size("tokens"))).first()[0]
+    assert mx <= 256
+
+
 def test_stream_ewma_out_of_order(spark, tmp_path):
     """transformWithStateInPandas path: late rows inside the watermark revise
     their open bucket; buckets finalize in order through the exact EWM
