@@ -83,21 +83,45 @@ def refine_centroids(corpus: DataFrame, centroids: list[list[int]],
     return centroids
 
 
+def _centroid_lit(centroids: list[list[int]]):
+    """The centroid matrix as ONE nested-array literal — embedding it once
+    keeps the task binary small (a per-centroid when-chain duplicates the
+    matrix k times and bloats codegen)."""
+    return F.array(*[
+        F.array(*[F.lit(int(x)) for x in cv]) for cv in centroids
+    ])
+
+
+def _dists_arr(ivec_col, centroids: list[list[int]]):
+    """array of integer L2 distances to every centroid (one transform)."""
+    return F.transform(
+        _centroid_lit(centroids),
+        lambda cv: F.aggregate(
+            F.zip_with(ivec_col, cv, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def _best_cluster(ivec_col, centroids: list[list[int]]):
-    best = F.struct(F.lit(_BIG).alias("d"), F.lit(-1).alias("i"))
-    for ci, cv in enumerate(centroids):
-        d = _int_l2(ivec_col, cv)
-        cand = F.struct(d.alias("d"), F.lit(ci).alias("i"))
-        best = F.when(d < best["d"], cand).otherwise(best)
-    return best["i"]
+    d = _dists_arr(ivec_col, centroids)
+    # first occurrence of the min == smallest centroid index (the tie-break)
+    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
 
 
 def assign_clusters(corpus: DataFrame, centroids: list[list[int]],
                     id_col: str = "vec_id", vec: str = "embedding",
                     out: str = "cluster") -> DataFrame:
     """Map-only nearest-centroid assignment (codegen expression, no UDF,
-    no shuffle); ties break toward the smaller centroid index."""
-    return corpus.withColumn(out, _best_cluster(_ivec(F.col(vec)), centroids))
+    no shuffle); ties break toward the smaller centroid index.  The
+    quantized vector materializes ONCE per row (k distance folds reuse it
+    instead of re-deriving the transform k times)."""
+    return (
+        corpus.withColumn("_iv", _ivec(F.col(vec)))
+        .withColumn(out, _best_cluster(F.col("_iv"), centroids))
+        .drop("_iv")
+    )
 
 
 def probe_clusters(queries: DataFrame, centroids: list[list[int]],
@@ -105,13 +129,19 @@ def probe_clusters(queries: DataFrame, centroids: list[list[int]],
                    vec: str = "embedding") -> DataFrame:
     """(query_id, cluster) rows for each query's n_probe nearest centroids
     (ordered by integer distance, index tie-break)."""
-    iv = _ivec(F.col(vec))
-    dists = F.array(*[
-        F.struct(_int_l2(iv, cv).alias("d"), F.lit(ci).alias("i"))
-        for ci, cv in enumerate(centroids)
-    ])
+    queries = queries.withColumn("_piv", _ivec(F.col(vec))).withColumn(
+        "_pd", _dists_arr(F.col("_piv"), centroids)
+    )
+    k = len(centroids)
+    dist_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            F.element_at(F.col("_pd"), i + 1).alias("d"), i.alias("i")
+        ),
+    )
     probed = F.transform(
-        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s.getField("i")
+        F.slice(F.array_sort(dist_structs), 1, n_probe),
+        lambda s: s.getField("i"),
     )
     return queries.select(
         F.col(id_col).alias("query_id"),
