@@ -137,13 +137,16 @@ def main():
     queries["tokens_chunked_1m"] = round(time.time() - t0, 3)
     tok_raw.unpersist()
 
-    # 3) representative driver queries at the bench sf
+    # 3) representative driver queries at the bench sf — one untimed warm
+    # pass (codegen/compile; ivf's distance expressions alone cost ~5s of
+    # one-time compilation), then the timed steady-state run
     qdict = em.queries()
     for name in (
         "rollup_1m", "rolling_mean", "ffill", "cumsum", "ts_agg",
         "rolling_median", "dedup_exact", "token_count", "quality", "ann_topk",
         "ivf_topk", "riskparity_diag",
     ):
+        run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()
         run_action(qdict[name](spark, SF_DIR))
         queries[name] = round(time.time() - t0, 3)
