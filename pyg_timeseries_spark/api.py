@@ -52,6 +52,9 @@ from pyg_timeseries_spark.operators.optimizers import (  # per-date QPs
     least_squares, maxdiv, minimize_tracking_error, minimize_tracking_error_,
     riskparity,
 )
+from pyg_timeseries_spark.operators.reindex import (  # as-of tensor realign
+    reindex_3d, reindex_melted,
+)
 from pyg_timeseries_spark.kernels.multibuffer_numpy import (
     beta_correlation_matrix, near_correlation_matrix,
 )
@@ -205,7 +208,7 @@ ewmcovar_ = ewmcovariance_
 # rms_combine           dead in the reference as shipped (_rms_join.py:4
 #   imports a module that does not exist) — not reproduced.
 # ts_iterate            superseded by the incremental RollupStore driver.
-# reindex_3d            pandas-specific tensor helper; long format makes it
-#                        a join (plans/rollup.py).
+# reindex_3d            implemented as the as-of tensor realign
+#                        (operators/reindex.py — union + last_value window).
 # compiled / mask_nans / apply_along_first_axis — reference-internal numba
 #   decorators with no Spark meaning.

@@ -331,3 +331,24 @@ def test_matmul_nan_masked():
     res = PSD.matmul(a, b)
     assert res[0, 0] == 2.0
     assert np.isnan(res[1, 0])
+
+
+def test_reindex_melted_ffill_and_exact(spark):
+    """reindex_3d long-format rendition: as-of ffill onto a denser axis and
+    exact-match mode."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.reindex import reindex_melted
+
+    tens = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-05"]),
+        "key_i": "a", "key_j": "b", "cor": [0.1, 0.3, 0.5],
+    }))
+    idx = spark.createDataFrame(pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=6, freq="1D")}))
+    out = reindex_melted(tens, idx).toPandas().sort_values("ts")
+    assert out["cor"].tolist() == [0.1, 0.1, 0.3, 0.3, 0.5, 0.5]
+    exact = reindex_melted(tens, idx, method=None).toPandas().sort_values("ts")
+    got = exact["cor"].tolist()
+    assert got[0] == 0.1 and got[2] == 0.3 and got[4] == 0.5
+    assert pd.isna(got[1]) and pd.isna(got[3]) and pd.isna(got[5])
