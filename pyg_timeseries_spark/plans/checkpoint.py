@@ -231,6 +231,13 @@ class RollupStore:
         ]
         self.last_ingest_stats = {"touched_parts": touched_parts}
         out: dict[str, DataFrame] = {}
+        if not touched_parts:  # empty batch: nothing to merge or commit
+            delta.unpersist()
+            self.meta["batches"] = batch_id
+            self._save_meta()
+            for tier in ("1m", "1h", "1d"):
+                out[tier] = self.read_table(f"rollup_{tier}")
+            return out
 
         # -- 1m: merge or rebuild delta-touched cells ------------------------
         prev = self.read_table("rollup_1m", parts=touched_parts)

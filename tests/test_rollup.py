@@ -271,3 +271,16 @@ def test_retention_expiry(spark, raw, tmp_path):
     per_src = after.groupBy("source").count().toPandas()
     assert (per_src["count"] <= 10).all()
     assert after.count() < before
+
+
+def test_ingest_empty_batch_noop(spark, raw, tmp_path):
+    store = RollupStore(str(tmp_path / "emptyb"), spark)
+    store.ingest(raw)
+    before = rows_of(store.read_table("rollup_1m"))
+    out = store.ingest(raw.filter(F.lit(False)))
+    assert rows_of(store.read_table("rollup_1m")) == before
+    assert rows_of(out["1m"]) == before
+    # and on a fresh store an empty first batch yields empty tiers
+    fresh = RollupStore(str(tmp_path / "emptyf"), spark)
+    out2 = fresh.ingest(raw.filter(F.lit(False)))
+    assert out2["1m"] is None
