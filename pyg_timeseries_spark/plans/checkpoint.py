@@ -72,6 +72,7 @@ class RollupStore:
         self.meta_path = os.path.join(path, "meta.json")
         self.meta = self._load_meta()
         self.last_ingest_stats: dict = {}
+        self.last_expire_stats: dict = {}
 
     # -- meta ---------------------------------------------------------------
     def _load_meta(self) -> dict:
@@ -124,6 +125,21 @@ class RollupStore:
         man = {} if drop_missing else dict(self._manifest(name))
         for p in touched_parts:
             man[p] = new
+        info["version"] = new
+        info.setdefault("manifests", {})[str(new)] = man
+        self._save_meta()
+        return new
+
+    def drop_partitions(self, name: str, parts: list[str]) -> int:
+        """Metadata-only commit: remove ``parts`` from the live manifest.
+        No data is read or written — the Iceberg ``DROP PARTITION`` /
+        delete-by-partition-predicate analog (a new manifest simply stops
+        referencing the expired day-partitions; expire_snapshots later GCs
+        commit dirs nothing references)."""
+        info = self.meta["tables"][name]
+        new = info["version"] + 1
+        drop = set(parts)
+        man = {p: v for p, v in self._manifest(name).items() if p not in drop}
         info["version"] = new
         info.setdefault("manifests", {})[str(new)] = man
         self._save_meta()
@@ -422,31 +438,57 @@ class RollupStore:
         return self.read_table(f"state_{op}")
 
     # -- retention ----------------------------------------------------------
+    _TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
     def expire(self, tier: str, keep_buckets: int) -> None:
-        """Tier TTL: keep only the newest ``keep_buckets`` buckets per source
-        (finer tiers retain less history — the retention pyramid).  Full
-        rewrite commit: the new manifest covers only surviving partitions."""
-        self._expire_table(f"rollup_{tier}", keep_buckets)
+        """Tier TTL: keep the newest ``keep_buckets`` bucket-intervals,
+        measured back from the tier's max bucket (finer tiers retain less
+        history — the retention pyramid).
+
+        Cost is O(1 partition), never O(history): the cutoff is derived from
+        the newest day-partition alone; whole days older than the cutoff are
+        dropped from the manifest WITHOUT being read or rewritten
+        (drop_partitions — the Iceberg DROP PARTITION analog, the retention
+        half of the reference's persist_data, _decorators.py:246-330); only
+        the single boundary day the cutoff bisects is rewritten."""
+        self._expire_table(f"rollup_{tier}", keep_buckets,
+                           self._TIER_SECONDS[tier])
 
     def expire_tokens(self, keep_buckets: int) -> None:
         """TTL for the chunked token table (its own retention — token
         payloads are the bulky tier and usually expire before measures)."""
-        self._expire_table("tokens_1m", keep_buckets)
+        self._expire_table("tokens_1m", keep_buckets, self._TIER_SECONDS["1m"])
 
-    def _expire_table(self, name: str, keep_buckets: int) -> None:
-        from pyspark.sql import Window
+    def _expire_table(self, name: str, keep_buckets: int,
+                      interval_s: int) -> None:
+        import datetime as _dt
 
-        cur = self.read_table(name)
-        if cur is None:
+        man = self._manifest(name)
+        if not man:
             return
-        w = Window.partitionBy("source").orderBy(F.col("bucket").desc())
-        ranked = cur.select("source", "bucket").distinct().withColumn(
-            "_rn", F.row_number().over(w)
-        ).filter(F.col("_rn") <= keep_buckets).drop("_rn")
-        kept = cur.join(F.broadcast(ranked), _CELL, "left_semi").persist()
-        parts = [r[0] for r in _with_pday(kept).select(PART_COL).distinct().collect()]
-        self.commit_partitions(name, kept, parts, drop_missing=True)
-        kept.unpersist()
+        newest_day = max(man)  # ISO date strings sort chronologically
+        newest = self.read_table(name, parts=[newest_day])
+        max_b = newest.select(F.max("bucket")).first()[0]
+        if max_b is None:
+            return
+        cutoff = max_b - _dt.timedelta(seconds=(keep_buckets - 1) * interval_s)
+        cutoff_day = cutoff.date().isoformat()
+        expired = [p for p in man if p < cutoff_day]
+        if expired:
+            self.drop_partitions(name, expired)
+        self.last_expire_stats = {
+            "dropped_parts": sorted(expired), "rewritten_parts": [],
+        }
+        # the boundary day is rewritten only when the cutoff bisects it
+        if cutoff.time() != _dt.time.min and cutoff_day in man:
+            part = self.read_table(name, parts=[cutoff_day])
+            # cast the literal to the bucket's own type (NTZ-safe compare)
+            cut_lit = F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")).cast(
+                part.schema["bucket"].dataType
+            )
+            boundary = part.filter(F.col("bucket") >= cut_lit)
+            self.commit_partitions(name, boundary, [cutoff_day])
+            self.last_expire_stats["rewritten_parts"] = [cutoff_day]
 
     def expire_snapshots(self, keep: int = 2) -> None:
         """Drop commit dirs no live manifest references (Iceberg

@@ -251,18 +251,19 @@ def test_expire_snapshots_manifest_gc(spark, raw, tmp_path):
     store = RollupStore(str(tmp_path / "gc"), spark)
     store.ingest(raw.filter(F.col("ts") < cut))
     store.ingest(raw.filter(F.col("ts") >= cut))
-    store.expire("1m", keep_buckets=10_000)  # v3: full-rewrite commit
+    # both batches touch the single fixture day → the live manifest (v2)
+    # references only commit 2; v1's dir is garbage after keep=1
     before = rows_of(store.read_table("rollup_1m"))
     store.expire_snapshots(keep=1)
     base = os.path.join(store.path, "rollup_1m")
     live_dirs = sorted(os.listdir(base))
-    # only the newest manifest's referenced commits survive (v3 references
-    # only itself after the full rewrite)
-    assert live_dirs == ["v3"]
+    assert live_dirs == ["v2"]
     assert rows_of(store.read_table("rollup_1m")) == before
 
 
 def test_retention_expiry(spark, raw, tmp_path):
+    """TTL keeps the newest keep_buckets bucket-intervals from the tier max;
+    on single-day data the cutoff bisects the (one) boundary partition."""
     store = RollupStore(str(tmp_path / "ttl"), spark)
     store.ingest(raw)
     before = store.read_table("rollup_1m").count()
@@ -271,6 +272,44 @@ def test_retention_expiry(spark, raw, tmp_path):
     per_src = after.groupBy("source").count().toPandas()
     assert (per_src["count"] <= 10).all()
     assert after.count() < before
+    assert store.last_expire_stats["rewritten_parts"] == ["2024-01-01"]
+
+
+def test_expire_is_metadata_only(spark, tmp_path):
+    """The scale claim for retention made executable: expiring history drops
+    whole day-partitions from the manifest WITHOUT reading or rewriting them
+    (their manifest entries still point at the ORIGINAL commit version), and
+    rewrites at most the one boundary day the cutoff bisects."""
+    import datetime as dt
+
+    raw = sequences(spark, 20_000, interval_s=60).persist()  # ~7 days on web
+    store = RollupStore(str(tmp_path / "meta_ttl"), spark)
+    store.ingest(raw, with_lineage=False)
+    full = store.read_table("rollup_1m").persist()
+    max_b = full.select(F.max("bucket")).first()[0]
+    all_days = sorted(
+        r[0] for r in full.select(F.to_date("bucket").cast("string")).distinct().collect()
+    )
+    assert len(all_days) >= 5, "fixture must span multiple days"
+
+    keep = 2 * 1440 + 30  # 2 days + 30 min back from max → mid-day cutoff
+    store.expire("1m", keep_buckets=keep)
+    stats = store.last_expire_stats
+    # ≤1 partition rewritten; everything older dropped metadata-only
+    assert len(stats["rewritten_parts"]) == 1
+    boundary = stats["rewritten_parts"][0]
+    assert stats["dropped_parts"] == [d for d in all_days if d < boundary]
+    # surviving untouched days still point at their ORIGINAL commit (v1):
+    # proof no survivor was scanned or rewritten
+    man = store._manifest("rollup_1m")
+    untouched = set(man) - {boundary}
+    assert untouched and all(man[d] == 1 for d in untouched)
+    # the view equals a plain bucket filter of the pre-expire table
+    cutoff = max_b - dt.timedelta(seconds=(keep - 1) * 60)
+    expect = full.filter(F.col("bucket") >= F.lit(cutoff))
+    assert rows_of(store.read_table("rollup_1m")) == rows_of(expect)
+    full.unpersist()
+    raw.unpersist()
 
 
 def test_ingest_empty_batch_noop(spark, raw, tmp_path):
