@@ -54,7 +54,7 @@ def _per_date_solver(cov: DataFrame, ts: str, val: str, out: str, solve):
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         assets, m = _pivot_matrix(pdf, ts, val)
-        w = solve(m, assets)
+        w = solve(m, assets, pdf)
         return pd.DataFrame({ts: pdf[ts].iloc[0], "key": assets, out: w})
 
     return cov.groupBy(ts).applyInPandas(fn, schema=out_schema)
@@ -65,16 +65,33 @@ def riskparity(cov: DataFrame, budget: DataFrame | None = None, ts: str = TS,
     """Risk-budget weights per date from a melted covariance tensor.
     ``budget``: optional (key, budget) frame (default equal budgets).
     Returns (ts, key, weight); masked assets (NaN/zero variance or zero
-    budget) get NULL weight."""
-    bmap = None
-    if budget is not None:
-        bmap = {r["key"]: float(r["budget"]) for r in budget.collect()}
+    budget) get NULL weight.
 
-    def solve(m, assets):
+    The budget stays distributed: it broadcast-joins onto the melted rows
+    (never a driver-side collect — the key count is unbounded at scale) and
+    each date's solver reads its assets' budgets out of its own cogroup."""
+    has_budget = budget is not None
+    if has_budget:
+        bi = budget.select(F.col("key").alias("key_i"),
+                           F.col("budget").alias("__b_i"))
+        bj = budget.select(F.col("key").alias("key_j"),
+                           F.col("budget").alias("__b_j"))
+        cov = cov.join(F.broadcast(bi), "key_i", "left").join(
+            F.broadcast(bj), "key_j", "left")
+
+    def solve(m, assets, pdf):
         if np.isnan(np.diagonal(m)).all():
             return np.full(len(assets), np.nan)
-        b = (None if bmap is None
-             else np.array([bmap.get(a, 0.0) for a in assets]))
+        b = None
+        if has_budget:
+            bm = {}
+            for k, bv in zip(pdf["key_i"], pdf["__b_i"]):
+                if pd.notna(bv):
+                    bm[k] = float(bv)
+            for k, bv in zip(pdf["key_j"], pdf["__b_j"]):
+                if pd.notna(bv):
+                    bm.setdefault(k, float(bv))
+            b = np.array([bm.get(a, 0.0) for a in assets])
         return OPT.riskparity(m, b)
 
     return _per_date_solver(cov, ts, val, out, solve)
@@ -86,7 +103,7 @@ def maxdiv(cor: DataFrame, min_weight: float | None = None,
     """Max-diversification weights per date from a melted correlation
     tensor (diagonal implied 1)."""
 
-    def solve(m, assets):
+    def solve(m, assets, _pdf):
         k = len(assets)
         np.fill_diagonal(m, 1.0)
         lo = None if min_weight is None else np.full(k, min_weight)

@@ -200,8 +200,9 @@ class RollupStore:
         tokens: str | None = "tokens",
         key: str = "source",
         with_lineage: bool = True,
+        with_scan_stats: bool = False,
         exact_rebuild: bool = False,
-        token_mode: str = "array",
+        token_mode: str = "chunked",
         chunk_cap: int = MAX_TOKENS_PER_ROW,
     ) -> dict[str, DataFrame]:
         """Append a raw batch: roll it up, merge into each tier, commit.
@@ -217,16 +218,23 @@ class RollupStore:
         day-partitions are read (manifest pruning), only delta-touched cells
         are re-aggregated, only touched partitions are rewritten.
 
+        ``with_scan_stats`` records prev_rows_scanned_* in
+        last_ingest_stats (diagnostic count actions over the pruned prev
+        scans; off by default so a batch runs one job per committed table).
+
         ``exact_rebuild`` lifts the append contract entirely: raw batches are
         retained in the store and any 1m cell touched by BOTH history and
         this batch (an interleaving late arrival) is recomputed from retained
         raw.  Requires every prior batch to have retained raw (guarded).
 
-        ``token_mode``: 'array' carries token payloads inside the tier rows
-        (concatenated per bucket — unbounded for a hot (source, day) at the
-        1d tier); 'chunked' stores them ONCE at 1m granularity as bounded
-        part-rows ≤ ``chunk_cap`` tokens (tokens_1m table; coarser tiers are
-        measures-only and token payloads flatten at read via read_tokens).
+        ``token_mode``: 'chunked' (the default — the 100 TB-safe shape)
+        stores token payloads ONCE at 1m granularity as bounded part-rows
+        ≤ ``chunk_cap`` tokens (tokens_1m table; coarser tiers are
+        measures-only and token payloads flatten at read via read_tokens,
+        which the tokens_cascade driver oracle checks end-to-end against
+        the array-mode 1d rows).  'array' (compat) carries payloads inside
+        the tier rows — concatenated per bucket, so a hot (source, day) at
+        the 1d tier becomes ONE unbounded row; use only at small scale.
         """
         batch_id = self.meta["batches"] + 1
         if with_lineage:
@@ -273,7 +281,9 @@ class RollupStore:
                     overlap, delta, with_tokens=tier_tokens is not None
                 )
             content_1m = keep.unionByName(merged_cells)
-            if with_lineage:
+            if with_scan_stats:
+                # extra count action over the (pruned) prev scan — diagnostic
+                # only, so a production batch runs one job per committed table
                 self.last_ingest_stats["prev_rows_scanned_1m"] = prev.count()
         self.commit_partitions("rollup_1m", content_1m, touched_parts)
         if prev is not None:
@@ -337,7 +347,7 @@ class RollupStore:
             else:
                 keep_t = prev_t.join(F.broadcast(parent_cells), _CELL, "left_anti")
                 content = keep_t.unionByName(recomputed)
-                if with_lineage:
+                if with_scan_stats:
                     self.last_ingest_stats[f"prev_rows_scanned_{tier}"] = prev_t.count()
             self.commit_partitions(f"rollup_{tier}", content, touched_parts)
             out[tier] = self.read_table(f"rollup_{tier}")

@@ -78,6 +78,82 @@ def test_merge_set_algebra_equals_merge_rollup(spark):
     raw.unpersist()
 
 
+def _replay_merge(target, delta, merge_sql):
+    """Execute a generated MERGE statement with DataFrame ops, driven by
+    PARSING the statement itself (ON keys + SET clauses + INSERT *) — not by
+    re-stating the algebra — so the replay exercises exactly what an Iceberg
+    runtime would execute."""
+    on = merge_sql.split("\nON ")[1].split("\nWHEN")[0]
+    keys = [p.split(" = ")[0].split("t.")[1] for p in on.split(" AND ")]
+    set_block = merge_sql.split("UPDATE SET\n")[1].split("\nWHEN NOT MATCHED")[0]
+    clauses = [c.strip() for c in set_block.split(",\n")]
+    t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
+    s = delta.select([F.col(c).alias(f"s_{c}") for c in delta.columns])
+    cond = None
+    for k in keys:
+        c = F.col(f"t_{k}") == F.col(f"s_{k}")
+        cond = c if cond is None else (cond & c)
+    assigned = {
+        lhs.replace("t.", ""): rhs.replace("t.", "t_").replace("s.", "s_")
+        for lhs, rhs in (c.split(" = ", 1) for c in clauses)
+    }
+    matched = t.join(s, cond, "inner").select(
+        *[
+            (F.expr(assigned[c]) if c in assigned else F.col(f"t_{c}")).alias(c)
+            for c in target.columns
+        ]
+    )
+    unmatched_t = target.join(delta.select(*keys), keys, "left_anti")
+    unmatched_s = delta.join(target.select(*keys), keys, "left_anti")
+    return matched.unionByName(unmatched_t).unionByName(unmatched_s)
+
+
+def test_merge_replay_3_batches_equals_parquet_store(spark, tmp_path):
+    """Dry-run of the whole Iceberg ingest: replay IcebergRollupStore's
+    statement SEQUENCE (merge 1m delta; cascade → merge 1h; cascade →
+    merge 1d) over three time-ordered batches, executing each generated
+    MERGE via _replay_merge — the result must equal the parquet manifest
+    store after ingesting the same batches.  One layer beyond the
+    single-merge algebra test: it covers statement ordering, the
+    cascade-the-delta strategy, and the NOT MATCHED insert path across
+    repeated merges."""
+    from pyg_timeseries_spark.plans.checkpoint import RollupStore
+    from pyg_timeseries_spark.plans.rollup import rollup_cascade
+
+    raw = sequences(spark, 9_000).persist()
+    cuts = ["2024-01-01 00:25:30", "2024-01-01 00:50:10"]
+    c0 = F.lit(cuts[0]).cast("timestamp")
+    c1 = F.lit(cuts[1]).cast("timestamp")
+    batches = [
+        raw.filter(F.col("ts") < c0),
+        raw.filter((F.col("ts") >= c0) & (F.col("ts") < c1)),
+        raw.filter(F.col("ts") >= c1),
+    ]
+
+    store = RollupStore(str(tmp_path / "pq"), spark)
+    tiers = {}  # the "Iceberg tables", replayed batch by batch
+    for b in batches:
+        store.ingest(b, tokens=None, with_lineage=False)
+        delta = rollup_from_raw(b, "1m", tokens=None)
+        for tier in ("1m", "1h", "1d"):
+            if tier != "1m":
+                delta = rollup_cascade(delta, tier, with_tokens=False)
+            sql = IB.merge_tier_sql(f"cat.db.rollup_{tier}", "_d")
+            if tier in tiers:
+                tiers[tier] = _replay_merge(tiers[tier], delta, sql)
+            else:
+                tiers[tier] = delta  # CREATE + first INSERT *
+            tiers[tier] = tiers[tier].localCheckpoint()
+
+    def rows(df):
+        return sorted(map(tuple, df.toPandas().itertuples(index=False)))
+
+    for tier in ("1m", "1h", "1d"):
+        got = tiers[tier].select(*store.read_table(f"rollup_{tier}").columns)
+        assert rows(got) == rows(store.read_table(f"rollup_{tier}")), tier
+    raw.unpersist()
+
+
 def test_store_gated_without_jars(spark):
     if iceberg_available(spark):
         pytest.skip("iceberg runtime present — gate not exercisable")

@@ -66,6 +66,12 @@ def test_incremental_equals_full(spark, raw, tmp_path):
             f"incremental != full at tier {tier}"
         )
 
+    # the DEFAULT ingest mode is chunked: bounded token part-rows in
+    # tokens_1m, measures-only tiers (no unbounded array column)
+    assert inc_store.read_table("tokens_1m") is not None
+    for tier in ("1m", "1h", "1d"):
+        assert "tokens" not in inc_tiers[tier].columns, tier
+
     # lineage was recorded for both batches
     lin = inc_store.lineage().toPandas()
     assert set(lin.batch_id) == {1, 2}
@@ -87,7 +93,7 @@ def test_ingest_is_o_delta(spark, tmp_path):
     hist_1m = store.read_table("rollup_1m").persist()
     total_hist = hist_1m.count()
 
-    store.ingest(tail)
+    store.ingest(tail, with_scan_stats=True)
     stats = store.last_ingest_stats
     touched = set(stats["touched_parts"])
     # the tail batch spans a strict subset of the store's days
@@ -310,6 +316,32 @@ def test_expire_is_metadata_only(spark, tmp_path):
     assert rows_of(store.read_table("rollup_1m")) == rows_of(expect)
     full.unpersist()
     raw.unpersist()
+
+
+def test_ingest_scan_stats_opt_in(spark, raw, tmp_path):
+    """The prev_rows_scanned diagnostics are extra count actions over the
+    pruned prev scans — opt-in, so a production batch spends its jobs on
+    the commits, not bookkeeping.  Asserted by job count: the same merge
+    batch runs strictly fewer Spark jobs without scan stats."""
+    cut = F.lit("2024-01-01 03:00:00").cast("timestamp")
+    head, tail = raw.filter(F.col("ts") < cut), raw.filter(F.col("ts") >= cut)
+    sc = spark.sparkContext
+
+    def jobs_of(label, store_dir, **kw):
+        store = RollupStore(str(tmp_path / store_dir), spark)
+        store.ingest(head, with_lineage=False)
+        sc.setJobGroup(label, label)
+        store.ingest(tail, with_lineage=False, **kw)
+        n = len(sc.statusTracker().getJobIdsForGroup(label))
+        sc.setJobGroup(None, None)
+        return n, store
+
+    n_default, store = jobs_of("nostats", "js_off")
+    assert not any(k.startswith("prev_rows_scanned")
+                   for k in store.last_ingest_stats)
+    n_stats, store2 = jobs_of("stats", "js_on", with_scan_stats=True)
+    assert "prev_rows_scanned_1m" in store2.last_ingest_stats
+    assert n_default < n_stats
 
 
 def test_ingest_empty_batch_noop(spark, raw, tmp_path):
