@@ -584,6 +584,28 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_pack_concat(spark, sf_dir):
+    """Concat-and-chunk sequence packing map (GPT-style pretraining layout):
+    per source, docs concatenate in doc order and split every 256 tokens;
+    the output rows are (doc, sequence)-overlap slices.  Pure prefix-sum +
+    explode — the closed form is the same arithmetic in SQL
+    (textops/packing.py pack_concat)."""
+    from pyg_timeseries_spark.textops.packing import pack_concat
+
+    d = TX.token_count_ws(load(spark, sf_dir, "documents"))
+    return pack_concat(d, 256, key="source", doc="doc_id", n="n_tok_ws")
+
+
+def q_pack_greedy(spark, sf_dir):
+    """No-split greedy packing (docs land whole; overflow opens the next
+    sequence) — a per-key recurrence, oracled by a recursive CTE
+    (textops/packing.py pack_greedy)."""
+    from pyg_timeseries_spark.textops.packing import pack_greedy
+
+    d = TX.token_count_ws(load(spark, sf_dir, "documents"))
+    return pack_greedy(d, 256, key="source", doc="doc_id", n="n_tok_ws")
+
+
 def q_stream_ewma_replay(spark, sf_dir):
     """Out-of-order streaming EWM as a REAL Structured Streaming query
     (file source → applyInPandasWithState with event-time timeout → memory
@@ -1080,10 +1102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "media_features": q_media_features,
         "stream_ewma_replay": q_stream_ewma_replay,
-        "ts_interval": q_ts_interval,
-        "ewmacd": q_ewmacd,
+        "pack_concat": q_pack_concat,
+        "pack_greedy": q_pack_greedy,
         "ewmcombine": q_ewmcombine,
         # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
+        "ts_interval": q_ts_interval,
+        "ewmacd": q_ewmacd,
         "rollup_1h": _rollup("hour"),
         "rollup_1d": _rollup("day"),
         "bfill": q_bfill,
@@ -1222,6 +1246,52 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok_ws
             FROM documents
+        """,
+        # concat-and-chunk packing: exclusive prefix sum → per-sequence spans
+        "pack_concat": """
+            WITH docs AS (
+                SELECT source, doc_id,
+                       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n
+                FROM documents
+            ), offs AS (
+                SELECT source, doc_id, n,
+                       CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n AS BIGINT) AS off
+                FROM docs WHERE n > 0
+            ), spans AS (
+                SELECT source, doc_id, n, off,
+                       unnest(generate_series(off // 256, (off + n - 1) // 256))
+                           AS seq_id
+                FROM offs
+            )
+            SELECT source, seq_id, doc_id,
+                   greatest(seq_id * 256 - off, 0) AS doc_start,
+                   least((seq_id + 1) * 256 - off, n) AS doc_end,
+                   off + greatest(seq_id * 256 - off, 0) - seq_id * 256 AS seq_off
+            FROM spans
+        """,
+        # greedy no-split packing: the open-sequence fill recurrence
+        "pack_greedy": """
+WITH RECURSIVE docs AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) > 0
+),
+rec AS (
+  SELECT source, doc_id, n, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off, n AS acc
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n, d.rn,
+         CASE WHEN r.acc + d.n > 256 THEN r.seq_id + 1 ELSE r.seq_id END,
+         CASE WHEN r.acc + d.n > 256 THEN CAST(0 AS BIGINT) ELSE r.acc END,
+         CASE WHEN r.acc + d.n > 256 THEN d.n ELSE r.acc + d.n END
+  FROM docs d JOIN rec r ON d.source = r.source AND d.rn = r.rn + 1
+)
+SELECT source, seq_id, off AS seq_pos_off, doc_id, n AS n_tok_ws FROM rec
         """,
         "quality": """
             SELECT doc_id,
