@@ -144,7 +144,7 @@ def main():
     for name in (
         "rollup_1m", "rolling_mean", "ffill", "cumsum", "ts_agg",
         "rolling_median", "dedup_exact", "token_count", "quality", "ann_topk",
-        "ivf_topk", "riskparity_diag",
+        "ivf_topk", "riskparity_diag", "pack_concat", "minhash_dedup",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()
@@ -182,15 +182,29 @@ def scaling_main():
 
     seq_rows = int(os.environ.get("BENCH_SEQ_ROWS", 100_000_000))
     data = os.environ.get("BENCH_SEQ_PARQUET", "/tmp/pyg_ts_scaling_input.parquet")
-    if not os.path.exists(os.path.join(data, "_SUCCESS")):
+    tier_data = os.environ.get("BENCH_TIER_PARQUET",
+                               "/tmp/pyg_ts_scaling_tier1m.parquet")
+    if not (os.path.exists(os.path.join(data, "_SUCCESS"))
+            and os.path.exists(os.path.join(tier_data, "_SUCCESS"))):
         from pyg_timeseries_spark.session import get_spark
         from pyg_timeseries_spark.datagen import sequences
+        from pyg_timeseries_spark.plans.rollup import rollup_from_raw
 
         spark = get_spark("scaling_gen", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
         sequences(spark, seq_rows, with_tokens=False).write.mode(
             "overwrite"
         ).parquet(data)
+        # a VOLUME-scale 1m tier for the coarse-stage timings: 60s-cadence
+        # sequences make (almost) every raw row its own minute bucket, so
+        # 1m→1h is measured over ~seq_rows child rows instead of the tiny
+        # tier the 1s-cadence input produces (where task overhead, not the
+        # aggregation, dominates and scaling looks artificially flat)
+        tier1m = rollup_from_raw(
+            sequences(spark, seq_rows, interval_s=60, with_tokens=False),
+            "1m", tokens=None,
+        )
+        tier1m.write.mode("overwrite").parquet(tier_data)
         spark.stop()
 
     levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,4,8,16,32").split(",")]
@@ -198,6 +212,7 @@ def scaling_main():
     per_level = {}
     for n in sorted(set(levels + pair)):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), BENCH_SEQ_PARQUET=data,
+                   BENCH_TIER_PARQUET=tier_data,
                    # 16-32g, NOT bigger: an oversized heap (64g) makes G1
                    # young-gen pauses collapse 32-thread throughput ~4x on
                    # this VM (measured: 5.4s vs 1.5s for the same job)
@@ -225,38 +240,42 @@ def scaling_child():
 
     n = int(os.environ["SPARK_GRAFT_CPUS"])
     data = os.environ["BENCH_SEQ_PARQUET"]
+    tier_data = os.environ.get("BENCH_TIER_PARQUET")
     spark = get_spark(f"scal{n}", master=f"local[{n}]", shuffle_partitions=n)
     raw = spark.read.parquet(data)
     n_raw = raw.count()
     iters = int(os.environ.get("BENCH_ITERS", "4"))
     # The timed quantity per tier is the aggregation itself (scan +
-    # partial/final hash agg + shuffle, via noop write) with the tier's
-    # INPUT materialized beforehand — not the deserialized-cache store,
-    # whose JVM object churn dominates at high thread counts and would
-    # measure the cache, not the engine.  NB: raw→1m must be timed BEFORE
-    # m1 is persisted — Spark's cache manager substitutes any persisted
-    # identical plan fragment, which would turn the timed job into a cache
-    # read.
+    # partial/final hash agg + shuffle, via noop write) reading the tier's
+    # INPUT from parquet — not a deserialized-cache store, whose JVM object
+    # churn dominates at high thread counts and would measure the cache,
+    # not the engine.  Every stage gets a VOLUME-scale input: raw→1m reads
+    # the 1s-cadence raw table; 1m→1h reads a ~n_raw-row 1m tier built from
+    # 60s-cadence sequences; 1h→1d reads its 1h cascade (n/60 rows).
     best = {"raw_to_1m": 1e18, "1m_to_1h": 1e18, "1h_to_1d": 1e18}
     run_action(rollup_from_raw(raw, "1m", tokens=None))  # warm (JIT/codegen)
     for _ in range(iters):
         t0 = time.time()
         run_action(rollup_from_raw(raw, "1m", tokens=None))
         best["raw_to_1m"] = min(best["raw_to_1m"], time.time() - t0)
-    m1 = rollup_from_raw(raw, "1m", tokens=None).persist()
+    m1 = spark.read.parquet(tier_data)
     counts = {"1m": m1.count()}
+    run_action(rollup_cascade(m1, "1h", with_tokens=False))  # warm
     for _ in range(iters):
         t0 = time.time()
         run_action(rollup_cascade(m1, "1h", with_tokens=False))
         best["1m_to_1h"] = min(best["1m_to_1h"], time.time() - t0)
-    h1 = rollup_cascade(m1, "1h", with_tokens=False).persist()
+    h1_path = tier_data.rstrip("/") + f"_1h"
+    if not os.path.exists(os.path.join(h1_path, "_SUCCESS")):
+        rollup_cascade(m1, "1h", with_tokens=False).write.mode(
+            "overwrite").parquet(h1_path)
+    h1 = spark.read.parquet(h1_path)
     counts["1h"] = h1.count()
+    run_action(rollup_cascade(h1, "1d", with_tokens=False))  # warm
     for _ in range(iters):
         t0 = time.time()
         run_action(rollup_cascade(h1, "1d", with_tokens=False))
         best["1h_to_1d"] = min(best["1h_to_1d"], time.time() - t0)
-    m1.unpersist()
-    h1.unpersist()
     in_points = {"raw_to_1m": n_raw, "1m_to_1h": counts["1m"],
                  "1h_to_1d": counts["1h"]}
     tiers = {

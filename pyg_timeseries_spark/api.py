@@ -55,6 +55,9 @@ from pyg_timeseries_spark.operators.optimizers import (  # per-date QPs
 from pyg_timeseries_spark.operators.reindex import (  # as-of tensor realign
     reindex_3d, reindex_melted,
 )
+from pyg_timeseries_spark.operators.align import (  # pyg_base df_concat's
+    align_series,  # join='outer'/'inner' × method='ffill' alignment
+)
 from pyg_timeseries_spark.kernels.multibuffer_numpy import (
     beta_correlation_matrix, near_correlation_matrix,
 )
