@@ -656,7 +656,17 @@ def q_stream_ewma_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
+    if not finished:
+        # awaitTermination returns False on timeout (it does not raise) —
+        # reading the memory sink now would compare a PARTIAL flush
+        q.stop()
+        raise RuntimeError("stream_ewma_replay did not finish within 600s")
+    # the memory sink holds the emitted rows in the session; the parquet
+    # copy and the checkpoint are no longer needed
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname).select(
         "key", "bucket", R6(F.col("sum_v")).alias("sum_v"),
         R6(F.col("ewma")).alias("ewma"),

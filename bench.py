@@ -184,27 +184,30 @@ def scaling_main():
     data = os.environ.get("BENCH_SEQ_PARQUET", "/tmp/pyg_ts_scaling_input.parquet")
     tier_data = os.environ.get("BENCH_TIER_PARQUET",
                                "/tmp/pyg_ts_scaling_tier1m.parquet")
-    if not (os.path.exists(os.path.join(data, "_SUCCESS"))
-            and os.path.exists(os.path.join(tier_data, "_SUCCESS"))):
+    need_data = not os.path.exists(os.path.join(data, "_SUCCESS"))
+    need_tier = not os.path.exists(os.path.join(tier_data, "_SUCCESS"))
+    if need_data or need_tier:
         from pyg_timeseries_spark.session import get_spark
         from pyg_timeseries_spark.datagen import sequences
         from pyg_timeseries_spark.plans.rollup import rollup_from_raw
 
         spark = get_spark("scaling_gen", master=f"local[{CPUS}]",
                           shuffle_partitions=CPUS)
-        sequences(spark, seq_rows, with_tokens=False).write.mode(
-            "overwrite"
-        ).parquet(data)
-        # a VOLUME-scale 1m tier for the coarse-stage timings: 60s-cadence
-        # sequences make (almost) every raw row its own minute bucket, so
-        # 1m→1h is measured over ~seq_rows child rows instead of the tiny
-        # tier the 1s-cadence input produces (where task overhead, not the
-        # aggregation, dominates and scaling looks artificially flat)
-        tier1m = rollup_from_raw(
-            sequences(spark, seq_rows, interval_s=60, with_tokens=False),
-            "1m", tokens=None,
-        )
-        tier1m.write.mode("overwrite").parquet(tier_data)
+        if need_data:
+            sequences(spark, seq_rows, with_tokens=False).write.mode(
+                "overwrite"
+            ).parquet(data)
+        if need_tier:
+            # a VOLUME-scale 1m tier for the coarse-stage timings:
+            # 60s-cadence sequences make (almost) every raw row its own
+            # minute bucket, so 1m→1h is measured over ~seq_rows child rows
+            # instead of the tiny tier the 1s-cadence input produces (where
+            # task overhead, not the aggregation, dominates)
+            tier1m = rollup_from_raw(
+                sequences(spark, seq_rows, interval_s=60, with_tokens=False),
+                "1m", tokens=None,
+            )
+            tier1m.write.mode("overwrite").parquet(tier_data)
         spark.stop()
 
     levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,4,8,16,32").split(",")]

@@ -39,11 +39,14 @@ def align_series(
     if join == "outer":
         axis = df.select(ts).distinct()
     elif join == "inner":
-        n_keys = df.select(key).distinct().count()
+        # lazy: the total key count rides along as a broadcast 1-row frame
+        # instead of an eager .count() action at plan-construction time
+        total = df.select(F.count_distinct(key).alias("_nk"))
         axis = (
             df.groupBy(ts)
             .agg(F.count_distinct(key).alias("_k"))
-            .filter(F.col("_k") == n_keys)
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("_k") == F.col("_nk"))
             .select(ts)
         )
     else:

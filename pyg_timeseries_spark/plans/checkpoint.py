@@ -478,9 +478,16 @@ class RollupStore:
             return
         newest_day = max(man)  # ISO date strings sort chronologically
         newest = self.read_table(name, parts=[newest_day])
-        max_b = newest.select(F.max("bucket")).first()[0]
-        if max_b is None:
+        # collect the max bucket AS A STRING: Spark renders it in the
+        # SESSION timezone (TimestampType) or as wall time (NTZ), so the
+        # cutoff arithmetic, the p_day labels (to_date under the session
+        # tz), and the filter literal below all live on one clock — a
+        # datetime collect would arrive in the DRIVER OS timezone instead
+        # and shift the cutoff on non-UTC hosts
+        max_s = newest.select(F.max("bucket").cast("string")).first()[0]
+        if max_s is None:
             return
+        max_b = _dt.datetime.fromisoformat(max_s)
         cutoff = max_b - _dt.timedelta(seconds=(keep_buckets - 1) * interval_s)
         cutoff_day = cutoff.date().isoformat()
         expired = [p for p in man if p < cutoff_day]
@@ -492,13 +499,23 @@ class RollupStore:
         # the boundary day is rewritten only when the cutoff bisects it
         if cutoff.time() != _dt.time.min and cutoff_day in man:
             part = self.read_table(name, parts=[cutoff_day])
-            # cast the literal to the bucket's own type (NTZ-safe compare)
+            # cast the literal to the bucket's own type (parsed in the same
+            # session tz the string above was rendered in)
             cut_lit = F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")).cast(
                 part.schema["bucket"].dataType
             )
             boundary = part.filter(F.col("bucket") >= cut_lit)
-            self.commit_partitions(name, boundary, [cutoff_day])
-            self.last_expire_stats["rewritten_parts"] = [cutoff_day]
+            if boundary.isEmpty():
+                # nothing in the boundary day survives: drop it instead of
+                # committing an empty partition (an empty parquet dir in the
+                # manifest would fail schema inference on every later read)
+                self.drop_partitions(name, [cutoff_day])
+                self.last_expire_stats["dropped_parts"] = sorted(
+                    expired + [cutoff_day]
+                )
+            else:
+                self.commit_partitions(name, boundary, [cutoff_day])
+                self.last_expire_stats["rewritten_parts"] = [cutoff_day]
 
     def expire_snapshots(self, keep: int = 2) -> None:
         """Drop commit dirs no live manifest references (Iceberg

@@ -198,6 +198,29 @@ def test_spark_riskparity_per_date(spark):
         assert np.allclose(got, exp, atol=1e-9)
 
 
+def test_spark_riskparity_budget_broadcast_join(spark):
+    """The distributed-budget path (broadcast join + per-cogroup budget
+    reconstruction, no driver collect): must equal the kernel called with
+    the same budget vector, including the missing-key → 0-budget → NaN
+    masking."""
+    import pandas as pd
+
+    c = _cov(4, 23)
+    ts_values = pd.date_range("2024-01-01", periods=2, freq="1D")
+    cov = _melt_cov(spark, c, ts_values)
+    # a3 intentionally ABSENT from the budget table → budget 0 → masked
+    budget = spark.createDataFrame(
+        pd.DataFrame({"key": ["a0", "a1", "a2"], "budget": [0.5, 0.3, 0.2]})
+    )
+    out = riskparity_spark(cov, budget=budget).toPandas().sort_values(
+        ["ts", "key"])
+    exp = OPT.riskparity(c, np.array([0.5, 0.3, 0.2, 0.0]))
+    assert np.isnan(exp[3])
+    for _, grp in out.groupby("ts"):
+        got = grp.sort_values("key")["weight"].to_numpy(float)
+        assert np.allclose(got, exp, atol=1e-9, equal_nan=True)
+
+
 def test_spark_maxdiv_per_date(spark):
     import pandas as pd
 

@@ -25,10 +25,7 @@ def test_pack_concat_partitions_every_token(spark):
     out = pack_concat(d, MAX_LEN).toPandas()
     src = d.toPandas()
     # every token of every doc is covered exactly once, in order
-    span = out.groupby("doc_id").agg(
-        lo=("doc_start", "min"), hi=("doc_end", "max"),
-        tot=("doc_end", lambda s: 0),
-    )
+    span = out.groupby("doc_id").agg(lo=("doc_start", "min"))
     out["slice_len"] = out.doc_end - out.doc_start
     tot = out.groupby("doc_id")["slice_len"].sum()
     exp = src.set_index("doc_id")["n_tok"]

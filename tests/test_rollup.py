@@ -318,6 +318,37 @@ def test_expire_is_metadata_only(spark, tmp_path):
     raw.unpersist()
 
 
+def test_expire_empty_boundary_drops_not_commits(spark, tmp_path):
+    """A cutoff that lands inside a day none of whose rows survive (data
+    gap: old day + much newer day) must DROP the boundary day, not commit
+    an empty partition — an empty parquet dir in the manifest would fail
+    schema inference on every subsequent read."""
+    import pandas as pd
+
+    rows = []
+    for h, d in ((0, "2024-01-01"), (12, "2024-01-03")):
+        for m in range(30):
+            rows.append(("web", f"{d} {h:02d}:{m:02d}:00", 1))
+    pdf = pd.DataFrame(rows, columns=["source", "ts", "n_tok"]).assign(
+        ts=lambda x: pd.to_datetime(x.ts)
+    )
+    raw2 = spark.createDataFrame(pdf).withColumn(
+        "tokens", F.array(F.lit(1).cast("int"))
+    )
+    store = RollupStore(str(tmp_path / "gap"), spark)
+    store.ingest(raw2, with_lineage=False)
+    # keep ~2.2 days back from max (2024-01-03 12:29) → cutoff lands inside
+    # 2024-01-01 but AFTER that day's last row (00:29)
+    store.expire("1m", keep_buckets=2 * 1440 + 700)
+    stats = store.last_expire_stats
+    assert stats["rewritten_parts"] == []
+    assert stats["dropped_parts"] == ["2024-01-01"]
+    # the store stays fully readable and holds exactly the newer day
+    left = store.read_table("rollup_1m")
+    assert left.count() == 30
+    assert left.select(F.min("bucket")).first()[0].day == 3
+
+
 def test_ingest_scan_stats_opt_in(spark, raw, tmp_path):
     """The prev_rows_scanned diagnostics are extra count actions over the
     pruned prev scans — opt-in, so a production batch spends its jobs on
