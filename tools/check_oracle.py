@@ -106,8 +106,10 @@ def main():
         )
     n_bad = sum(1 for r in results.values() if r["status"] in ("MISMATCH", "SPARK_ERROR", "ORACLE_ERROR"))
     print(f"\n{len(results)} queries, {n_bad} failing")
-    with open(os.path.join(ROOT, "tools", "oracle_check.json"), "w") as f:
-        json.dump(results, f, indent=1)
+    if not only:
+        # filtered runs must not clobber the full-gate record
+        with open(os.path.join(ROOT, "tools", "oracle_check.json"), "w") as f:
+            json.dump(results, f, indent=1)
     return 1 if n_bad else 0
 
 
