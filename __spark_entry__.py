@@ -587,6 +587,27 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus build — the composed LLM-data path the
+    engine exists for: quality filter (≥40 ws tokens, punct ratio < 0.1 — drops ~1/3 of docs at sf0.01) →
+    exact dedup (keep lowest doc_id per md5(text)) → whitespace token
+    count → greedy no-split packing at 256 tokens/sequence.  One SQL
+    pipeline oracles the whole composition."""
+    from pyg_timeseries_spark.textops.packing import pack_greedy
+
+    d = TX.token_count_ws(load(spark, sf_dir, "documents"))
+    t = F.col("text")
+    punct_ratio = (
+        F.length(t) - F.length(F.regexp_replace(t, TX.PUNCT_RE, ""))
+    ) / F.length(t)
+    filt = d.filter((F.col("n_tok_ws") >= 40) & (punct_ratio < 0.1))
+    w = Window.partitionBy(F.md5("text"))
+    kept = filt.withColumn("_keep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("_keep")
+    )
+    return pack_greedy(kept, 256, key="source", doc="doc_id", n="n_tok_ws")
+
+
 def q_align_ffill(spark, sf_dir):
     """Multi-series outer alignment + forward-fill — the reference's
     df_concat(join='outer', method='ffill') as a long-format operator
@@ -1088,7 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fnna": q_fnna,
         "na2v_v2na": q_na2v_v2na,
         "tdiff": q_tdiff,
-        "diff": q_diff,
+        "corpus_pipeline": q_corpus_pipeline,
         "rolling_std": q_rolling_std,
         "rolling_skew": q_rolling_skew,
         "rolling_quantile_heap": q_rolling_quantile_heap,
@@ -1131,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "align_ffill": q_align_ffill,
         # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
+        "diff": q_diff,
         "ewmcombine": q_ewmcombine,
         "ts_interval": q_ts_interval,
         "ewmacd": q_ewmacd,
@@ -1272,6 +1294,41 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok_ws
             FROM documents
+        """,
+        # the composed corpus build: quality filter → exact dedup → greedy pack
+        "corpus_pipeline": """
+WITH RECURSIVE filt AS (
+  SELECT source, doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 40
+    AND (length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')))
+        / length(text)::DOUBLE < 0.1
+),
+kept AS (
+  SELECT * FROM (
+    SELECT source, doc_id, n,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+    FROM filt
+  ) WHERE doc_id = keep_id
+),
+docs AS (
+  SELECT source, doc_id, n,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM kept
+),
+rec AS (
+  SELECT source, doc_id, n, rn,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS off, n AS acc
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n, d.rn,
+         CASE WHEN r.acc + d.n > 256 THEN r.seq_id + 1 ELSE r.seq_id END,
+         CASE WHEN r.acc + d.n > 256 THEN CAST(0 AS BIGINT) ELSE r.acc END,
+         CASE WHEN r.acc + d.n > 256 THEN d.n ELSE r.acc + d.n END
+  FROM docs d JOIN rec r ON d.source = r.source AND d.rn = r.rn + 1
+)
+SELECT source, seq_id, off AS seq_pos_off, doc_id, n AS n_tok_ws FROM rec
         """,
         # outer alignment grid + per-key as-of forward fill
         "align_ffill": f"""
