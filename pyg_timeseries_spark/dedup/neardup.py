@@ -19,24 +19,44 @@ from pyspark.sql import functions as F
 # ---- shingling --------------------------------------------------------------
 
 
+def _let(bound_col, body):
+    """Bind ``bound_col`` as a lambda variable so ``body`` references an
+    EVALUATED value, not the expression.  A subexpression referenced inside
+    a higher-order-function lambda is re-evaluated per element (Catalyst
+    does not hoist through lambda scopes — measured 6.5x on shingling,
+    where the regex split re-ran for every shingle position); routing it
+    through a single-element transform evaluates it exactly once."""
+    return F.element_at(F.transform(F.array(bound_col), body), 1)
+
+
 def word_shingles(text_col, k: int = 3):
     """Distinct word k-shingles of a text column (array<string>)."""
     wordsarr = F.split(F.trim(F.lower(text_col)), r"\s+")
-    n = F.greatest(F.size(wordsarr) - (k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat_ws(" ", F.slice(wordsarr, i, k)),
-        )
+    return _let(
+        wordsarr,
+        lambda w: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+            )
+        ),
     )
 
 
 def char_ngrams(text_col, n: int = 5):
     """Distinct character n-grams (array<string>)."""
-    t = F.lower(text_col)
-    cnt = F.greatest(F.length(t) - (n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), cnt), lambda i: t.substr(i, F.lit(n)))
+    return _let(
+        F.lower(text_col),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))
+                ),
+                lambda i: F.substring(t, i, F.lit(n)),
+            )
+        ),
     )
 
 
