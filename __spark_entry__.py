@@ -587,6 +587,26 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a persistent signature store
+    (dedup/incremental.py): documents arrive in two batches (doc_id < 250,
+    then the rest); every doc gets a (dropped, reason) verdict vs
+    everything seen earlier — exact (same md5(text), smaller id) or near
+    (shares a MinHash band with a smaller id AND signature agreement
+    ≥ 0.5).  The drop rule is associative, so the two-batch run equals the
+    order-free SQL replay over all pairs (md5 hash family)."""
+    import tempfile
+
+    from pyg_timeseries_spark.dedup.incremental import IncrementalDeduper
+
+    docs = load(spark, sf_dir, "documents")
+    d = IncrementalDeduper(tempfile.mkdtemp(prefix="incdedup_"), spark,
+                           hash_fn="md5")
+    v1 = d.add_batch(docs.filter(F.col("doc_id") < 250))
+    v2 = d.add_batch(docs.filter(F.col("doc_id") >= 250))
+    return v1.unionByName(v2).select("doc_id", "dropped", "reason")
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """End-to-end training-corpus build — the composed LLM-data path the
     engine exists for: quality filter (≥40 ws tokens, punct ratio < 0.1 — drops ~1/3 of docs at sf0.01) →
@@ -1145,7 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "minhash_dedup": q_minhash_dedup,
         "embedding_neardup": q_embedding_neardup,
-        "token_count_bpe": q_token_count_bpe,
+        "dedup_incremental": q_dedup_incremental,
         "media_features": q_media_features,
         "stream_ewma_replay": q_stream_ewma_replay,
         "pack_concat": q_pack_concat,
@@ -1186,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_topk": q_lsh_topk,
+        "token_count_bpe": q_token_count_bpe,
         "zmooth": q_zmooth,
         "buffer": q_buffer,
         "overlapping_returns": q_overlapping_returns,
@@ -1294,6 +1315,47 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok_ws
             FROM documents
+        """,
+        # incremental dedup: associative drop rule replayed order-free —
+        # exact = smaller id with same md5(text); near = shares a band AND
+        # ≥8 of 16 signature components agree
+        "dedup_incremental": """
+WITH sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+),
+sig AS (
+  SELECT id, list_transform(generate_series(0, 15),
+            p -> list_min(list_transform(s, x -> md5(x || '|' || p)))) AS hs
+  FROM sh
+),
+ex AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+exact_drop AS (
+  SELECT DISTINCT a.id FROM ex a JOIN ex b ON a.h = b.h AND b.id < a.id
+),
+buckets AS (
+  SELECT id, b.band AS band, md5(hs[b.band*2+1] || ',' || hs[b.band*2+2]) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0,7)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM buckets a JOIN buckets bb
+    ON a.band = bb.band AND a.bucket = bb.bucket AND a.id < bb.id
+),
+near_drop AS (
+  SELECT DISTINCT p.id_b AS id
+  FROM pairs p JOIN sig x ON x.id = p.id_a JOIN sig y ON y.id = p.id_b
+  WHERE len(list_filter(generate_series(1, 16), i -> x.hs[i] = y.hs[i])) >= 8
+)
+SELECT d.doc_id,
+       (e.id IS NOT NULL OR n.id IS NOT NULL) AS dropped,
+       CASE WHEN e.id IS NOT NULL THEN 'exact'
+            WHEN n.id IS NOT NULL THEN 'near' END AS reason
+FROM documents d
+LEFT JOIN exact_drop e ON e.id = d.doc_id
+LEFT JOIN near_drop n ON n.id = d.doc_id
         """,
         # the composed corpus build: quality filter → exact dedup → greedy pack
         "corpus_pipeline": """

@@ -1,0 +1,83 @@
+"""Incremental dedup store: batch-by-batch == one-shot, exact + near
+layers, dropped-doc signatures still count."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.dedup.incremental import IncrementalDeduper
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong potions under a pale winter moon near the old stone "
+    "bridge by the river bend watching silver fish glide past slowly"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, "completely different text about spark partitions and shuffle "
+            "boundaries with adaptive execution and broadcast joins in a "
+            "large distributed analytics engine running on many nodes"),
+        (2, BASE),                                   # exact dup of 0
+        (3, BASE.replace("winter", "summer")),       # near dup of 0
+        (4, "yet another unrelated document describing parquet encodings "
+            "dictionary pages run length bit packing and column statistics "
+            "for predicate pushdown across row groups and file footers"),
+        (5, BASE.replace("winter", "autumn")),       # near dup of 0 (and 3)
+        (6, "totally novel content mentioning tensors gradients optimizers "
+            "checkpoints schedules warmup decay and mixed precision scaling "
+            "during long pretraining runs on accelerator clusters today"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _verdicts(df):
+    pdf = df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    return list(map(tuple, pdf[["doc_id", "dropped", "reason"]].itertuples(index=False)))
+
+
+def test_exact_and_near_layers(spark, tmp_path):
+    d = IncrementalDeduper(str(tmp_path / "s1"), spark)
+    out = d.add_batch(_docs(spark)).toPandas().set_index("doc_id")
+    assert not out.loc[0, "dropped"] and not out.loc[1, "dropped"]
+    assert out.loc[2, "reason"] == "exact"
+    assert out.loc[3, "reason"] == "near"
+    assert out.loc[5, "reason"] == "near"
+    assert not out.loc[4, "dropped"] and not out.loc[6, "dropped"]
+
+
+def test_incremental_equals_oneshot(spark, tmp_path):
+    docs = _docs(spark)
+    one = IncrementalDeduper(str(tmp_path / "one"), spark)
+    expect = _verdicts(one.add_batch(docs))
+
+    inc = IncrementalDeduper(str(tmp_path / "inc"), spark)
+    b1 = inc.add_batch(docs.filter(F.col("doc_id") < 3))
+    b2 = inc.add_batch(docs.filter(F.col("doc_id") >= 3))
+    got = sorted(_verdicts(b1) + _verdicts(b2))
+    assert got == sorted(expect)
+
+
+def test_dropped_docs_still_drop_later_dups(spark, tmp_path):
+    """doc 2 (exact dup, dropped in batch 1) must still drop doc 7 == doc 2
+    in batch 2 — dropped signatures stay in the store."""
+    docs = _docs(spark)
+    d = IncrementalDeduper(str(tmp_path / "chain"), spark)
+    d.add_batch(docs)  # 2 dropped here
+    later = spark.createDataFrame(pd.DataFrame([(7, BASE)], columns=["doc_id", "text"]))
+    out = d.add_batch(later).toPandas().set_index("doc_id")
+    assert out.loc[7, "reason"] == "exact"
+
+
+def test_kept_helper_and_cross_batch_near(spark, tmp_path):
+    docs = _docs(spark)
+    d = IncrementalDeduper(str(tmp_path / "kept"), spark)
+    b1 = docs.filter(F.col("doc_id").isin([0, 1]))
+    v1 = d.add_batch(b1)
+    assert d.kept(v1, b1).count() == 2
+    # batch 2: near dup of a batch-1 doc arrives → dropped cross-batch
+    b2 = docs.filter(F.col("doc_id") == 3)
+    v2 = d.add_batch(b2).toPandas().set_index("doc_id")
+    assert v2.loc[3, "reason"] == "near"
