@@ -587,6 +587,33 @@ def q_ivf_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag documents sharing any word 8-gram
+    with a probe set (every doc_id % 50 == 0 doc plays benchmark) —
+    broadcast probe shingles, map-side doc-shingle explode, semi-join
+    (textops/corpus.py contaminated_docs)."""
+    from pyg_timeseries_spark.textops.corpus import contaminated_docs
+
+    docs = load(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    out = contaminated_docs(docs, probes, shingle_k=8)
+    return out.select("doc_id", "n_hits")
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic per-source corpus mixing: md5-coin Bernoulli sampling
+    at configured per-source rates — reproducible bit-for-bit in any
+    engine (textops/corpus.py sample_corpus)."""
+    from pyg_timeseries_spark.textops.corpus import sample_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    out = sample_corpus(
+        docs, {"src0": 0.8, "src1": 0.5, "src2": 0.2},
+        default_rate=0.35, seed=7,
+    )
+    return out.select("doc_id", "source")
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental dedup against a persistent signature store
     (dedup/incremental.py): documents arrive in two batches (doc_id < 250,
@@ -1126,8 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_chunked": q_tokens_chunked,
         "ffill": q_ffill,
         "ewfill": q_ewfill,
-        "fnna": q_fnna,
-        "na2v_v2na": q_na2v_v2na,
+        "decontaminate": q_decontaminate,
         "tdiff": q_tdiff,
         "corpus_pipeline": q_corpus_pipeline,
         "rolling_std": q_rolling_std,
@@ -1166,12 +1192,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "embedding_neardup": q_embedding_neardup,
         "dedup_incremental": q_dedup_incremental,
+        "corpus_sample": q_corpus_sample,
         "media_features": q_media_features,
         "stream_ewma_replay": q_stream_ewma_replay,
         "pack_concat": q_pack_concat,
         "pack_greedy": q_pack_greedy,
         "align_ffill": q_align_ffill,
         # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
+        "fnna": q_fnna,
+        "na2v_v2na": q_na2v_v2na,
         "diff": q_diff,
         "ewmcombine": q_ewmcombine,
         "ts_interval": q_ts_interval,
@@ -1315,6 +1344,34 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok_ws
             FROM documents
+        """,
+        # n-gram decontamination: probe 8-gram set vs doc 8-grams
+        "decontaminate": """
+            WITH w AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+                FROM documents
+            ), dsh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           generate_series(1, greatest(len(w)-7, 1)),
+                           i -> array_to_string(w[i:i+7], ' ')))) AS s
+                FROM w
+            ), psh AS (
+                SELECT DISTINCT s FROM dsh WHERE doc_id % 50 = 0
+            )
+            SELECT d.doc_id, count(DISTINCT d.s) AS n_hits
+            FROM dsh d JOIN psh p ON d.s = p.s
+            GROUP BY 1
+        """,
+        # deterministic md5-coin per-source sampling
+        "corpus_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id || '|7'), 1, 8))::BIGINT % 1000000
+                  < CASE source WHEN 'src0' THEN 800000
+                                WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 200000
+                                ELSE 350000 END
         """,
         # incremental dedup: associative drop rule replayed order-free —
         # exact = smaller id with same md5(text); near = shares a band AND

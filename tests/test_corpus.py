@@ -1,0 +1,57 @@
+"""Decontamination + deterministic sampling (textops/corpus.py)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.textops.corpus import (
+    contaminated_docs, decontaminate, sample_corpus,
+)
+
+BENCH = ("what is the capital of france paris is the capital of france "
+         "and home to the eiffel tower monument")
+
+
+def _corpus(spark):
+    rows = [
+        (0, "src_a", "a clean document about spark aggregation plans with "
+                     "partial and final stages over shuffled partitions"),
+        (1, "src_a", "the quiz asks what is the capital of france paris is "
+                     "the capital of france and home to many museums"),  # leaks 8-grams
+        (2, "src_b", "another clean text describing columnar storage and "
+                     "vectorized execution for analytical workloads today"),
+        (3, "src_b", BENCH),  # contains the benchmark verbatim
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]))
+
+
+def test_contamination_detects_verbatim_and_partial(spark):
+    docs = _corpus(spark)
+    probes = spark.createDataFrame(pd.DataFrame({"text": [BENCH]}))
+    hits = contaminated_docs(docs, probes, shingle_k=8).toPandas()
+    flagged = set(hits["doc_id"])
+    assert flagged == {1, 3}
+    n = hits.set_index("doc_id")["n_hits"]
+    assert n[3] > n[1] >= 1  # verbatim containment hits far more shingles
+    clean = decontaminate(docs, probes, shingle_k=8)
+    assert set(r.doc_id for r in clean.select("doc_id").collect()) == {0, 2}
+
+
+def test_sampling_deterministic_and_rate_accurate(spark):
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "web").otherwise("code").alias("source"),
+        F.lit("x").alias("text"),
+    )
+    s1 = sample_corpus(docs, {"web": 0.25, "code": 0.75}, seed=7)
+    s2 = sample_corpus(docs, {"web": 0.25, "code": 0.75}, seed=7)
+    a = sorted(r.doc_id for r in s1.select("doc_id").collect())
+    assert a == sorted(r.doc_id for r in s2.select("doc_id").collect())
+    counts = s1.groupBy("source").count().toPandas().set_index("source")["count"]
+    assert abs(counts["web"] / 10_000 - 0.25) < 0.02
+    assert abs(counts["code"] / 10_000 - 0.75) < 0.02
+    # different seed → different sample; absent source → default_rate 0
+    s3 = sample_corpus(docs, {"web": 0.25, "code": 0.75}, seed=8)
+    assert sorted(r.doc_id for r in s3.select("doc_id").collect()) != a
+    assert sample_corpus(docs, {"web": 0.5}).filter(
+        F.col("source") == "code").count() == 0
