@@ -58,6 +58,14 @@ from pyg_timeseries_spark.operators.reindex import (  # as-of tensor realign
 from pyg_timeseries_spark.operators.align import (  # pyg_base df_concat's
     align_series,  # join='outer'/'inner' × method='ffill' alignment
 )
+# engine extensions beyond the reference surface (training-data pipeline)
+from pyg_timeseries_spark.textops.packing import (
+    pack_concat, pack_greedy, pack_stats,
+)
+from pyg_timeseries_spark.textops.corpus import (
+    contaminated_docs, decontaminate, sample_corpus,
+)
+from pyg_timeseries_spark.dedup.incremental import IncrementalDeduper
 from pyg_timeseries_spark.kernels.multibuffer_numpy import (
     beta_correlation_matrix, near_correlation_matrix,
 )
