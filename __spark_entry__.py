@@ -1138,6 +1138,61 @@ def q_rolling_quantile_heap(spark, sf_dir):
     )
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV approximate-distinct users per (event_type, day): a bounded,
+    exactly-mergeable k-minimum-values sketch (functions/sketches.py) —
+    the distinct-count continuous aggregate the rollup tiers need at
+    100 TB (exact COUNT DISTINCT can't cascade).  The sketch array is
+    md5-fingerprinted so the full sketch — not just the estimate — is
+    oracle-checked."""
+    from pyg_timeseries_spark.functions.sketches import kmv_estimate, kmv_sketch
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("source"),
+        _trunc_ntz(F.col("ts"), "day").alias("day"),
+        "user_id",
+    )
+    sk = kmv_sketch(base, ["source", "day"], "user_id", k=32)
+    return sk.select(
+        "source", "day",
+        F.size("kmv").alias("n_kept"),
+        F.md5(F.concat_ws(",", F.col("kmv"))).alias("kmv_md5"),
+        R6(kmv_estimate(F.col("kmv"), 32)).alias("est"),
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Top-10 words per source (textops/vocab.py): the map-side-combined
+    wordcount + WindowGroupLimit top-k — corpus vocabulary stats."""
+    from pyg_timeseries_spark.textops.vocab import top_words
+
+    d = top_words(load(spark, sf_dir, "documents"), n=10)
+    return d.select("source", "word", "cnt", "rank")
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Three most characteristic terms per document by raw-count TF-IDF
+    (textops/vocab.py) — deterministic natural-log arithmetic, ties broken
+    on the word."""
+    from pyg_timeseries_spark.textops.vocab import tfidf_top_terms
+
+    d = tfidf_top_terms(load(spark, sf_dir, "documents"), n=3)
+    return d.select(
+        "doc_id", "word", "tf", "df", R6(F.col("tfidf")).alias("tfidf"), "rank"
+    )
+
+
+def q_sample_topn(spark, sf_dir):
+    """Exact-size stratified corpus sample: 25 docs per source by smallest
+    md5 coin (textops/corpus.py sample_fixed_n) — reproducible on any
+    engine, nested across sample sizes."""
+    from pyg_timeseries_spark.textops.corpus import sample_fixed_n
+
+    d = sample_fixed_n(load(spark, sf_dir, "documents"), n=25, seed=5)
+    return d.select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
     first 50 entries, so the top 50 carry one representative per operator
@@ -1157,15 +1212,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdiff": q_tdiff,
         "corpus_pipeline": q_corpus_pipeline,
         "rolling_std": q_rolling_std,
-        "rolling_skew": q_rolling_skew,
         "rolling_quantile_heap": q_rolling_quantile_heap,
         "rolling_rank": q_rolling_rank,
         "rolling_tover": q_rolling_tover,
-        "cumprod": q_cumprod,
         "expanding_skew": q_expanding_skew,
-        "expanding_median": q_expanding_median,
-        "expanding_rank": q_expanding_rank,
         "ts_rms_skew": q_ts_rms_skew,
+        "kmv_distinct": q_kmv_distinct,
+        "vocab_topk": q_vocab_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "sample_topn": q_sample_topn,
         "ewma": q_ewma,
         "ewmvar": q_ewmvar,
         "ewmskew": q_ewmskew,
@@ -1199,6 +1254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "align_ffill": q_align_ffill,
         # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
+        "rolling_skew": q_rolling_skew,
+        "expanding_median": q_expanding_median,
+        "expanding_rank": q_expanding_rank,
+        "cumprod": q_cumprod,
         "fnna": q_fnna,
         "na2v_v2na": q_na2v_v2na,
         "diff": q_diff,
@@ -1372,6 +1431,90 @@ def oracle_sql() -> dict[str, str]:
                                 WHEN 'src1' THEN 500000
                                 WHEN 'src2' THEN 200000
                                 ELSE 350000 END
+        """,
+        # KMV distinct sketch: distinct 60-bit md5 hashes, k smallest per
+        # (source, day), fingerprint + (k-1)/F(h_k) estimate
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type AS source,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     ('0x' || substr(md5(user_id || '|kmv'), 1, 15))::BIGINT AS h
+              FROM events
+            ), r AS (
+              SELECT source, day, h,
+                     row_number() OVER (PARTITION BY source, day ORDER BY h) AS rn
+              FROM h
+            ), s AS (
+              SELECT source, day, count(*) AS n_kept,
+                     md5(string_agg(h::VARCHAR, ',' ORDER BY h)) AS kmv_md5,
+                     max(h) AS h_k
+              FROM r WHERE rn <= 32 GROUP BY 1, 2
+            )
+            SELECT source, day, n_kept, kmv_md5,
+                   CAST(floor((CASE WHEN n_kept < 32 THEN n_kept::DOUBLE
+                        ELSE 31.0 * 1152921504606846976.0 / h_k END)
+                        * 1000000 + 0.4997) AS BIGINT) AS est
+            FROM s
+        """,
+        # wordcount top-k per source, ties broken on the word
+        "vocab_topk": r"""
+            WITH t AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+              FROM documents
+            ), c AS (
+              SELECT source, word, count(*) AS cnt FROM t
+              WHERE length(word) > 0 GROUP BY 1, 2
+            ), r AS (
+              SELECT source, word, cnt,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY cnt DESC, word ASC) AS rank
+              FROM c
+            )
+            SELECT source, word, cnt, rank FROM r WHERE rank <= 10
+        """,
+        # raw-count TF-IDF, natural log, top-3 terms per doc
+        "tfidf_topk": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+              FROM documents
+            ), tt AS (
+              SELECT doc_id, word FROM t WHERE length(word) > 0
+            ), tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM tt GROUP BY 1, 2
+            ), dfq AS (
+              SELECT word, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, word FROM tt) GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), s AS (
+              SELECT tf.doc_id, tf.word, tf.tf, dfq.df,
+                     tf.tf * ln(n_docs::DOUBLE / dfq.df) AS score
+              FROM tf JOIN dfq USING (word) CROSS JOIN n
+            ), r AS (
+              SELECT doc_id, word, tf, df,
+                     CAST(floor(score * 1000000 + 0.4997) AS BIGINT) AS tfidf,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, word ASC) AS rank
+              FROM s
+            )
+            SELECT doc_id, word, tf, df, tfidf, rank FROM r WHERE rank <= 3
+        """,
+        # exact-N stratified sample: smallest md5 coins per source
+        "sample_topn": """
+            WITH c AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(doc_id || '|5'), 1, 8))::BIGINT
+                     % 1000000 AS coin
+              FROM documents
+            ), r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY coin, doc_id) AS rn
+              FROM c
+            )
+            SELECT doc_id, source FROM r WHERE rn <= 25
         """,
         # incremental dedup: associative drop rule replayed order-free —
         # exact = smaller id with same md5(text); near = shares a band AND

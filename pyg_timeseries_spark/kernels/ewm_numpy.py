@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyg_timeseries_spark.kernels import cnative as _cnative
+
 STATE_LEN = 10
 # state layout: [t, t0, t1, t2, t3, w2, n0, n1, pv, pa] where (pv, pa) are the
 # previous valid row's (weight contribution, value) — carried so that a resume
@@ -72,11 +74,12 @@ def _ewm_sweep(
     holding [t0, t1, t2, t3, w2, n0, n1, valid] AFTER processing each row
     (NaN rows carry valid=0; their trail entries are unused).
 
-    Dispatches to the numba-JIT twin when numba is importable (identical
+    Dispatches to the numba-JIT twin when numba is importable, else to the
+    ctypes-compiled C twin when a system compiler exists (both identical
     arithmetic, asserted bit-equal in tests); otherwise runs the
     python-float loop below.
     """
-    if _ewm_sweep_jit is not None:
+    if _ewm_sweep_jit is not None or _cnative.available():
         return _ewm_sweep_fast(a, w, time, wgt, state, upto, track_w2)
     n_rows = a.shape[0]
     s = fresh_state() if state is None else np.asarray(state, dtype=np.float64).copy()
@@ -412,24 +415,27 @@ except ImportError:
 
 def _guarded_sweep(a, n, time, wgt, state, exc_zero, max_move, min_periods,
                    min_sample, mode, bias=False):
-    """mode: 'rms' or 'std'.  Dispatches to the numba twin when available."""
-    if _guarded_sweep_jit is not None:
+    """mode: 'rms' or 'std'.  Dispatches to the numba or C twin when
+    available."""
+    if _guarded_sweep_jit is not None or _cnative.available():
         w = decay_weight(n)
         s = _guard_state(state)
         n_rows = a.shape[0]
         res = np.full(n_rows, np.nan)
-        time_arr = np.full(n_rows, np.nan) if time is None else np.asarray(time, float)
-        wgt_arr = np.ones(n_rows) if wgt is None else np.asarray(wgt, float)
+        time_arr = np.full(n_rows, np.nan) if time is None else np.ascontiguousarray(time, float)
+        wgt_arr = np.ones(n_rows) if wgt is None else np.ascontiguousarray(wgt, float)
         if max_move is None:
             mm = np.zeros(n_rows)
         elif isinstance(max_move, np.ndarray):
-            mm = np.asarray(max_move, float)
+            mm = np.ascontiguousarray(max_move, float)
         else:
             mm = np.full(n_rows, float(max_move))
-        _guarded_sweep_jit(
-            np.asarray(a, float), time_arr, wgt_arr, w, bool(exc_zero), mm,
-            float(min_periods), float(min_sample), mode == "std", bool(bias),
-            s, res,
+        fn = (_guarded_sweep_jit if _guarded_sweep_jit is not None
+              else _cnative.guarded_sweep_arrays)
+        fn(
+            np.ascontiguousarray(a, float), time_arr, wgt_arr, w,
+            bool(exc_zero), mm, float(min_periods), float(min_sample),
+            mode == "std", bool(bias), s, res,
         )
         return res, s
     w = decay_weight(n)
@@ -569,9 +575,14 @@ def _ewm_sweep_arrays(a, w, time, wgt, s, upto, track_w2, trail):
         pa = ai
         trail[i, 0] = t0
         trail[i, 1] = t1
-        trail[i, 2] = t2
-        trail[i, 3] = t3
-        trail[i, 4] = w2
+        # untracked moment columns stay 0 (bit-parity with _ewm_sweep,
+        # whose loop only writes the tracked columns)
+        if upto >= 2:
+            trail[i, 2] = t2
+        if upto >= 3:
+            trail[i, 3] = t3
+        if track_w2:
+            trail[i, 4] = w2
         trail[i, 5] = n0
         trail[i, 6] = n1
         trail[i, 7] = 1.0
@@ -597,12 +608,20 @@ except ImportError:
 
 def _ewm_sweep_fast(a, w, time=None, wgt=None, state=None, upto=1,
                     track_w2=False):
-    """JIT-dispatching sweep with the same contract as _ewm_sweep."""
+    """JIT/C-dispatching sweep with the same contract as _ewm_sweep."""
     n_rows = a.shape[0]
     s = fresh_state() if state is None else np.asarray(state, float).copy()
     trail = np.zeros((n_rows, 8))
     time_arr = np.full(n_rows, np.nan) if time is None else np.asarray(time, float)
     wgt_arr = np.ones(n_rows) if wgt is None else np.asarray(wgt, float)
-    fn = _ewm_sweep_jit if _ewm_sweep_jit is not None else _ewm_sweep_arrays
-    fn(np.asarray(a, float), w, time_arr, wgt_arr, s, upto, track_w2, trail)
+    if _ewm_sweep_jit is not None:
+        fn = _ewm_sweep_jit
+    elif _cnative.available():
+        fn = _cnative.ewm_sweep_arrays
+        time_arr = np.ascontiguousarray(time_arr)
+        wgt_arr = np.ascontiguousarray(wgt_arr)
+    else:
+        fn = _ewm_sweep_arrays
+    fn(np.ascontiguousarray(a, float), w, time_arr, wgt_arr, s, upto,
+       track_w2, trail)
     return trail, s

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyg_timeseries_spark.kernels import cnative as _cnative
 from pyg_timeseries_spark.kernels.ewm_numpy import decay_weight
 
 XSTATE_LEN = 12
@@ -93,12 +94,14 @@ except ImportError:
 
 def _xsweep(a, b, w, time=None, state=None):
     s = fresh_xstate() if state is None else np.asarray(state, float).copy()
-    if _xsweep_jit is not None:
+    if _xsweep_jit is not None or _cnative.available():
         n_rows = a.shape[0]
         trail = np.zeros((n_rows, 10))
-        time_arr = np.full(n_rows, np.nan) if time is None else np.asarray(time, float)
-        _xsweep_jit(np.asarray(a, float), np.asarray(b, float), w, time_arr,
-                    s, trail)
+        time_arr = (np.full(n_rows, np.nan) if time is None
+                    else np.ascontiguousarray(time, float))
+        fn = _xsweep_jit if _xsweep_jit is not None else _cnative.xsweep_arrays
+        fn(np.ascontiguousarray(a, float), np.ascontiguousarray(b, float),
+           w, time_arr, s, trail)
         return trail, s
     t, t0, a1, a2, b1, b2, ab, w2, n0, n1, pa, pb = s
     one_minus_w = 1.0 - w

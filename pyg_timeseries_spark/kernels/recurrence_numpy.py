@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyg_timeseries_spark.kernels import cnative as _cnative
+
 ZMOOTH_STATE_LEN = 3  # [t0, t2, prev]
 BUFFER_STATE_LEN = 2  # [pos, band_carry]
 
@@ -76,12 +78,14 @@ def zmooth(a, n, smooth=None, max_move=4.2, exc_zero=False, state=None):
         t0, t2, prev = 0.0, 0.0, np.nan
     else:
         t0, t2, prev = (float(x) for x in state)
-    if _zmooth_jit is not None:
+    if _zmooth_jit is not None or _cnative.available():
         s = np.array([t0, t2, prev])
         res = np.full(a.shape[0], np.nan)
-        sm = np.full(a.shape[0], np.nan) if smooth is None else np.asarray(smooth, float)
-        _zmooth_jit(np.asarray(a, float), sm, w, float(max_move),
-                    bool(exc_zero), s, res)
+        sm = (np.full(a.shape[0], np.nan) if smooth is None
+              else np.ascontiguousarray(smooth, float))
+        fn = _zmooth_jit if _zmooth_jit is not None else _cnative.zmooth_arrays
+        fn(np.ascontiguousarray(a, float), sm, w, float(max_move),
+           bool(exc_zero), s, res)
         return res, s
     res = np.full(a.shape[0], np.nan)
     vol = 0.0 if t0 == 0 else np.sqrt(t2 / t0)
@@ -162,12 +166,13 @@ def buffer(a, band, unit=0.0, rounding_band=0.0, state=None):
         pos = 0.0
     res = np.full(a.shape[0], np.nan)
     scalar_band = np.isscalar(band)
-    if _buffer_jit is not None:
+    if _buffer_jit is not None or _cnative.available():
         s = np.array([pos, b])
         band_arr = (np.full(a.shape[0], float(band)) if scalar_band
-                    else np.asarray(band, float))
-        _buffer_jit(np.asarray(a, float), band_arr, float(unit),
-                    float(rounding_band), s, res)
+                    else np.ascontiguousarray(band, float))
+        fn = _buffer_jit if _buffer_jit is not None else _cnative.buffer_arrays
+        fn(np.ascontiguousarray(a, float), band_arr, float(unit),
+           float(rounding_band), s, res)
         return res, s
     for i in range(a.shape[0]):
         ai = a[i]

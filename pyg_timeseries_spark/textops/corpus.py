@@ -85,3 +85,29 @@ def sample_corpus(
     for src, r in sorted(rates.items()):
         rate = F.when(F.col(source) == src, F.lit(int(r * 1_000_000))).otherwise(rate)
     return docs.filter(_coin(id_col, seed) < rate)
+
+
+def sample_fixed_n(
+    docs: DataFrame,
+    n: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """Exact-size stratified sample: the ``n`` documents per source with the
+    smallest md5 coins (ties broken by id).  Unlike Bernoulli sampling the
+    output size is exact, and it is still deterministic, reproducible, and
+    composable — shrinking ``n`` yields a subset of the larger sample.
+
+    Scale shape: row_number ≤ n over (source ORDER BY coin, id) becomes a
+    WindowGroupLimit — each map task keeps a local top-n heap, so at most
+    n rows per source per task reach the exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source).orderBy(_coin(id_col, seed).asc(),
+                                           F.col(id_col).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1,0 +1,118 @@
+"""Vocabulary statistics + TF-IDF over the documents table — the corpus
+token-frequency analytics a training-data build runs before choosing
+tokenizer vocab / filtering boilerplate.
+
+All JVM-side column expressions (explode + hash aggregates + windows —
+no Python UDFs).  Scale shape:
+
+* ``vocab_counts`` is the canonical word count: explode pipelines with
+  the parquet scan inside whole-stage codegen, and the groupBy(by, word)
+  does map-side partial aggregation — the shuffle carries one row per
+  distinct (group, word) per map task, not per token occurrence.
+* ``top_words`` filters with row_number ≤ n, which Spark rewrites to
+  WindowGroupLimit: a per-partition top-n heap runs BEFORE the exchange.
+* ``tfidf`` joins the per-(doc, word) term counts against the per-word
+  document frequencies on ``word`` — a plain hash join keyed on the
+  vocabulary, orders of magnitude smaller than the corpus.  The corpus
+  size N enters as a broadcast single-row frame (no driver .count()
+  action baked into the plan).
+
+Deterministic: ordering ties break on the word itself, so top-k is
+reproducible across engines (oracle-checked vs DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.textops.analysis import WS
+
+
+def doc_terms(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, word) pairs — one row per token occurrence."""
+    t = F.trim(F.col(text))
+    if lowercase:
+        t = F.lower(t)
+    return (
+        docs.select(id_col, *extra_cols, F.explode(F.split(t, WS)).alias("word"))
+        .filter(F.length("word") > 0)
+    )
+
+
+def vocab_counts(
+    docs: DataFrame,
+    by: str = "source",
+    text: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Word frequency table per ``by`` group: (by, word, cnt)."""
+    terms = doc_terms(docs, text, id_col=by, lowercase=lowercase)
+    return terms.groupBy(by, "word").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def top_words(
+    docs: DataFrame,
+    n: int = 10,
+    by: str = "source",
+    text: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Top-``n`` words per group by count, deterministic tie-break on the
+    word (count DESC, word ASC)."""
+    counts = vocab_counts(docs, by=by, text=text, lowercase=lowercase)
+    w = Window.partitionBy(by).orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def tfidf(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per (doc, word): raw term frequency ``tf``, document frequency
+    ``df``, and ``tfidf = tf * ln(N / df)`` with N = corpus size.
+
+    Plain raw-count / natural-log convention — deterministic double
+    arithmetic reproducible in the DuckDB oracle."""
+    terms = doc_terms(docs, text, id_col=id_col, lowercase=lowercase)
+    tf = terms.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = (
+        terms.select(id_col, "word").distinct()
+        .groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("__n"))
+    return (
+        tf.join(df_tbl, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("__n") / F.col("df")))
+        .drop("__n")
+        .select(id_col, "word", "tf", "df", "tfidf")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """The ``n`` most characteristic terms per document (tfidf DESC, word
+    ASC — deterministic)."""
+    scored = tfidf(docs, text=text, id_col=id_col, lowercase=lowercase)
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )

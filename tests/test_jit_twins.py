@@ -6,6 +6,7 @@ active on the host."""
 import numpy as np
 import pytest
 
+from pyg_timeseries_spark.kernels import cnative
 from pyg_timeseries_spark.kernels import ewm_numpy as EW
 from pyg_timeseries_spark.kernels import pairwise_numpy as PK
 from pyg_timeseries_spark.kernels import recurrence_numpy as RK
@@ -32,7 +33,8 @@ def test_ewm_sweep_twin_parity(upto, track_w2, with_time):
     a = _series(seed=2)
     time = _clock(len(a)) if with_time else None
     w = 10 / 11
-    trail_ref, s_ref = EW._ewm_sweep(a, w, time=time, upto=upto, track_w2=track_w2)
+    with cnative.disabled():
+        trail_ref, s_ref = EW._ewm_sweep(a, w, time=time, upto=upto, track_w2=track_w2)
     trail_tw, s_tw = EW._ewm_sweep_fast(a, w, time=time, upto=upto, track_w2=track_w2)
     assert np.array_equal(trail_ref, trail_tw, equal_nan=True)
     assert np.array_equal(s_ref, s_tw, equal_nan=True)
@@ -43,7 +45,8 @@ def test_xsweep_twin_parity(with_time):
     a, b = _series(seed=3), _series(seed=4)
     time = _clock(len(a), seed=5) if with_time else None
     w = 10 / 11
-    trail_ref, s_ref = PK._xsweep(a, b, w, time=time)
+    with cnative.disabled():
+        trail_ref, s_ref = PK._xsweep(a, b, w, time=time)
     s = PK.fresh_xstate()
     trail_tw = np.zeros((len(a), 10))
     t_arr = np.full(len(a), np.nan) if time is None else time
@@ -55,7 +58,8 @@ def test_xsweep_twin_parity(with_time):
 def test_zmooth_twin_parity():
     a = _series(seed=6, nan_frac=0.1) * 3
     smooth = _series(seed=7, nan_frac=0.3)
-    res_ref, s_ref = RK.zmooth(a, 10, smooth=smooth, max_move=2.0)
+    with cnative.disabled():
+        res_ref, s_ref = RK.zmooth(a, 10, smooth=smooth, max_move=2.0)
     w = 10 / 11
     s = np.array([0.0, 0.0, np.nan])
     res_tw = np.full(len(a), np.nan)
@@ -68,7 +72,8 @@ def test_zmooth_twin_parity():
 def test_buffer_twin_parity(unit, rounding):
     a = _series(seed=8, nan_frac=0.1) * 5
     band = np.abs(_series(seed=9, nan_frac=0.2))
-    res_ref, s_ref = RK.buffer(a, band, unit=unit, rounding_band=rounding)
+    with cnative.disabled():
+        res_ref, s_ref = RK.buffer(a, band, unit=unit, rounding_band=rounding)
     s = np.array([0.0, 0.0])
     res_tw = np.full(len(a), np.nan)
     RK._buffer_arrays(a, band, unit, rounding, s, res_tw)
@@ -85,7 +90,8 @@ def test_guarded_twin_parity(mode, bias, exc_zero, max_move, with_time):
     args = dict(time=time, wgt=None, state=None, exc_zero=exc_zero,
                 max_move=max_move, min_periods=3, min_sample=0.25,
                 mode=mode, bias=bias)
-    res_ref, s_ref = EW._guarded_sweep(a, 10, **args)
+    with cnative.disabled():
+        res_ref, s_ref = EW._guarded_sweep(a, 10, **args)
     # call the twin directly with the same normalized inputs
     w = EW.decay_weight(10)
     s = EW._guard_state(None)

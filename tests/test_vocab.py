@@ -1,0 +1,109 @@
+"""Vocabulary stats + TF-IDF vs a pandas-computed reference; fixed-N
+stratified sampling invariants."""
+
+import math
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.textops.corpus import sample_corpus, sample_fixed_n
+from pyg_timeseries_spark.textops.vocab import (
+    tfidf,
+    tfidf_top_terms,
+    top_words,
+    vocab_counts,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat", "web"),
+    (1, "the dog ate the cat food", "web"),
+    (2, "spark shuffles the big data", "code"),
+    (3, "big data big compute big bills", "code"),
+    (4, "  spaced    out   text  ", "web"),
+]
+
+
+def _docs(spark):
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text", "source"])
+    return spark.createDataFrame(pdf)
+
+
+def _expected_counts():
+    c = Counter()
+    for _, text, src in DOCS:
+        for w in text.lower().split():
+            c[(src, w)] += 1
+    return c
+
+
+def test_vocab_counts_match_python(spark):
+    got = {
+        (r["source"], r["word"]): r["cnt"]
+        for r in vocab_counts(_docs(spark)).collect()
+    }
+    assert got == dict(_expected_counts())
+
+
+def test_top_words_deterministic_tiebreak(spark):
+    rows = top_words(_docs(spark), n=2).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["rank"], r["word"], r["cnt"]))
+    # web: 'the' x4, then 'cat' x2; code: 'big' x4, then 'data' x2
+    assert sorted(by_src["web"]) == [(1, "the", 4), (2, "cat", 2)]
+    assert sorted(by_src["code"]) == [(1, "big", 4), (2, "data", 2)]
+    # rank-3 would tie at cnt=1 -> alphabetical; verify via n=3
+    rows3 = top_words(_docs(spark), n=3).collect()
+    third = {r["source"]: r["word"] for r in rows3 if r["rank"] == 3}
+    assert third == {"web": "ate", "code": "bills"}
+
+
+def test_tfidf_matches_python(spark):
+    n_docs = len(DOCS)
+    tf = Counter()
+    dfreq = Counter()
+    for did, text, _ in DOCS:
+        ws = text.lower().split()
+        for w in ws:
+            tf[(did, w)] += 1
+        for w in set(ws):
+            dfreq[w] += 1
+    got = {
+        (r["doc_id"], r["word"]): (r["tf"], r["df"], r["tfidf"])
+        for r in tfidf(_docs(spark)).collect()
+    }
+    assert set(got) == set(tf)
+    for (did, w), t in tf.items():
+        gt, gd, gs = got[(did, w)]
+        assert (gt, gd) == (t, dfreq[w])
+        assert abs(gs - t * math.log(n_docs / dfreq[w])) < 1e-12
+
+
+def test_tfidf_top_terms_rank(spark):
+    rows = tfidf_top_terms(_docs(spark), n=1).collect()
+    top = {r["doc_id"]: r["word"] for r in rows}
+    assert len(top) == len(DOCS)
+    # doc 3: 'big' tf=3 dominates everything else
+    assert top[3] == "big"
+
+
+def test_sample_fixed_n_exact_size_and_nesting(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "source": ["a" if i % 2 else "b" for i in range(200)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    s10 = sample_fixed_n(docs, 10, seed=3)
+    s5 = sample_fixed_n(docs, 5, seed=3)
+    c10 = s10.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in c10} == {"a": 10, "b": 10}
+    ids10 = {r["doc_id"] for r in s10.collect()}
+    ids5 = {r["doc_id"] for r in s5.collect()}
+    assert ids5 < ids10  # shrinking n nests
+    # deterministic across recomputation
+    assert ids10 == {r["doc_id"] for r in sample_fixed_n(docs, 10, seed=3).collect()}
+    # different seed -> different sample (overwhelmingly)
+    assert ids10 != {r["doc_id"] for r in sample_fixed_n(docs, 10, seed=4).collect()}
