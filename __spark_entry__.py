@@ -270,6 +270,22 @@ def q_dedup_exact(spark, sf_dir):
     return dedup_groups(load(spark, sf_dir, "documents"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher repetition filters (textops/analysis.py repetition_stats):
+    duplicate-line fractions + top word-n-gram character coverage, all as
+    per-row expressions — a shuffle-free map over the corpus (asserted in
+    tests/test_repetition.py::test_plan_is_shuffle_free)."""
+    d = TX.repetition_stats(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        R6(F.col("dup_line_frac")).alias("dup_line_frac"),
+        R6(F.col("dup_line_char_frac")).alias("dup_line_char_frac"),
+        R6(F.col("top2_char_frac")).alias("top2_char_frac"),
+        R6(F.col("top3_char_frac")).alias("top3_char_frac"),
+        R6(F.col("top4_char_frac")).alias("top4_char_frac"),
+    )
+
+
 def q_lang_id(spark, sf_dir):
     d = TX.lang_id(load(spark, sf_dir, "documents"))
     return d.select("doc_id", "pred_lang")
@@ -1162,6 +1178,64 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_cms_tokens(spark, sf_dir):
+    """Count-min token-frequency sketch per source (functions/sketches.py):
+    a fixed 4×64 counter grid over the corpus word stream — the bounded,
+    EXACTLY-mergeable frequency summary per-token exact counts can't give
+    the tier cascade at 100 TB.  The full grid is md5-fingerprinted (not
+    just the estimates), plus the row-0 mass and a point-frequency query
+    for the corpus's hottest word."""
+    from pyg_timeseries_spark.functions.sketches import cms_query, cms_sketch
+
+    depth, width = 4, 64
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("item"),
+    ).filter(F.length("item") > 0)
+    sk = cms_sketch(words, ["source"], "item", depth=depth, width=width)
+    return sk.select(
+        "source",
+        F.md5(F.concat_ws(",", F.col("cms"))).alias("cms_md5"),
+        F.aggregate(
+            F.slice("cms", 1, width), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("row0_mass"),
+        cms_query(F.col("cms"), F.lit("join"), depth, width).alias("est_join"),
+    )
+
+
+def q_doclen_quantiles(spark, sf_dir):
+    """Bottom-k uniform sample per source (functions/sketches.py): the k
+    doc_ids with the smallest md5 hash carry their n_chars, giving
+    mergeable nearest-rank percentile estimates of the doc-length
+    distribution — the quantile continuous aggregate.  The sample itself
+    is fingerprinted so the oracle checks the sketch, not just the
+    quantiles."""
+    from pyg_timeseries_spark.functions.sketches import (
+        bottomk_quantile,
+        bottomk_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sk = bottomk_sample(docs, ["source"], "doc_id", "n_chars", k=16)
+    fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("sample"),
+                lambda s: F.concat_ws(":", s["h"], s["v"].cast("long")),
+            ),
+        )
+    )
+    return sk.select(
+        "source",
+        F.size("sample").alias("n_kept"),
+        fp.alias("sample_md5"),
+        R6(bottomk_quantile(F.col("sample"), 0.5)).alias("q50"),
+        R6(bottomk_quantile(F.col("sample"), 0.9)).alias("q90"),
+    )
+
+
 def q_vocab_topk(spark, sf_dir):
     """Top-10 words per source (textops/vocab.py): the map-side-combined
     wordcount + WindowGroupLimit top-k — corpus vocabulary stats."""
@@ -1213,14 +1287,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "rolling_std": q_rolling_std,
         "rolling_quantile_heap": q_rolling_quantile_heap,
-        "rolling_rank": q_rolling_rank,
+        "repetition": q_repetition,
         "rolling_tover": q_rolling_tover,
         "expanding_skew": q_expanding_skew,
         "ts_rms_skew": q_ts_rms_skew,
         "kmv_distinct": q_kmv_distinct,
+        "cms_tokens": q_cms_tokens,
+        "doclen_quantiles": q_doclen_quantiles,
         "vocab_topk": q_vocab_topk,
-        "tfidf_topk": q_tfidf_topk,
-        "sample_topn": q_sample_topn,
         "ewma": q_ewma,
         "ewmvar": q_ewmvar,
         "ewmskew": q_ewmskew,
@@ -1254,6 +1328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "align_ffill": q_align_ffill,
         # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
+        "tfidf_topk": q_tfidf_topk,
+        "sample_topn": q_sample_topn,
+        "rolling_rank": q_rolling_rank,
         "rolling_skew": q_rolling_skew,
         "expanding_median": q_expanding_median,
         "expanding_rank": q_expanding_rank,
@@ -1455,6 +1532,79 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 31.0 * 1152921504606846976.0 / h_k END)
                         * 1000000 + 0.4997) AS BIGINT) AS est
             FROM s
+        """,
+        # count-min grid replay: same md5 row-hashes, dense scatter, min query
+        "cms_tokens": r"""
+            WITH t AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+              FROM documents
+            ), c AS (
+              SELECT source, item, count(*) AS cnt FROM t
+              WHERE length(item) > 0 GROUP BY 1, 2
+            ), inc AS (
+              SELECT c.source,
+                     j.j * 64 + (('0x' || substr(md5(c.item || '|cms' || j.j), 1, 15))::BIGINT % 64) AS idx,
+                     c.cnt
+              FROM c CROSS JOIN (SELECT unnest(range(4)) AS j) j
+            ), g AS (
+              SELECT source, idx, sum(cnt) AS cnt FROM inc GROUP BY 1, 2
+            ), dense AS (
+              SELECT s.source, i.i AS idx, coalesce(g.cnt, 0) AS cnt
+              FROM (SELECT DISTINCT source FROM c) s
+              CROSS JOIN (SELECT unnest(range(256)) AS i) i
+              LEFT JOIN g ON g.source = s.source AND g.idx = i.i
+            ), q AS (
+              SELECT d.source, min(d.cnt) AS est_join
+              FROM dense d
+              JOIN (SELECT j AS jj,
+                           j * 64 + (('0x' || substr(md5('join|cms' || j), 1, 15))::BIGINT % 64) AS qidx
+                    FROM (SELECT unnest(range(4)) AS j)) p
+                ON d.idx = p.qidx
+              GROUP BY 1
+            )
+            SELECT d.source,
+                   md5(string_agg(d.cnt::VARCHAR, ',' ORDER BY d.idx)) AS cms_md5,
+                   sum(CASE WHEN d.idx < 64 THEN d.cnt ELSE 0 END) AS row0_mass,
+                   any_value(q.est_join) AS est_join
+            FROM dense d JOIN q ON q.source = d.source
+            GROUP BY 1
+        """,
+        # bottom-k sample replay: k smallest md5 hashes carry n_chars;
+        # nearest-rank quantiles over the sampled values
+        "doclen_quantiles": """
+            WITH p AS (
+              SELECT DISTINCT source,
+                     ('0x' || substr(md5(doc_id || '|bk'), 1, 15))::BIGINT AS h,
+                     n_chars::DOUBLE AS v
+              FROM documents
+            ), r AS (
+              SELECT source, h, v,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM p
+            ), kept AS (
+              SELECT source, h, v,
+                     row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM r WHERE rn <= 16
+            ), fp AS (
+              SELECT source,
+                     count(*) AS n_kept,
+                     md5(string_agg(h::VARCHAR || ':' || CAST(v AS BIGINT)::VARCHAR,
+                                    ',' ORDER BY h)) AS sample_md5
+              FROM kept GROUP BY 1
+            ), qv AS (
+              SELECT source,
+                     max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                         THEN v END) AS q50,
+                     max(CASE WHEN vr = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                         THEN v END) AS q90
+              FROM kept GROUP BY 1
+            )
+            SELECT fp.source, fp.n_kept, fp.sample_md5,
+                   CAST(floor(qv.q50 * 1000000 + 0.4997) AS BIGINT) AS q50,
+                   CAST(floor(qv.q90 * 1000000 + 0.4997) AS BIGINT) AS q90
+            FROM fp JOIN qv ON qv.source = fp.source
         """,
         # wordcount top-k per source, ties broken on the word
         "vocab_topk": r"""
@@ -1679,6 +1829,59 @@ SELECT source, seq_id, off AS seq_pos_off, doc_id, n AS n_tok_ws FROM rec
         "dedup_exact": """
             SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS keep_id
             FROM documents GROUP BY 1
+        """,
+        # Gopher repetition filters: duplicate-line occurrence fractions +
+        # top word-n-gram char coverage (ties to the smallest gram)
+        "repetition": r"""
+            WITH base AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ), lc AS (
+              SELECT doc_id, line, count(*) AS cnt
+              FROM (SELECT doc_id, unnest(lines) AS line FROM base)
+              GROUP BY 1, 2
+            ), lstats AS (
+              SELECT doc_id,
+                     sum(cnt - 1)::DOUBLE / sum(cnt) AS dup_line_frac,
+                     CASE WHEN sum(cnt * length(line)) > 0
+                          THEN sum((cnt - 1) * length(line))::DOUBLE
+                               / sum(cnt * length(line))
+                          ELSE 0.0 END AS dup_line_char_frac
+              FROM lc GROUP BY 1
+            ), grams AS (
+              SELECT b.doc_id, n.n AS n,
+                     unnest(list_transform(
+                       range(1, CASE WHEN len(b.ws) >= n.n
+                                     THEN len(b.ws) - n.n + 2 ELSE 1 END),
+                       i -> array_to_string(b.ws[i:i+n.n-1], ' '))) AS gram
+              FROM base b CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) n
+            ), cnts AS (
+              SELECT doc_id, n, gram, count(*) AS cnt
+              FROM grams GROUP BY 1, 2, 3
+            ), best AS (
+              SELECT doc_id, n, cnt * length(gram) AS covered
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, gram ASC) AS rn FROM cnts)
+              WHERE rn = 1
+            )
+            SELECT b.doc_id,
+                   CAST(floor(l.dup_line_frac * 1000000 + 0.4997) AS BIGINT)
+                       AS dup_line_frac,
+                   CAST(floor(l.dup_line_char_frac * 1000000 + 0.4997) AS BIGINT)
+                       AS dup_line_char_frac,
+                   CAST(floor(coalesce(g2.covered, 0)::DOUBLE / b.n_chars
+                       * 1000000 + 0.4997) AS BIGINT) AS top2_char_frac,
+                   CAST(floor(coalesce(g3.covered, 0)::DOUBLE / b.n_chars
+                       * 1000000 + 0.4997) AS BIGINT) AS top3_char_frac,
+                   CAST(floor(coalesce(g4.covered, 0)::DOUBLE / b.n_chars
+                       * 1000000 + 0.4997) AS BIGINT) AS top4_char_frac
+            FROM base b
+            JOIN lstats l ON l.doc_id = b.doc_id
+            LEFT JOIN best g2 ON g2.doc_id = b.doc_id AND g2.n = 2
+            LEFT JOIN best g3 ON g3.doc_id = b.doc_id AND g3.n = 3
+            LEFT JOIN best g4 ON g4.doc_id = b.doc_id AND g4.n = 4
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
