@@ -65,6 +65,14 @@ from pyg_timeseries_spark.textops.packing import (
 from pyg_timeseries_spark.textops.corpus import (
     contaminated_docs, decontaminate, sample_corpus,
 )
+from pyg_timeseries_spark.textops.analysis import (
+    repetition_stats,  # Gopher repetition filters, expression-only
+)
+from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
+    kmv_sketch, kmv_merge, kmv_estimate,
+    cms_sketch, cms_merge, cms_query,
+    bottomk_sample, bottomk_merge, bottomk_quantile,
+)
 from pyg_timeseries_spark.dedup.incremental import IncrementalDeduper
 from pyg_timeseries_spark.kernels.multibuffer_numpy import (
     beta_correlation_matrix, near_correlation_matrix,

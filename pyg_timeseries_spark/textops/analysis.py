@@ -107,6 +107,117 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "pred_lang") -> DataFr
     return df.withColumn(out, pred)
 
 
+def _mode_run(arr: Column) -> Column:
+    """Most frequent element of ``arr`` and its count, as
+    struct(best string, bestn long) — computed per row with a single
+    fold over the SORTED array (equal elements are adjacent, so the
+    longest run is the mode).  Ties break to the lexicographically
+    smallest element (first run in sorted order wins on strict >).
+    Pure codegen — no explode, no shuffle."""
+    gs = F.array_sort(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(None).cast("string").alias("best"),
+        F.lit(0).cast("long").alias("bestn"),
+    )
+
+    def step(acc, x):
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["bestn"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, x).otherwise(acc["best"]).alias("best"),
+            F.when(better, run).otherwise(acc["bestn"]).alias("bestn"),
+        )
+
+    return F.aggregate(gs, zero, step)
+
+
+def _dup_occurrences(arr: Column) -> Column:
+    """struct(n long, chars long): occurrences beyond the first of each
+    distinct element (a line seen 3× contributes 2 / 2×len), via the same
+    sorted-fold trick."""
+    gs = F.array_sort(arr)
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("chars"),
+    )
+
+    def step(acc, x):
+        rep = acc["prev"].eqNullSafe(x)
+        return F.struct(
+            x.alias("prev"),
+            F.when(rep, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
+            F.when(rep, acc["chars"] + F.length(x)).otherwise(acc["chars"]).alias("chars"),
+        )
+
+    return F.aggregate(gs, zero, step)
+
+
+def word_ngrams(w: Column, n: int) -> Column:
+    """Word n-grams of a words array, space-joined; empty when size < n."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    text: str = "text",
+    line_sep: str = "\n",
+    top_ngrams: tuple = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, table A1), all as
+    per-row column expressions — at 100 TB this is a pure map that
+    pipelines with the parquet scan inside whole-stage codegen; the usual
+    explode + groupBy(doc, gram) rendition shuffles every word occurrence
+    of the corpus, which this deliberately avoids.
+
+    Adds:
+    - ``dup_line_frac``      — fraction of line occurrences that repeat an
+      earlier identical line;
+    - ``dup_line_char_frac`` — fraction of line characters in those
+      repeated occurrences;
+    - ``top{n}_char_frac``   — for each n in ``top_ngrams``: characters
+      covered by the most frequent word n-gram (count × gram length) over
+      total characters, ties to the lexicographically smallest gram.
+    """
+    t = F.col(text)
+    n_chars = F.length(t)
+    lines = F.split(t, line_sep)
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    dup = _dup_occurrences(lines)
+    out = (
+        df.withColumn(
+            "dup_line_frac",
+            F.when(n_lines > 0, dup["n"] / n_lines).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dup_line_char_frac",
+            F.when(line_chars > 0, dup["chars"] / line_chars).otherwise(F.lit(0.0)),
+        )
+    )
+    w = words(F.lower(t))
+    for n in top_ngrams:
+        mode = _mode_run(word_ngrams(w, n))
+        covered = mode["bestn"] * F.coalesce(F.length(mode["best"]), F.lit(0))
+        out = out.withColumn(
+            f"top{n}_char_frac",
+            F.when(n_chars > 0, covered / n_chars).otherwise(F.lit(0.0)),
+        )
+    return out
+
+
 def fingerprint(df: DataFrame, text: str = "text", shingle: int = 8,
                 out: str = "fingerprint", hash_fn: str = "xxhash64") -> DataFrame:
     """Document fingerprint: min hash over character shingles (winnowing-
