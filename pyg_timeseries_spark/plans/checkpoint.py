@@ -204,6 +204,7 @@ class RollupStore:
         exact_rebuild: bool = False,
         token_mode: str = "chunked",
         chunk_cap: int = MAX_TOKENS_PER_ROW,
+        sketch_id: str | None = None,
     ) -> dict[str, DataFrame]:
         """Append a raw batch: roll it up, merge into each tier, commit.
 
@@ -227,6 +228,12 @@ class RollupStore:
         this batch (an interleaving late arrival) is recomputed from retained
         raw.  Requires every prior batch to have retained raw (guarded).
 
+        ``sketch_id`` names an id column of the raw batch (e.g. doc_id):
+        every tier cell then also carries a KMV distinct-count sketch of
+        the ids and a bottom-k (id, v) sample for mergeable quantiles
+        (plans/rollup.py sketch measures).  Both merge exactly, so the
+        incremental invariant extends to the sketch columns bit-for-bit.
+
         ``token_mode``: 'chunked' (the default — the 100 TB-safe shape)
         stores token payloads ONCE at 1m granularity as bounded part-rows
         ≤ ``chunk_cap`` tokens (tokens_1m table; coarser tiers are
@@ -248,7 +255,8 @@ class RollupStore:
 
         chunked = tokens is not None and token_mode == "chunked"
         tier_tokens = None if chunked else tokens
-        delta = rollup_from_raw(raw, "1m", ts=ts, v=v, tokens=tier_tokens, key=key)
+        delta = rollup_from_raw(raw, "1m", ts=ts, v=v, tokens=tier_tokens,
+                                key=key, sketch_id=sketch_id)
         delta = delta.persist()
         touched_parts = [
             r[0] for r in _with_pday(delta).select(PART_COL).distinct().collect()
@@ -274,7 +282,8 @@ class RollupStore:
             keep = prev.join(F.broadcast(cells), _CELL, "left_anti")
             if exact_rebuild:
                 merged_cells = self._rebuild_overlaps(
-                    overlap, delta, ts=ts, v=v, tokens=tier_tokens, key=key
+                    overlap, delta, ts=ts, v=v, tokens=tier_tokens, key=key,
+                    sketch_id=sketch_id,
                 )
             else:
                 merged_cells = merge_rollup(
@@ -365,7 +374,8 @@ class RollupStore:
         self._save_meta()
         return out
 
-    def _rebuild_overlaps(self, overlap, delta, ts, v, tokens, key):
+    def _rebuild_overlaps(self, overlap, delta, ts, v, tokens, key,
+                          sketch_id=None):
         """Recompute from retained raw the (source, bucket) cells present in
         both history and the new delta — the only cells where a concat-order
         merge can diverge from a full recompute.  Delta-only cells pass
@@ -395,7 +405,7 @@ class RollupStore:
             .drop("_b")
         )
         rebuilt = rollup_from_raw(affected_raw, "1m", ts=ts, v=v,
-                                  tokens=tokens, key=key)
+                                  tokens=tokens, key=key, sketch_id=sketch_id)
         return delta_only.unionByName(rebuilt)
 
     def _rebuild_token_overlaps(self, overlap_c, delta_chunks, ts, tokens,

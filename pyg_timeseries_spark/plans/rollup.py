@@ -42,6 +42,52 @@ ROLLUP_COLS = [
     "min_n_tok", "max_n_tok", "first_ts", "last_ts",
 ]
 
+# ---- sketch measures ---------------------------------------------------------
+# Optional per-cell mergeable summaries riding the cascade next to the moment
+# sums: a KMV distinct-count sketch of the id column (how many distinct docs
+# per (source, bucket)) and a bottom-k uniform sample of (id, value) pairs
+# (percentiles of the token-length distribution).  Both merge EXACTLY —
+# k-smallest of a union == k-smallest of the union of children's k-smallest —
+# so cascade == direct and incremental == one-shot bit-for-bit, the same
+# contract as the integer moments (functions/sketches.py has the estimators).
+# Per-1m-cell build state is the cell's distinct hash set — bounded by
+# per-minute ingest volume, the same boundedness class as the token payload.
+
+SKETCH_K = 32
+
+
+def _sketch_build_aggs(id_col: str, v: str, k: int) -> list:
+    from pyg_timeseries_spark.functions.sketches import kmv_hash
+
+    h_kmv = kmv_hash(F.col(id_col))
+    h_bk = kmv_hash(F.col(id_col), salt="bk")
+    return [
+        F.slice(F.array_sort(F.collect_set(h_kmv)), 1, k).alias("kmv"),
+        F.slice(
+            F.array_sort(
+                F.collect_set(
+                    F.struct(
+                        h_bk.alias("h"), F.col(v).cast("double").alias("v")
+                    )
+                )
+            ),
+            1, k,
+        ).alias("sample"),
+    ]
+
+
+def _sketch_merge_aggs(k: int) -> list:
+    return [
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))),
+            1, k,
+        ).alias("kmv"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("sample")))),
+            1, k,
+        ).alias("sample"),
+    ]
+
 
 def bucket_col(ts_col: str, tier: str, df: DataFrame | None = None) -> F.Column:
     """Truncate ``ts_col`` to the tier's bucket.
@@ -69,9 +115,16 @@ def rollup_from_raw(
     v: str = "n_tok",
     tokens: str | None = "tokens",
     key: str = "source",
+    sketch_id: str | None = None,
+    sketch_k: int = SKETCH_K,
 ) -> DataFrame:
     """Aggregate raw sequences into one tier directly (used for tier '1m' and
-    as the oracle for cascade equivalence tests)."""
+    as the oracle for cascade equivalence tests).
+
+    ``sketch_id`` names an id column (e.g. ``doc_id``); when given, each cell
+    additionally carries a KMV distinct-count sketch of the ids and a
+    bottom-k (id, v) sample for mergeable quantiles — both cascade exactly.
+    """
     c = F.col(v).cast("long")
     aggs = [
         F.count(c).alias("cnt"),
@@ -93,6 +146,8 @@ def rollup_from_raw(
                 )
             ).alias("tokens")
         )
+    if sketch_id is not None:
+        aggs.extend(_sketch_build_aggs(sketch_id, v, sketch_k))
     return (
         df.groupBy(
             F.col(key).alias("source"), bucket_col(ts, tier, df).alias("bucket")
@@ -101,9 +156,14 @@ def rollup_from_raw(
     )
 
 
-def rollup_cascade(child: DataFrame, tier: str, with_tokens: bool = True) -> DataFrame:
+def rollup_cascade(
+    child: DataFrame, tier: str, with_tokens: bool = True,
+    sketch_k: int = SKETCH_K,
+) -> DataFrame:
     """Re-aggregate a finer rollup tier into a coarser one — exact because all
-    measures are associative (integer sums / min / max / ordered concat)."""
+    measures are associative (integer sums / min / max / ordered concat;
+    sketch columns, when present, merge by union-k-smallest which is also
+    exact)."""
     aggs = [
         F.sum("cnt").alias("cnt"),
         F.sum("sum_n_tok").alias("sum_n_tok"),
@@ -123,6 +183,8 @@ def rollup_cascade(child: DataFrame, tier: str, with_tokens: bool = True) -> Dat
                 )
             ).alias("tokens")
         )
+    if "kmv" in child.columns:
+        aggs.extend(_sketch_merge_aggs(sketch_k))
     return (
         child.groupBy("source", bucket_col("bucket", tier, child).alias("bucket"))
         .agg(*aggs)
@@ -289,4 +351,6 @@ def merge_rollup(existing: DataFrame, delta: DataFrame, with_tokens: bool = True
                 )
             ).alias("tokens")
         )
+    if "kmv" in both.columns:
+        aggs.extend(_sketch_merge_aggs(SKETCH_K))
     return both.groupBy("source", "bucket").agg(*aggs)

@@ -386,3 +386,69 @@ def test_ingest_empty_batch_noop(spark, raw, tmp_path):
     fresh = RollupStore(str(tmp_path / "emptyf"), spark)
     out2 = fresh.ingest(raw.filter(F.lit(False)))
     assert out2["1m"] is None
+
+
+# -- sketch measures on the cascade ------------------------------------------
+
+
+def sketch_rows(df):
+    pdf = (
+        df.select("source", "bucket", "kmv", "sample")
+        .toPandas()
+        .sort_values(["source", "bucket"])
+        .reset_index(drop=True)
+    )
+    pdf["kmv"] = pdf["kmv"].apply(tuple)
+    pdf["sample"] = pdf["sample"].apply(
+        lambda a: tuple((e["h"], e["v"]) for e in a)
+    )
+    return list(map(tuple, pdf.itertuples(index=False)))
+
+
+def test_sketch_cascade_equals_direct(raw):
+    """KMV + bottom-k sample columns cascade exactly: merging fine-tier
+    sketches == sketching raw at the coarse tier, element for element."""
+    m1 = rollup_from_raw(raw, "1m", sketch_id="doc_id")
+    via = m1
+    for tier in ("1h", "1d"):
+        via = rollup_cascade(via, tier)
+        direct = rollup_from_raw(raw, tier, sketch_id="doc_id")
+        assert sketch_rows(direct) == sketch_rows(via), tier
+
+
+def test_sketch_incremental_equals_full(spark, raw, tmp_path):
+    """The store's ingest invariant extends to sketch columns bit-for-bit."""
+    cut = F.lit("2024-01-01 03:00:00").cast("timestamp")
+    full_store = RollupStore(str(tmp_path / "skf"), spark)
+    full_tiers = full_store.ingest(raw, sketch_id="doc_id")
+    inc_store = RollupStore(str(tmp_path / "ski"), spark)
+    inc_store.ingest(raw.filter(F.col("ts") < cut), sketch_id="doc_id")
+    inc_tiers = inc_store.ingest(raw.filter(F.col("ts") >= cut),
+                                 sketch_id="doc_id")
+    for tier in ("1m", "1h", "1d"):
+        assert sketch_rows(full_tiers[tier]) == sketch_rows(inc_tiers[tier]), tier
+
+
+def test_sketch_estimates_sane(spark, raw):
+    """1d-tier estimates recover the true distinct-doc count (exact when
+    under k) and a median inside the value range."""
+    from pyg_timeseries_spark.functions.sketches import (
+        bottomk_quantile, kmv_estimate,
+    )
+    from pyg_timeseries_spark.plans.rollup import SKETCH_K
+
+    d1 = rollup_from_raw(raw, "1d", sketch_id="doc_id")
+    got = d1.select(
+        "source", "cnt",
+        kmv_estimate(F.col("kmv"), SKETCH_K).alias("est"),
+        bottomk_quantile(F.col("sample"), 0.5).alias("q50"),
+        "min_n_tok", "max_n_tok",
+    ).collect()
+    assert got
+    for r in got:
+        # every doc_id is distinct in the fixture → distinct == cnt
+        if r["cnt"] < SKETCH_K:
+            assert r["est"] == float(r["cnt"])
+        else:
+            assert abs(r["est"] - r["cnt"]) / r["cnt"] < 1.5  # k=32 is coarse
+        assert r["min_n_tok"] <= r["q50"] <= r["max_n_tok"]
