@@ -54,14 +54,19 @@ def stream_rollup_1m(
 
 
 def foreach_batch_ingest(store: RollupStore, ts: str = "ts", v: str = "n_tok",
-                         tokens: str | None = None, key: str = "source"):
+                         tokens: str | None = None, key: str = "source",
+                         sketch_id: str | None = None):
     """foreachBatch callback: route each raw micro-batch through the
-    incremental store (idempotent associative merge per bucket)."""
+    incremental store (idempotent associative merge per bucket).
+    ``sketch_id`` forwards the per-cell KMV + bottom-k sketch measures —
+    their union-merge is associative, so the streaming tiers carry the
+    same sketches a batch ingest would."""
 
     def fn(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.ingest(batch_df, ts=ts, v=v, tokens=tokens, key=key)
+        store.ingest(batch_df, ts=ts, v=v, tokens=tokens, key=key,
+                     sketch_id=sketch_id)
 
     return fn
 
@@ -75,13 +80,15 @@ def start_file_stream_ingest(
     v: str = "n_tok",
     key: str = "source",
     checkpoint_dir: str | None = None,
+    sketch_id: str | None = None,
 ):
     """File-source streaming ingestion into the rollup store (the local
     stand-in for a Kafka source; same code path from the watermark down)."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     q = (
         stream.writeStream.outputMode("update")
-        .foreachBatch(foreach_batch_ingest(store, ts=ts, v=v, key=key))
+        .foreachBatch(foreach_batch_ingest(store, ts=ts, v=v, key=key,
+                                           sketch_id=sketch_id))
         .option("checkpointLocation", checkpoint_dir or (store.path + "/_stream_ckpt"))
         .trigger(availableNow=True)
         .start()

@@ -266,3 +266,36 @@ def test_stream_ewma_stateful_matches_batch(spark, tmp_path):
     assert np.array_equal(
         g["ewma"].to_numpy(float), e["ewma"].to_numpy(float), equal_nan=True
     ), "streaming stateful EWM != batch EWM"
+
+
+def test_stream_ingest_sketch_measures(spark, tmp_path):
+    """foreachBatch ingest with sketch_id: the streamed store's tier cells
+    carry the same KMV + bottom-k sketches as one batch ingest — the
+    union-k-smallest merge is associative across micro-batches."""
+    raw = sequences(spark, 4000, with_tokens=False)
+    src = str(tmp_path / "sk_src")
+    raw.filter(F.col("seq") % 2 == 0).coalesce(1).write.parquet(src + "/a.parquet")
+    raw.filter(F.col("seq") % 2 == 1).coalesce(1).write.parquet(src + "/b.parquet")
+    schema = spark.read.parquet(src + "/a.parquet").schema
+
+    store = RollupStore(str(tmp_path / "sk_stream"), spark)
+    q = start_file_stream_ingest(
+        spark, src + "/*", store, schema,
+        checkpoint_dir=str(tmp_path / "sk_ckpt"), sketch_id="doc_id",
+    )
+    q.awaitTermination(180)
+
+    batch_store = RollupStore(str(tmp_path / "sk_batch"), spark)
+    batch_tiers = batch_store.ingest(raw, tokens=None, sketch_id="doc_id")
+
+    def srows(df):
+        pdf = df.select("source", "bucket", "kmv", "sample").toPandas()
+        pdf = pdf.sort_values(["source", "bucket"]).reset_index(drop=True)
+        pdf["kmv"] = pdf["kmv"].apply(tuple)
+        pdf["sample"] = pdf["sample"].apply(
+            lambda a: tuple((e["h"], e["v"]) for e in a))
+        return list(map(tuple, pdf.itertuples(index=False)))
+
+    for tier in ("1m", "1h", "1d"):
+        assert srows(store.read_table(f"rollup_{tier}")) == srows(
+            batch_tiers[tier]), tier
