@@ -1154,6 +1154,25 @@ def q_rolling_quantile_heap(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.py): per-user sessions
+    over the events table with a 30-minute inactivity timeout — one
+    key-partitioned Window pass (lag flags starts, running sum numbers
+    them; diff == gap merges, pinned to Spark's native session_window
+    semantics), then per-session aggregates."""
+    from pyg_timeseries_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    st = session_stats(ev, key="user_id", ts="ts", gap_s=1800.0)
+    return st.select(
+        "user_id", "session_id", "session_start", "session_end",
+        F.timestamp_diff(
+            "MICROSECOND", F.col("session_start"), F.col("session_end")
+        ).alias("duration_us"),
+        "n_events",
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV approximate-distinct users per (event_type, day): a bounded,
     exactly-mergeable k-minimum-values sketch (functions/sketches.py) —
@@ -1296,7 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doclen_quantiles": q_doclen_quantiles,
         "vocab_topk": q_vocab_topk,
         "ewma": q_ewma,
-        "ewmvar": q_ewmvar,
+        "sessionize": q_sessionize,
         "ewmskew": q_ewmskew,
         "ewma_clock": q_ewma_clock,
         "ewma_wgt": q_ewma_wgt,
@@ -1331,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
+        "ewmvar": q_ewmvar,
         "rolling_skew": q_rolling_skew,
         "expanding_median": q_expanding_median,
         "expanding_rank": q_expanding_rank,
@@ -1532,6 +1552,26 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 31.0 * 1152921504606846976.0 / h_k END)
                         * 1000000 + 0.4997) AS BIGINT) AS est
             FROM s
+        """,
+        # lag + running-sum session replay; epoch() for the gap test
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sid AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   date_diff('microseconds', min(ts), max(ts)) AS duration_us,
+                   count(*) AS n_events
+            FROM sid GROUP BY 1, 2
         """,
         # count-min grid replay: same md5 row-hashes, dense scatter, min query
         "cms_tokens": r"""

@@ -68,6 +68,9 @@ from pyg_timeseries_spark.textops.corpus import (
 from pyg_timeseries_spark.textops.analysis import (
     repetition_stats,  # Gopher repetition filters, expression-only
 )
+from pyg_timeseries_spark.operators.sessions import (
+    sessionize, session_stats, session_window_counts, stream_session_counts,
+)
 from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     kmv_sketch, kmv_merge, kmv_estimate,
     cms_sketch, cms_merge, cms_query,
