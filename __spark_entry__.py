@@ -1154,6 +1154,42 @@ def q_rolling_quantile_heap(spark, sf_dir):
     )
 
 
+def q_resample_5m(spark, sf_dir):
+    """Arbitrary-width time_bucket resampling (operators/resample.py):
+    5-minute buckets in exact integer-microsecond arithmetic (NTZ-safe,
+    no session-TZ routing), one partial+final hash aggregate."""
+    from pyg_timeseries_spark.operators.resample import resample
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    r = resample(s, 300.0)
+    return r.select(
+        "key", "bucket", "cnt",
+        R6(F.col("sum_v")).alias("sum_v"),
+        R6(F.col("mean_v")).alias("mean_v"),
+        R6(F.col("min_v")).alias("min_v"),
+        R6(F.col("max_v")).alias("max_v"),
+        "first_ts", "last_ts",
+    )
+
+
+def q_ohlc_5m(spark, sf_dir):
+    """OHLC bars at 5-minute width: open/close via min/max over (ts, v)
+    structs — deterministic under duplicate timestamps regardless of
+    partitioning order."""
+    from pyg_timeseries_spark.operators.resample import ohlc_resample
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    r = ohlc_resample(s, 300.0)
+    return r.select(
+        "key", "bucket",
+        R6(F.col("open")).alias("open"),
+        R6(F.col("high")).alias("high"),
+        R6(F.col("low")).alias("low"),
+        R6(F.col("close")).alias("close"),
+        "cnt",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): per-user sessions
     over the events table with a 30-minute inactivity timeout — one
@@ -1316,7 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "ewma": q_ewma,
         "sessionize": q_sessionize,
-        "ewmskew": q_ewmskew,
+        "resample_5m": q_resample_5m,
         "ewma_clock": q_ewma_clock,
         "ewma_wgt": q_ewma_wgt,
         "ewmstd": q_ewmstd,
@@ -1351,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
         "ewmvar": q_ewmvar,
+        "ewmskew": q_ewmskew,
+        "ohlc_5m": q_ohlc_5m,
         "rolling_skew": q_rolling_skew,
         "expanding_median": q_expanding_median,
         "expanding_rank": q_expanding_rank,
@@ -1552,6 +1590,43 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 31.0 * 1152921504606846976.0 / h_k END)
                         * 1000000 + 0.4997) AS BIGINT) AS est
             FROM s
+        """,
+        # integer-microsecond bucket floor (epoch_us % width), like the engine
+        "resample_5m": f"""
+            WITH s AS ({VALID_SQL}),
+            b AS (
+              SELECT key, make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS bucket,
+                     ts, v
+              FROM s
+            )
+            SELECT key, bucket, count(v) AS cnt,
+                   CAST(floor(sum(v) * 1000000 + 0.4997) AS BIGINT) AS sum_v,
+                   CAST(floor(avg(v) * 1000000 + 0.4997) AS BIGINT) AS mean_v,
+                   CAST(floor(min(v) * 1000000 + 0.4997) AS BIGINT) AS min_v,
+                   CAST(floor(max(v) * 1000000 + 0.4997) AS BIGINT) AS max_v,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM b GROUP BY 1, 2
+        """,
+        "ohlc_5m": f"""
+            WITH s AS ({VALID_SQL}),
+            b AS (
+              SELECT key, make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS bucket,
+                     ts, v,
+                     row_number() OVER (PARTITION BY key,
+                        make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000)
+                        ORDER BY ts ASC, v ASC) AS rn_o,
+                     row_number() OVER (PARTITION BY key,
+                        make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000)
+                        ORDER BY ts DESC, v DESC) AS rn_c
+              FROM s
+            )
+            SELECT key, bucket,
+                   CAST(floor(max(CASE WHEN rn_o = 1 THEN v END) * 1000000 + 0.4997) AS BIGINT) AS open,
+                   CAST(floor(max(v) * 1000000 + 0.4997) AS BIGINT) AS high,
+                   CAST(floor(min(v) * 1000000 + 0.4997) AS BIGINT) AS low,
+                   CAST(floor(max(CASE WHEN rn_c = 1 THEN v END) * 1000000 + 0.4997) AS BIGINT) AS close,
+                   count(v) AS cnt
+            FROM b GROUP BY 1, 2
         """,
         # lag + running-sum session replay; epoch() for the gap test
         "sessionize": """
