@@ -71,6 +71,9 @@ from pyg_timeseries_spark.textops.analysis import (
 from pyg_timeseries_spark.operators.sessions import (
     sessionize, session_stats, session_window_counts, stream_session_counts,
 )
+from pyg_timeseries_spark.operators.resample import (
+    time_bucket_col, resample, ohlc_resample,
+)
 from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     kmv_sketch, kmv_merge, kmv_estimate,
     cms_sketch, cms_merge, cms_query,
