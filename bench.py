@@ -158,6 +158,7 @@ def main():
         "rollup_1m", "rolling_mean", "ffill", "cumsum", "ts_agg",
         "rolling_median", "dedup_exact", "token_count", "quality", "ann_topk",
         "ivf_topk", "riskparity_diag", "pack_concat", "minhash_dedup",
+        "sessionize", "resample_5m", "cms_tokens", "repetition",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()
