@@ -1154,6 +1154,36 @@ def q_rolling_quantile_heap(spark, sf_dir):
     )
 
 
+def q_rollup_sketches(spark, sf_dir):
+    """End-to-end sketch cascade through the RollupStore: events ingest in
+    TWO batches with sketch_id, then the 1d tier's sketch_stats — because
+    union-k-smallest merging is exact, the incrementally-built day cells
+    equal a direct day-grain sketch of all events, which is what the
+    oracle replays (plans/rollup.py sketch measures; SKETCH_K=32)."""
+    import tempfile
+
+    from pyg_timeseries_spark.plans.checkpoint import RollupStore
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("event_id").alias("doc_id"), F.col("value").alias("n_tok"),
+    )
+    store = RollupStore(tempfile.mkdtemp(prefix="sketchstore_"), spark)
+    store.ingest(raw.filter(F.col("doc_id") % 2 == 0), tokens=None,
+                 sketch_id="doc_id", with_lineage=False)
+    store.ingest(raw.filter(F.col("doc_id") % 2 == 1), tokens=None,
+                 sketch_id="doc_id", with_lineage=False)
+    st = store.sketch_stats("1d")
+    return st.select(
+        "source", F.col("bucket").alias("day"), "cnt", "n_kept",
+        F.md5(F.concat_ws(",", F.col("kmv"))).alias("kmv_md5"),
+        R6(F.col("distinct_est")).alias("est"),
+        R6(F.col("q50")).alias("q50"),
+        R6(F.col("q90")).alias("q90"),
+    )
+
+
 def q_resample_5m(spark, sf_dir):
     """Arbitrary-width time_bucket resampling (operators/resample.py):
     5-minute buckets in exact integer-microsecond arithmetic (NTZ-safe,
@@ -1347,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_skew": q_expanding_skew,
         "ts_rms_skew": q_ts_rms_skew,
         "kmv_distinct": q_kmv_distinct,
+        "rollup_sketches": q_rollup_sketches,
         "cms_tokens": q_cms_tokens,
         "doclen_quantiles": q_doclen_quantiles,
         "vocab_topk": q_vocab_topk,
@@ -1354,7 +1385,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "resample_5m": q_resample_5m,
         "ewma_clock": q_ewma_clock,
-        "ewma_wgt": q_ewma_wgt,
         "ewmstd": q_ewmstd,
         "ewmxcor": q_ewmxcor,
         "ewmxLR": q_ewmxLR,
@@ -1387,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
         "ewmvar": q_ewmvar,
+        "ewma_wgt": q_ewma_wgt,
         "ewmskew": q_ewmskew,
         "ohlc_5m": q_ohlc_5m,
         "rolling_skew": q_rolling_skew,
@@ -1590,6 +1621,61 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 31.0 * 1152921504606846976.0 / h_k END)
                         * 1000000 + 0.4997) AS BIGINT) AS est
             FROM s
+        """,
+        # direct day-grain KMV + bottom-k replay — valid as the oracle for the
+        # two-batch store cascade because union-k-smallest merging is exact
+        "rollup_sketches": """
+            WITH base AS (
+              SELECT event_type AS source,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     event_id AS id, value AS v
+              FROM events
+            ), kh AS (
+              SELECT DISTINCT source, day,
+                     ('0x' || substr(md5(id || '|kmv'), 1, 15))::BIGINT AS h
+              FROM base
+            ), kr AS (
+              SELECT source, day, h,
+                     row_number() OVER (PARTITION BY source, day ORDER BY h) AS rn
+              FROM kh
+            ), ks AS (
+              SELECT source, day, count(*) AS n_kept,
+                     md5(string_agg(h::VARCHAR, ',' ORDER BY h)) AS kmv_md5,
+                     max(h) AS h_k
+              FROM kr WHERE rn <= 32 GROUP BY 1, 2
+            ), bh AS (
+              SELECT DISTINCT source, day,
+                     ('0x' || substr(md5(id || '|bk'), 1, 15))::BIGINT AS h,
+                     v::DOUBLE AS v
+              FROM base
+            ), br AS (
+              SELECT source, day, h, v,
+                     row_number() OVER (PARTITION BY source, day ORDER BY h) AS rn
+              FROM bh
+            ), kept AS (
+              SELECT source, day, v,
+                     row_number() OVER (PARTITION BY source, day ORDER BY v) AS vr,
+                     count(*) OVER (PARTITION BY source, day) AS n
+              FROM br WHERE rn <= 32
+            ), qv AS (
+              SELECT source, day,
+                     max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                         THEN v END) AS q50,
+                     max(CASE WHEN vr = greatest(1, CAST(ceil(0.9 * n) AS BIGINT))
+                         THEN v END) AS q90
+              FROM kept GROUP BY 1, 2
+            ), cnts AS (
+              SELECT source, day, count(v) AS cnt FROM base GROUP BY 1, 2
+            )
+            SELECT c.source, c.day, c.cnt, ks.n_kept, ks.kmv_md5,
+                   CAST(floor((CASE WHEN ks.n_kept < 32 THEN ks.n_kept::DOUBLE
+                        ELSE 31.0 * 1152921504606846976.0 / ks.h_k END)
+                        * 1000000 + 0.4997) AS BIGINT) AS est,
+                   CAST(floor(qv.q50 * 1000000 + 0.4997) AS BIGINT) AS q50,
+                   CAST(floor(qv.q90 * 1000000 + 0.4997) AS BIGINT) AS q90
+            FROM cnts c
+            JOIN ks ON ks.source = c.source AND ks.day = c.day
+            JOIN qv ON qv.source = c.source AND qv.day = c.day
         """,
         # integer-microsecond bucket floor (epoch_us % width), like the engine
         "resample_5m": f"""

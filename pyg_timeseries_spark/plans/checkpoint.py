@@ -450,6 +450,31 @@ class RollupStore:
             return None
         return tokens_at_tier(chunks, tier)
 
+    def sketch_stats(self, tier: str = "1d",
+                     quantiles: tuple = (0.5, 0.9)) -> DataFrame | None:
+        """Estimates from the sketch measures at a tier (requires the store
+        to have been ingested with ``sketch_id``): per (source, bucket) the
+        KMV distinct-id estimate and nearest-rank value quantiles from the
+        bottom-k sample, alongside the sketch payloads."""
+        from pyg_timeseries_spark.functions.sketches import (
+            bottomk_quantile, kmv_estimate,
+        )
+        from pyg_timeseries_spark.plans.rollup import SKETCH_K
+
+        t = self.read_table(f"rollup_{tier}")
+        if t is None or "kmv" not in t.columns:
+            return None
+        cols = [
+            "source", "bucket", "cnt",
+            F.size("kmv").alias("n_kept"),
+            kmv_estimate(F.col("kmv"), SKETCH_K).alias("distinct_est"),
+        ]
+        for q in quantiles:
+            cols.append(
+                bottomk_quantile(F.col("sample"), q).alias(f"q{int(q * 100)}")
+            )
+        return t.select(*cols, "kmv", "sample")
+
     # -- operator state -----------------------------------------------------
     def write_state(self, op: str, state_df: DataFrame) -> int:
         return self.write_table(f"state_{op}", state_df)
