@@ -107,13 +107,14 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "pred_lang") -> DataFr
     return df.withColumn(out, pred)
 
 
-def _mode_run(arr: Column) -> Column:
-    """Most frequent element of ``arr`` and its count, as
-    struct(best string, bestn long) — computed per row with a single
-    fold over the SORTED array (equal elements are adjacent, so the
-    longest run is the mode).  Ties break to the lexicographically
-    smallest element (first run in sorted order wins on strict >).
-    Pure codegen — no explode, no shuffle."""
+def _mode_covered_chars(arr: Column) -> Column:
+    """Characters covered by the most frequent element of ``arr``
+    (count × element length), via a single fold over the SORTED array
+    (equal elements are adjacent, so the longest run is the mode; ties
+    break to the lexicographically smallest element, first run winning
+    on strict >).  The finish lambda reduces to ONE scalar so the fold
+    is evaluated exactly once — a struct field access would re-run the
+    whole aggregate per field.  No explode, no shuffle."""
     gs = F.array_sort(arr)
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
@@ -132,40 +133,54 @@ def _mode_run(arr: Column) -> Column:
             F.when(better, run).otherwise(acc["bestn"]).alias("bestn"),
         )
 
-    return F.aggregate(gs, zero, step)
+    return F.aggregate(
+        gs, zero, step,
+        lambda acc: acc["bestn"] * F.coalesce(F.length(acc["best"]), F.lit(0)),
+    )
 
 
-def _dup_occurrences(arr: Column) -> Column:
-    """struct(n long, chars long): occurrences beyond the first of each
-    distinct element (a line seen 3× contributes 2 / 2×len), via the same
-    sorted-fold trick."""
+def _dup_fold(arr: Column, weigh_chars: bool) -> Column:
+    """Occurrences beyond the first of each distinct element of ``arr``
+    (count or character-weighted), one sorted fold reduced to one scalar."""
     gs = F.array_sort(arr)
     zero = F.struct(
         F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("n"),
-        F.lit(0).cast("long").alias("chars"),
+        F.lit(0).cast("long").alias("acc"),
     )
 
     def step(acc, x):
+        inc = F.length(x) if weigh_chars else F.lit(1)
         rep = acc["prev"].eqNullSafe(x)
         return F.struct(
             x.alias("prev"),
-            F.when(rep, acc["n"] + 1).otherwise(acc["n"]).alias("n"),
-            F.when(rep, acc["chars"] + F.length(x)).otherwise(acc["chars"]).alias("chars"),
+            F.when(rep, acc["acc"] + inc).otherwise(acc["acc"]).alias("acc"),
         )
 
-    return F.aggregate(gs, zero, step)
+    return F.aggregate(gs, zero, step, lambda acc: acc["acc"])
+
+
+def _let(bound_col: Column, body) -> Column:
+    """Bind ``bound_col`` as a lambda variable so ``body`` sees an EVALUATED
+    value: Catalyst re-evaluates closed-over subexpressions per element
+    inside higher-order-function lambdas (same trick as
+    dedup/neardup.py:_let — measured 6.5× on shingling)."""
+    return F.element_at(F.transform(F.array(bound_col), body), 1)
 
 
 def word_ngrams(w: Column, n: int) -> Column:
-    """Word n-grams of a words array, space-joined; empty when size < n."""
-    return F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-grams of a words array, space-joined; empty when size < n.
+    The words array is let-bound so the gram lambda slices an evaluated
+    array instead of re-running the upstream split per position."""
+    return _let(
+        w,
+        lambda wa: F.when(
+            F.size(wa) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(wa) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(wa, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def repetition_stats(
@@ -196,21 +211,23 @@ def repetition_stats(
     line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )
-    dup = _dup_occurrences(lines)
+    # every fold reduces to ONE scalar via the aggregate's finish lambda —
+    # a struct field access would re-evaluate the whole fold per field
     out = (
         df.withColumn(
             "dup_line_frac",
-            F.when(n_lines > 0, dup["n"] / n_lines).otherwise(F.lit(0.0)),
+            F.when(n_lines > 0, _dup_fold(lines, False) / n_lines)
+            .otherwise(F.lit(0.0)),
         )
         .withColumn(
             "dup_line_char_frac",
-            F.when(line_chars > 0, dup["chars"] / line_chars).otherwise(F.lit(0.0)),
+            F.when(line_chars > 0, _dup_fold(lines, True) / line_chars)
+            .otherwise(F.lit(0.0)),
         )
     )
     w = words(F.lower(t))
     for n in top_ngrams:
-        mode = _mode_run(word_ngrams(w, n))
-        covered = mode["bestn"] * F.coalesce(F.length(mode["best"]), F.lit(0))
+        covered = _mode_covered_chars(word_ngrams(w, n))
         out = out.withColumn(
             f"top{n}_char_frac",
             F.when(n_chars > 0, covered / n_chars).otherwise(F.lit(0.0)),
