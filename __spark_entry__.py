@@ -323,6 +323,50 @@ def q_ts_cor(spark, sf_dir):
     return out.select("key", R6(F.col("cor_ab")).alias("cor_ab"))
 
 
+def _pair_frame(spark, sf_dir):
+    """(key, ts, x, y) with the series' null injection on x — exercises the
+    joint-validity convention of the pairwise rolling family."""
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        F.col("event_type").alias("key"),
+        "ts",
+        F.when(v - F.floor(v) < 0.3, F.lit(None)).otherwise(v).alias("x"),
+        F.col("user_id").cast("double").alias("y"),
+    )
+
+
+def q_rolling_cor(spark, sf_dir):
+    """Rolling Pearson correlation over the last 20 jointly-valid rows
+    (operators/rolling_pair.py) — sliding Σx/Σy/Σxy algebra in one window
+    pass, codegen'd."""
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_cor
+
+    out = rolling_cor(_pair_frame(spark, sf_dir), N, x="x", y="y")
+    return out.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("key", "ts", R6(F.col("rolling_cor")).alias("rolling_cor"))
+
+
+def q_rolling_beta(spark, sf_dir):
+    """Rolling OLS slope of y on x over the last 20 jointly-valid rows."""
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_beta
+
+    out = rolling_beta(_pair_frame(spark, sf_dir), N, x="x", y="y")
+    return out.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("key", "ts", R6(F.col("rolling_beta")).alias("rolling_beta"))
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Rolling z-score over the last 20 valid observations (unbiased std,
+    the reference's sum algebra)."""
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_zscore
+
+    out = rolling_zscore(_series(spark, sf_dir), N)
+    return _valid_only(out, "rolling_zscore")
+
+
 def q_xrank_xsec(spark, sf_dir):
     s = _series(spark, sf_dir)
     m1 = (
@@ -1416,6 +1460,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
+        "rolling_cor": q_rolling_cor,
+        "rolling_beta": q_rolling_beta,
+        "rolling_zscore": q_rolling_zscore,
         "ewmvar": q_ewmvar,
         "ewma_wgt": q_ewma_wgt,
         "ewmskew": q_ewmskew,
@@ -1621,6 +1668,61 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 31.0 * 1152921504606846976.0 / h_k END)
                         * 1000000 + 0.4997) AS BIGINT) AS est
             FROM s
+        """,
+        # pairwise rolling family: sliding-sum algebra over jointly-valid rows
+        "rolling_cor": f"""
+            WITH p AS (
+              SELECT event_type AS key, ts,
+                     CASE WHEN value - floor(value) < 0.3 THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT key, ts,
+                     row_number() OVER (PARTITION BY key ORDER BY ts) AS rn,
+                     sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                     sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+                     sum(x * y) OVER w AS sxy
+              FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+              WINDOW w AS (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN {N-1} PRECEDING AND CURRENT ROW)
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN rn >= {N}
+                        AND ({N} * sxx - sx * sx) * ({N} * syy - sy * sy) > 0
+                        THEN ({N} * sxy - sx * sy)
+                             / sqrt(({N} * sxx - sx * sx) * ({N} * syy - sy * sy))
+                        END) * 1000000 + 0.4997) AS BIGINT) AS rolling_cor
+            FROM v
+        """,
+        "rolling_beta": f"""
+            WITH p AS (
+              SELECT event_type AS key, ts,
+                     CASE WHEN value - floor(value) < 0.3 THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT key, ts,
+                     row_number() OVER (PARTITION BY key ORDER BY ts) AS rn,
+                     sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                     sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+              FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+              WINDOW w AS (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN {N-1} PRECEDING AND CURRENT ROW)
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN rn >= {N} AND {N} * sxx - sx * sx <> 0
+                        THEN ({N} * sxy - sx * sy) / ({N} * sxx - sx * sx)
+                        END) * 1000000 + 0.4997) AS BIGINT) AS rolling_beta
+            FROM v
+        """,
+        "rolling_zscore": f"""
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN {gate}
+                        AND stddev_samp(v) OVER ({_WIN} {_ROWS_N}) > 0
+                        THEN (v - avg(v) OVER ({_WIN} {_ROWS_N}))
+                             / stddev_samp(v) OVER ({_WIN} {_ROWS_N})
+                        END) * 1000000 + 0.4997) AS BIGINT) AS rolling_zscore
+            FROM ({VALID_SQL})
         """,
         # direct day-grain KMV + bottom-k replay — valid as the oracle for the
         # two-batch store cascade because union-k-smallest merging is exact

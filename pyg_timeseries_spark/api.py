@@ -74,6 +74,9 @@ from pyg_timeseries_spark.operators.sessions import (
 from pyg_timeseries_spark.operators.resample import (
     time_bucket_col, resample, ohlc_resample,
 )
+from pyg_timeseries_spark.operators.rolling_pair import (
+    rolling_cor, rolling_beta, rolling_zscore,
+)
 from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     kmv_sketch, kmv_merge, kmv_estimate,
     cms_sketch, cms_merge, cms_query,

@@ -1,0 +1,101 @@
+"""Pairwise rolling statistics over the last n jointly-valid observations:
+correlation, OLS beta, and the single-series rolling z-score.
+
+Extension beyond the reference surface (its pairwise family is exponentially
+weighted — operators/pairwise.py); the rolling renditions use the same
+Σx/Σy/Σxy sliding-sum algebra inside Catalyst window frames, so they are
+O(1)-per-row incremental and fully codegen'd — no kernel, no shuffle beyond
+the per-key window partitioning shared with the rest of the rolling family.
+
+Validity follows the pairwise convention (kernels/pairwise_numpy.py): a row
+counts only when BOTH columns are non-null; invalid rows emit NULL and do
+not consume window slots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.operators._core import KEY, TS, VAL, w_rows
+
+
+def _pair_apply(df, x, y, out, expr_builder, n, key, ts):
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    valid = df.filter(both)
+    w = w_rows(n, key, ts)
+    cnt = F.count(x).over(w)
+    valid = valid.withColumn(out, F.when(cnt >= n, expr_builder(w)))
+    nulls = df.filter(F.col(x).isNull() | F.col(y).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    return valid.unionByName(nulls)
+
+
+def rolling_cor(
+    df: DataFrame,
+    n: int,
+    key: str = KEY,
+    ts: str = TS,
+    x: str = "x",
+    y: str = "y",
+    out: str = "rolling_cor",
+) -> DataFrame:
+    """Pearson correlation over the last n jointly-valid rows:
+    (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))."""
+
+    def build(w):
+        sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+        sxx = F.sum(F.col(x) * F.col(x)).over(w)
+        syy = F.sum(F.col(y) * F.col(y)).over(w)
+        sxy = F.sum(F.col(x) * F.col(y)).over(w)
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return F.when(den > 0, num / den)
+
+    return _pair_apply(df, x, y, out, build, n, key, ts)
+
+
+def rolling_beta(
+    df: DataFrame,
+    n: int,
+    key: str = KEY,
+    ts: str = TS,
+    x: str = "x",
+    y: str = "y",
+    out: str = "rolling_beta",
+) -> DataFrame:
+    """OLS slope of y on x over the last n jointly-valid rows:
+    (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)."""
+
+    def build(w):
+        sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+        sxx = F.sum(F.col(x) * F.col(x)).over(w)
+        sxy = F.sum(F.col(x) * F.col(y)).over(w)
+        den = n * sxx - sx * sx
+        return F.when(den != 0, (n * sxy - sx * sy) / den)
+
+    return _pair_apply(df, x, y, out, build, n, key, ts)
+
+
+def rolling_zscore(
+    df: DataFrame,
+    n: int,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str = "rolling_zscore",
+) -> DataFrame:
+    """(v − rolling_mean) / rolling_std over the last n valid observations
+    (unbiased std, the reference's sum algebra)."""
+    from pyg_timeseries_spark.operators._core import apply_on_valid
+    from pyg_timeseries_spark.functions.formulas import stdev_calc
+
+    w = w_rows(n, key, ts)
+    cnt = F.count(v).over(w)
+    c = F.col(v)
+    t1, t2 = F.sum(c).over(w), F.sum(c * c).over(w)
+    std = stdev_calc(F.lit(n), t1, t2)
+    mean = t1 / n
+    expr = F.when((cnt >= n) & (std > 0), (c - mean) / std)
+    return apply_on_valid(df, out, expr, v=v)

@@ -1,0 +1,85 @@
+"""Pairwise rolling stats (rolling_cor / rolling_beta / rolling_zscore) vs
+pandas references under the joint-validity convention."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyg_timeseries_spark.operators.rolling_pair import (
+    rolling_beta,
+    rolling_cor,
+    rolling_zscore,
+)
+
+N = 20
+
+
+def _pair(n=1200, seed=31, nulls=True):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, n)
+    y = 0.6 * x + rng.normal(0, 0.5, n)
+    pdf = pd.DataFrame(
+        {
+            "key": [f"k{i % 3}" for i in range(n)],
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "x": x,
+            "y": y,
+        }
+    )
+    if nulls:
+        pdf.loc[rng.random(n) < 0.15, "x"] = np.nan
+        pdf.loc[rng.random(n) < 0.15, "y"] = np.nan
+    return pdf
+
+
+def _collect(df, out):
+    got = df.toPandas().sort_values(["key", "ts"]).reset_index(drop=True)
+    return got
+
+
+def test_rolling_cor_matches_pandas(spark):
+    pdf = _pair()
+    got = _collect(rolling_cor(spark.createDataFrame(pdf), N), "rolling_cor")
+    for k, g in got.groupby("key"):
+        sub = pdf[pdf["key"] == k].dropna(subset=["x", "y"]).sort_values("ts")
+        exp = sub["x"].rolling(N).corr(sub["y"])
+        gv = g.dropna(subset=["x", "y"]).sort_values("ts")["rolling_cor"]
+        assert np.allclose(
+            gv.to_numpy(), exp.to_numpy(), atol=1e-9, equal_nan=True
+        ), k
+        # rows with either side null emit null
+        nullrows = g[g["x"].isna() | g["y"].isna()]["rolling_cor"]
+        assert nullrows.isna().all()
+
+
+def test_rolling_beta_matches_pandas(spark):
+    pdf = _pair()
+    got = _collect(rolling_beta(spark.createDataFrame(pdf), N), "rolling_beta")
+    for k, g in got.groupby("key"):
+        sub = pdf[pdf["key"] == k].dropna(subset=["x", "y"]).sort_values("ts")
+        cov = sub["x"].rolling(N).cov(sub["y"])
+        var = sub["x"].rolling(N).var()
+        exp = cov / var
+        gv = g.dropna(subset=["x", "y"]).sort_values("ts")["rolling_beta"]
+        assert np.allclose(
+            gv.to_numpy(), exp.to_numpy(), atol=1e-9, equal_nan=True
+        ), k
+
+
+def test_rolling_zscore_matches_pandas(spark):
+    pdf = _pair()[["key", "ts", "x"]].rename(columns={"x": "v"})
+    got = _collect(rolling_zscore(spark.createDataFrame(pdf), N), "rolling_zscore")
+    for k, g in got.groupby("key"):
+        sub = pdf[pdf["key"] == k].dropna(subset=["v"]).sort_values("ts")
+        exp = (sub["v"] - sub["v"].rolling(N).mean()) / sub["v"].rolling(N).std()
+        gv = g.dropna(subset=["v"]).sort_values("ts")["rolling_zscore"]
+        assert np.allclose(
+            gv.to_numpy(), exp.to_numpy(), atol=1e-9, equal_nan=True
+        ), k
+
+
+def test_beta_recovers_slope(spark):
+    pdf = _pair(n=3000, nulls=False)
+    got = rolling_beta(spark.createDataFrame(pdf), 500)
+    med = got.agg(F.expr("percentile_approx(rolling_beta, 0.5)")).first()[0]
+    assert abs(med - 0.6) < 0.1
