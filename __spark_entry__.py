@@ -1264,6 +1264,25 @@ def q_ohlc_5m(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/align.py asof_join): each series row picks up
+    the latest 5-minute resample row at-or-before its timestamp (1h
+    tolerance) — rendered as union + one per-key window pass, NOT a range
+    join.  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from pyg_timeseries_spark.operators.align import asof_join
+    from pyg_timeseries_spark.operators.resample import resample
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    r5 = resample(s, 300.0).select(
+        "key", F.col("bucket").alias("ts"), F.col("mean_v").alias("px")
+    )
+    out = asof_join(s, r5, tolerance_s=3600.0)
+    return out.select(
+        "key", "ts", R6(F.col("v")).alias("v"), F.col("__asof_ts").alias("asof_ts"),
+        R6(F.col("px_r")).alias("px_r"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): per-user sessions
     over the events table with a 30-minute inactivity timeout — one
@@ -1428,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "sessionize": q_sessionize,
         "resample_5m": q_resample_5m,
+        "asof_join": q_asof_join,
         "ewma_clock": q_ewma_clock,
         "ewmstd": q_ewmstd,
         "ewmxcor": q_ewmxcor,
@@ -1455,8 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_replay": q_stream_ewma_replay,
         "pack_concat": q_pack_concat,
         "pack_greedy": q_pack_greedy,
-        "align_ffill": q_align_ffill,
         # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
+        "align_ffill": q_align_ffill,
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
@@ -1815,6 +1835,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(max(CASE WHEN rn_c = 1 THEN v END) * 1000000 + 0.4997) AS BIGINT) AS close,
                    count(v) AS cnt
             FROM b GROUP BY 1, 2
+        """,
+        # DuckDB native ASOF JOIN vs the engine's union+window rendition
+        "asof_join": f"""
+            WITH l AS (SELECT key, ts, v FROM ({VALID_SQL})),
+            r AS (
+              SELECT key,
+                     make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS rts,
+                     avg(v) AS px
+              FROM ({VALID_SQL})
+              GROUP BY 1, 2
+            )
+            SELECT l.key, l.ts,
+                   CAST(floor(l.v * 1000000 + 0.4997) AS BIGINT) AS v,
+                   CASE WHEN l.ts - r.rts <= INTERVAL 3600 SECONDS
+                        THEN r.rts END AS asof_ts,
+                   CASE WHEN l.ts - r.rts <= INTERVAL 3600 SECONDS
+                        THEN CAST(floor(r.px * 1000000 + 0.4997) AS BIGINT)
+                        END AS px_r
+            FROM l ASOF LEFT JOIN r
+              ON l.key = r.key AND r.rts <= l.ts
         """,
         # lag + running-sum session replay; epoch() for the gap test
         "sessionize": """

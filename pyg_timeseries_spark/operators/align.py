@@ -64,3 +64,84 @@ def align_series(
     return out.select(
         key, ts, F.last(v, ignorenulls=True).over(w).alias(v)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = KEY,
+    ts: str = TS,
+    right_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: attach to every left row the temporally nearest right
+    row per key — ``backward`` takes the latest right row at-or-before the
+    left timestamp, ``forward`` the earliest at-or-after.  ``tolerance_s``
+    voids matches farther than that many seconds.
+
+    Spark-first shape (100 TB-safe): NOT a range join (which Catalyst
+    plans as a broadcast-nested-loop with per-row scans) but a union +
+    single per-key window pass — right rows sort immediately BEFORE left
+    rows at equal timestamps, so ``last(..., ignorenulls)`` over the
+    running frame is exactly the as-of match.  One shuffle on the key,
+    O(n log n) total, same cost class as one window operator.
+
+    Matched columns come back as ``<col><suffix>`` plus ``__asof_ts``
+    (the matched right timestamp, NULL when no match / out of tolerance).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction}")
+    rcols = right_cols or [c for c in right.columns if c not in (key, ts)]
+
+    payload = F.struct(
+        F.col(ts).alias("__t"), *[F.col(c).alias(c) for c in rcols]
+    )
+    r = right.select(
+        F.col(key).alias(key),
+        F.col(ts).alias(ts),
+        F.lit(0).alias("__side"),
+        payload.alias("__rv"),
+    )
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rv", F.lit(None).cast(r.schema["__rv"].dataType)
+    )
+    u = l.select(*left.columns, "__side", "__rv").unionByName(
+        r.select(*[F.lit(None).cast(left.schema[c].dataType).alias(c)
+                   for c in left.columns if c not in (key, ts)],
+                 key, ts, "__side", "__rv"),
+        allowMissingColumns=False,
+    )
+    # ties among right rows at the same (key, ts) break to the LARGEST
+    # payload struct — deterministic under any partitioning
+    if direction == "backward":
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).asc(), F.col("__side").asc(),
+                     F.col("__rv").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col(ts).desc(), F.col("__side").asc(),
+                     F.col("__rv").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    matched = F.last("__rv", ignorenulls=True).over(w)
+    out = (
+        u.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .drop("__side", "__rv")
+    )
+    gap_us = F.abs(
+        F.timestamp_diff("MICROSECOND", F.col("__m.__t"), F.col(ts))
+    )
+    ok = F.col("__m").isNotNull()
+    if tolerance_s is not None:
+        ok = ok & (gap_us <= F.lit(int(tolerance_s * 1_000_000)))
+    cols = list(left.columns) + [
+        F.when(ok, F.col("__m.__t")).alias("__asof_ts")
+    ] + [F.when(ok, F.col(f"__m.{c}")).alias(f"{c}{suffix}") for c in rcols]
+    return out.select(*cols)

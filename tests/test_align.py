@@ -1,5 +1,6 @@
 """align_series — the df_concat(join=…, method=…) alignment semantics."""
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -70,3 +71,113 @@ def test_bad_args(series):
         align_series(series, join="left")
     with pytest.raises(ValueError):
         align_series(series, method="bfill")
+
+
+# -- asof_join ---------------------------------------------------------------
+
+
+def _tq(n=800, seed=41):
+    """Trade/quote style pair of frames."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-05-01")
+    trades = pd.DataFrame(
+        {
+            "key": [f"s{i % 3}" for i in range(n)],
+            "ts": base + pd.to_timedelta(np.sort(rng.integers(0, 10**9, n)), unit="us"),
+            "qty": rng.integers(1, 100, n).astype("int64"),
+        }
+    )
+    quotes = pd.DataFrame(
+        {
+            "key": [f"s{i % 3}" for i in range(n // 2)],
+            "ts": base + pd.to_timedelta(np.sort(rng.integers(0, 10**9, n // 2)), unit="us"),
+            "px": rng.normal(100, 3, n // 2),
+        }
+    )
+    # drop duplicate (key, ts) so pandas/duckdb/spark tie rules can't differ
+    trades = trades.drop_duplicates(["key", "ts"])
+    quotes = quotes.drop_duplicates(["key", "ts"])
+    return trades, quotes
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_pandas(spark, direction):
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.align import asof_join
+
+    trades, quotes = _tq()
+    got = (
+        asof_join(
+            spark.createDataFrame(trades), spark.createDataFrame(quotes),
+            direction=direction,
+        )
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        trades.sort_values("ts"),
+        quotes.sort_values("ts").rename(columns={"px": "px_r"}),
+        on="ts", by="key", direction=direction,
+    ).sort_values(["key", "ts"]).reset_index(drop=True)
+    assert (got["qty"] == exp["qty"]).all()
+    assert got["px_r"].isna().equals(exp["px_r"].isna())
+    assert np.allclose(got["px_r"].dropna(), exp["px_r"].dropna(), atol=0)
+
+
+def test_asof_join_tolerance(spark):
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.align import asof_join
+
+    trades, quotes = _tq()
+    tol = 5.0
+    got = (
+        asof_join(
+            spark.createDataFrame(trades), spark.createDataFrame(quotes),
+            tolerance_s=tol,
+        )
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        trades.sort_values("ts"),
+        quotes.sort_values("ts").rename(columns={"px": "px_r"}),
+        on="ts", by="key", direction="backward",
+        tolerance=pd.Timedelta(seconds=tol),
+    ).sort_values(["key", "ts"]).reset_index(drop=True)
+    assert got["px_r"].isna().equals(exp["px_r"].isna())
+    assert np.allclose(got["px_r"].dropna(), exp["px_r"].dropna(), atol=0)
+
+
+def test_asof_join_same_ts_inclusive(spark):
+    """A right row AT the left timestamp matches in backward mode."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.align import asof_join
+
+    t = pd.Timestamp("2024-01-01 12:00:00")
+    left = pd.DataFrame({"key": ["a"], "ts": [t], "qty": [1]})
+    right = pd.DataFrame({"key": ["a"], "ts": [t], "px": [99.5]})
+    r = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right)
+    ).first()
+    assert r["px_r"] == 99.5 and str(r["__asof_ts"]) == str(t)
+
+
+def test_asof_join_single_window_pass(spark):
+    from pyg_timeseries_spark.operators.align import asof_join
+
+    trades, quotes = _tq(100)
+    plan = (
+        asof_join(spark.createDataFrame(trades), spark.createDataFrame(quotes))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 2  # two inputs union into one shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
