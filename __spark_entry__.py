@@ -1264,6 +1264,31 @@ def q_ohlc_5m(spark, sf_dir):
     )
 
 
+def q_despike(spark, sf_dir):
+    """Trailing-window despike (operators/clean.py): NULL out values more
+    than z=3 trailing stds from the previous-N mean — the spike statistic
+    excludes the current row so a spike can't mask itself."""
+    from pyg_timeseries_spark.operators.clean import despike
+
+    out = despike(_series(spark, sf_dir), n=N, z=3.0)
+    return (
+        out.filter(F.col("v").isNotNull())
+        .select("key", "ts", R6(F.col("despiked")).alias("despiked"))
+    )
+
+
+def q_token_entropy(spark, sf_dir):
+    """Shannon entropy of each source's word distribution
+    (textops/vocab.py token_entropy) — H = ln N − Σ c·ln c / N from the
+    map-side-combined wordcount."""
+    from pyg_timeseries_spark.textops.vocab import token_entropy
+
+    d = token_entropy(load(spark, sf_dir, "documents"))
+    return d.select(
+        "source", "n_tokens", "n_distinct", R6(F.col("entropy")).alias("entropy")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/align.py asof_join): each series row picks up
     the latest 5-minute resample row at-or-before its timestamp (1h
@@ -1477,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
         "align_ffill": q_align_ffill,
+        "despike": q_despike,
+        "token_entropy": q_token_entropy,
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
@@ -1835,6 +1862,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(max(CASE WHEN rn_c = 1 THEN v END) * 1000000 + 0.4997) AS BIGINT) AS close,
                    count(v) AS cnt
             FROM b GROUP BY 1, 2
+        """,
+        # trailing-window spike test replay (frame excludes the current row)
+        "despike": f"""
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN NOT coalesce(
+                        count(v) OVER wp >= {N}
+                        AND stddev_samp(v) OVER wp > 0
+                        AND abs(v - avg(v) OVER wp) > 3.0 * (stddev_samp(v) OVER wp),
+                        FALSE)
+                        THEN v END) * 1000000 + 0.4997) AS BIGINT) AS despiked
+            FROM ({VALID_SQL})
+            WINDOW wp AS ({_WIN} ROWS BETWEEN {N} PRECEDING AND 1 PRECEDING)
+        """,
+        "token_entropy": r"""
+            WITH t AS (
+              SELECT source,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+              FROM documents
+            ), c AS (
+              SELECT source, word, count(*) AS cnt FROM t
+              WHERE length(word) > 0 GROUP BY 1, 2
+            )
+            SELECT source, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+                   CAST(floor((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt))
+                        * 1000000 + 0.4997) AS BIGINT) AS entropy
+            FROM c GROUP BY 1
         """,
         # DuckDB native ASOF JOIN vs the engine's union+window rendition
         "asof_join": f"""

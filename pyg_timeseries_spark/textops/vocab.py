@@ -116,3 +116,29 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n)
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    by: str = "source",
+    text: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Shannon entropy (nats) of the word distribution per ``by`` group —
+    the diversity statistic corpus-mixing decisions use (a low-entropy
+    source is repetitive/templated).  Two hash aggregates: the map-side-
+    combined wordcount, then per-group −Σ (c/N)·ln(c/N) with N folded in
+    as Σc ln c / N algebra so a single pass over the count rows suffices:
+    H = ln N − (Σ c·ln c)/N."""
+    counts = vocab_counts(docs, by=by, text=text, lowercase=lowercase)
+    agg = counts.groupBy(by).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.log(F.col("cnt"))).alias("sum_clnc"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    return agg.select(
+        by, "n_tokens", "n_distinct",
+        (F.log("n_tokens") - F.col("sum_clnc") / F.col("n_tokens")).alias(
+            "entropy"
+        ),
+    )
