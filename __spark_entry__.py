@@ -1264,6 +1264,19 @@ def q_ohlc_5m(spark, sf_dir):
     )
 
 
+def q_corpus_split(spark, sf_dir):
+    """Deterministic train/val/test banding (textops/corpus.py
+    split_corpus): the md5 coin falls into cumulative fraction bands —
+    reproducible on any engine, stable under corpus growth."""
+    from pyg_timeseries_spark.textops.corpus import split_corpus
+
+    d = split_corpus(
+        load(spark, sf_dir, "documents"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return d.select("doc_id", "split")
+
+
 def q_despike(spark, sf_dir):
     """Trailing-window despike (operators/clean.py): NULL out values more
     than z=3 trailing stds from the previous-N mean — the spike statistic
@@ -1504,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_ffill": q_align_ffill,
         "despike": q_despike,
         "token_entropy": q_token_entropy,
+        "corpus_split": q_corpus_split,
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
@@ -1862,6 +1876,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(max(CASE WHEN rn_c = 1 THEN v END) * 1000000 + 0.4997) AS BIGINT) AS close,
                    count(v) AS cnt
             FROM b GROUP BY 1, 2
+        """,
+        # md5-coin band replay; sorted keys => test [0,.1) train [.1,.9) val [.9,1)
+        "corpus_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(doc_id || '|0'), 1, 8))::BIGINT
+                             % 1000000 < 100000 THEN 'test'
+                        WHEN ('0x' || substr(md5(doc_id || '|0'), 1, 8))::BIGINT
+                             % 1000000 < 900000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM documents
         """,
         # trailing-window spike test replay (frame excludes the current row)
         "despike": f"""

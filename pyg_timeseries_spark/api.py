@@ -77,6 +77,9 @@ from pyg_timeseries_spark.operators.resample import (
 from pyg_timeseries_spark.operators.rolling_pair import (
     rolling_cor, rolling_beta, rolling_zscore,
 )
+from pyg_timeseries_spark.operators.clean import despike, winsorize
+from pyg_timeseries_spark.operators.align import asof_join
+from pyg_timeseries_spark.textops.vocab import token_entropy
 from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     kmv_sketch, kmv_merge, kmv_estimate,
     cms_sketch, cms_merge, cms_query,

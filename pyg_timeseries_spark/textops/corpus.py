@@ -111,3 +111,35 @@ def sample_fixed_n(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each doc's md5 coin falls
+    into cumulative fraction bands, so the labeling is (a) reproducible on
+    any cluster or engine, (b) stable under corpus growth — a doc's split
+    never changes when other docs are added or removed — and (c) disjoint
+    and exhaustive when the fractions sum to 1 (validated).
+
+    ``fractions`` is ordered by sorted key for a canonical band layout,
+    e.g. {"test": 0.1, "train": 0.8, "val": 0.1} → test=[0,0.1),
+    train=[0.1,0.9), val=[0.9,1)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    coin = _coin(id_col, seed)
+    expr = None
+    acc = 0.0
+    for name, frac in sorted(fractions.items()):
+        acc += frac
+        hi = F.lit(min(int(round(acc * 1_000_000)), 1_000_000))
+        expr = (
+            F.when(coin < hi, F.lit(name)) if expr is None
+            else expr.when(coin < hi, F.lit(name))
+        )
+    return docs.withColumn(out, expr)

@@ -55,3 +55,38 @@ def test_sampling_deterministic_and_rate_accurate(spark):
     assert sorted(r.doc_id for r in s3.select("doc_id").collect()) != a
     assert sample_corpus(docs, {"web": 0.5}).filter(
         F.col("source") == "code").count() == 0
+
+
+def test_split_corpus_bands(spark):
+    from pyg_timeseries_spark.textops.corpus import split_corpus
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [f"d{i}" for i in range(3000)]})
+    df = spark.createDataFrame(pdf)
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 3000          # exhaustive & disjoint
+    assert abs(counts["train"] / 3000 - 0.8) < 0.05
+    # stability: labels depend only on the doc's own id
+    sub = split_corpus(df.limit(100), {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r["doc_id"]] == r["split"]
+    # reruns identical
+    again = {r["doc_id"]: r["split"] for r in
+             split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert again == full
+
+
+def test_split_corpus_validates_fractions(spark):
+    from pyg_timeseries_spark.textops.corpus import split_corpus
+
+    import pandas as pd
+    import pytest as _pt
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": ["a"]}))
+    with _pt.raises(ValueError):
+        split_corpus(df, {"train": 0.5, "val": 0.1})
