@@ -1321,6 +1321,12 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def _ntz_us(c):
+    from pyg_timeseries_spark.functions.timeutil import ntz_epoch_us
+
+    return ntz_epoch_us(c)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (operators/sessions.py): per-user sessions
     over the events table with a 30-minute inactivity timeout — one
@@ -1333,8 +1339,8 @@ def q_sessionize(spark, sf_dir):
     st = session_stats(ev, key="user_id", ts="ts", gap_s=1800.0)
     return st.select(
         "user_id", "session_id", "session_start", "session_end",
-        F.timestamp_diff(
-            "MICROSECOND", F.col("session_start"), F.col("session_end")
+        (
+            _ntz_us(F.col("session_end")) - _ntz_us(F.col("session_start"))
         ).alias("duration_us"),
         "n_events",
     )

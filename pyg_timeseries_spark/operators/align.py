@@ -135,9 +135,12 @@ def asof_join(
         .filter(F.col("__side") == 1)
         .drop("__side", "__rv")
     )
-    gap_us = F.abs(
-        F.timestamp_diff("MICROSECOND", F.col("__m.__t"), F.col(ts))
-    )
+    from pyg_timeseries_spark.functions.timeutil import us_expr_for_type
+
+    # NTZ-safe gap (timestamp_diff shifts NTZ wall times through the
+    # session zone's DST gaps — functions/timeutil.py)
+    us_of = us_expr_for_type(left.schema[ts].dataType)
+    gap_us = F.abs(us_of(F.col("__m.__t")) - us_of(F.col(ts)))
     ok = F.col("__m").isNotNull()
     if tolerance_s is not None:
         ok = ok & (gap_us <= F.lit(int(tolerance_s * 1_000_000)))

@@ -24,13 +24,17 @@ def time_bucket_col(df: DataFrame, ts: str, width_s: float,
                     origin: str = _EPOCH) -> Column:
     """Bucket-start timestamp of ``ts`` for ``width_s``-second buckets
     anchored at ``origin`` — exact integer-microsecond arithmetic, same
-    type as the input column (NTZ stays NTZ)."""
-    t = df.schema[ts].dataType
-    origin_lit = F.lit(origin).cast(t)
-    us = F.timestamp_diff("MICROSECOND", origin_lit, F.col(ts))
+    type as the input column.  NTZ columns use component arithmetic
+    (functions/timeutil.py): Spark's timestamp_diff would route NTZ
+    through the session timezone, shifting wall times inside DST gaps;
+    the bucket start comes back via timestamp_add on the ROW's own
+    timestamp, which is TZ-free for NTZ."""
+    from pyg_timeseries_spark.functions.timeutil import py_epoch_us, ts_us
+
+    rel = ts_us(df, ts) - F.lit(py_epoch_us(origin))
     w_us = int(round(width_s * 1_000_000))
-    b_us = us - F.pmod(us, F.lit(w_us))
-    return F.timestamp_add("MICROSECOND", b_us, origin_lit)
+    delta = -F.pmod(rel, F.lit(w_us))  # ≤ 0: distance back to bucket start
+    return F.timestamp_add("MICROSECOND", delta, F.col(ts))
 
 
 def resample(

@@ -33,12 +33,17 @@ def sessionize(
     seconds.  Deterministic under duplicate timestamps via a (ts, then
     full-row-arbitrary-free) ordering on ts alone — equal timestamps never
     open a gap, so their order cannot change the assignment."""
+    from pyg_timeseries_spark.functions.timeutil import ts_us
+
     w = Window.partitionBy(key).orderBy(ts)
-    prev = F.lag(F.col(ts)).over(w)
-    # microsecond-exact and NTZ-safe: timestamp_diff works on both
-    # TIMESTAMP and TIMESTAMP_NTZ (a double cast does not)
-    diff_us = F.timestamp_diff("MICROSECOND", prev, F.col(ts))
-    new_sess = prev.isNull() | (diff_us > F.lit(int(gap_s * 1_000_000)))
+    # microsecond-exact and NTZ-safe under ANY session timezone: NTZ
+    # columns use component µs (timestamp_diff would shift wall times
+    # inside the session zone's DST gaps — functions/timeutil.py)
+    us = ts_us(df, ts)
+    prev_us = F.lag(us).over(w)
+    new_sess = prev_us.isNull() | (
+        (us - prev_us) > F.lit(int(gap_s * 1_000_000))
+    )
     return df.withColumn(
         out,
         F.sum(new_sess.cast("long")).over(
@@ -57,15 +62,18 @@ def session_stats(
     One extra hash aggregate over the sessionized frame — partial/final
     combined, keyed on (key, session_id)."""
     s = sessionize(df, key=key, ts=ts, gap_s=gap_s)
+    from pyg_timeseries_spark.functions.timeutil import us_expr_for_type
+
     agg = s.groupBy(key, "session_id").agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    us_of = us_expr_for_type(df.schema[ts].dataType)
     return agg.withColumn(
         "duration_s",
-        F.timestamp_diff("MICROSECOND", F.col("session_start"),
-                         F.col("session_end")) / F.lit(1_000_000.0),
+        (us_of(F.col("session_end")) - us_of(F.col("session_start")))
+        / F.lit(1_000_000.0),
     ).select(
         key, "session_id", "session_start", "session_end", "duration_s",
         "n_events",
