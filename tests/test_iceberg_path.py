@@ -159,3 +159,50 @@ def test_store_gated_without_jars(spark):
         pytest.skip("iceberg runtime present — gate not exercisable")
     with pytest.raises(RuntimeError, match="Iceberg runtime"):
         IB.IcebergRollupStore(spark, "cat", "db")
+
+
+def test_merge_set_algebra_sketches(spark):
+    """The sketch-column SET clauses (union-k-smallest in SQL) equal
+    merge_rollup's sketch merge element-for-element."""
+    raw = sequences(spark, 8_000).persist()
+    cut = F.lit("2024-01-01 00:40:30").cast("timestamp")
+    head = rollup_from_raw(raw.filter(F.col("ts") < cut), "1m", tokens=None,
+                           sketch_id="doc_id")
+    tail = rollup_from_raw(raw.filter(F.col("ts") >= cut), "1m", tokens=None,
+                           sketch_id="doc_id")
+
+    sql = IB.merge_tier_sql("x", "_d", with_sketches=True)
+    assert "t.kmv = slice(array_sort(array_distinct(concat(t.kmv, s.kmv))), 1, 32)" in sql
+    set_block = sql.split("UPDATE SET\n")[1].split("\nWHEN NOT MATCHED")[0]
+    clauses = [c.strip() for c in set_block.split(",\n")]
+
+    t = head.select([F.col(c).alias(f"t_{c}") for c in head.columns])
+    s = tail.select([F.col(c).alias(f"s_{c}") for c in tail.columns])
+    joined = t.join(
+        s, (F.col("t_source") == F.col("s_source"))
+        & (F.col("t_bucket") == F.col("s_bucket")), "inner")
+    matched = joined.select(
+        F.col("t_source").alias("source"), F.col("t_bucket").alias("bucket"),
+        *[
+            F.expr(rhs.replace("t.", "t_").replace("s.", "s_")).alias(
+                lhs.replace("t.", ""))
+            for lhs, rhs in (c.split(" = ", 1) for c in clauses)
+        ],
+    )
+    unmatched_t = head.join(tail.select("source", "bucket"),
+                            ["source", "bucket"], "left_anti")
+    unmatched_s = tail.join(head.select("source", "bucket"),
+                            ["source", "bucket"], "left_anti")
+    merged_via_sql = matched.unionByName(unmatched_t).unionByName(unmatched_s)
+
+    expected = merge_rollup(head, tail, with_tokens=False)
+
+    def rows(df):
+        pdf = df.toPandas().sort_values(["source", "bucket"]).reset_index(drop=True)
+        pdf["kmv"] = pdf["kmv"].apply(tuple)
+        pdf["sample"] = pdf["sample"].apply(
+            lambda a: tuple((e["h"], e["v"]) for e in a))
+        return list(map(tuple, pdf.itertuples(index=False)))
+
+    assert rows(merged_via_sql) == rows(expected)
+    raw.unpersist()
