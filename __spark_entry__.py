@@ -1264,6 +1264,28 @@ def q_ohlc_5m(spark, sf_dir):
     )
 
 
+def q_series_pipeline(spark, sf_dir):
+    """Composed cleaning pipeline — the timeseries analog of
+    corpus_pipeline: despike (trailing N, z=3) → ffill the surviving
+    values → ewma(10) over the filled series.  One driver row proves the
+    operators compose: the oracle chains the spike test, the
+    last_value(IGNORE NULLS) fill, and the EWM recursion in a single
+    recursive CTE."""
+    from pyg_timeseries_spark.operators.clean import despike
+
+    s = _series(spark, sf_dir)
+    d = despike(s, n=N, z=3.0)
+    f = G.ffill(
+        d.select("key", "ts", F.col("despiked").alias("v")), out="filled"
+    )
+    e = M.ewma(
+        f.select("key", "ts", F.col("filled").alias("v")), 10
+    )
+    return e.filter(F.col("ewma").isNotNull()).select(
+        "key", "ts", R6(F.col("ewma")).alias("pipeline_ewma")
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test banding (textops/corpus.py
     split_corpus): the md5 coin falls into cumulative fraction bands —
@@ -1525,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "despike": q_despike,
         "token_entropy": q_token_entropy,
         "corpus_split": q_corpus_split,
+        "series_pipeline": q_series_pipeline,
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
@@ -1883,6 +1906,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(max(CASE WHEN rn_c = 1 THEN v END) * 1000000 + 0.4997) AS BIGINT) AS close,
                    count(v) AS cnt
             FROM b GROUP BY 1, 2
+        """,
+        # despike -> ffill -> ewma chained in one recursive CTE
+        "series_pipeline": f"""
+WITH RECURSIVE base AS (
+  SELECT key, ts, v FROM ({SERIES_SQL})
+),
+valid AS (
+  SELECT key, ts, v,
+         count(v) OVER wp AS pc,
+         avg(v) OVER wp AS pm,
+         stddev_samp(v) OVER wp AS ps
+  FROM base WHERE v IS NOT NULL
+  WINDOW wp AS (PARTITION BY key ORDER BY ts
+                ROWS BETWEEN {N} PRECEDING AND 1 PRECEDING)
+),
+desp AS (
+  SELECT key, ts,
+         CASE WHEN NOT coalesce(pc >= {N} AND ps > 0
+                   AND abs(v - pm) > 3.0 * ps, FALSE)
+              THEN v END AS dv
+  FROM valid
+),
+allrows AS (
+  SELECT b.key, b.ts, d.dv
+  FROM base b LEFT JOIN desp d ON d.key = b.key AND d.ts = b.ts
+),
+filled AS (
+  SELECT key, ts,
+         last_value(dv IGNORE NULLS) OVER
+           (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS fv
+  FROM allrows
+),
+ordered AS (
+  SELECT key, ts, fv AS v,
+         row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM filled WHERE fv IS NOT NULL
+),
+rec AS (
+  SELECT key, ts, v, rn, (1.0 - 10.0/11.0) AS t0, (1.0 - 10.0/11.0) * v AS t1
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0),
+         r.t1 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) AS pipeline_ewma
+FROM rec
         """,
         # md5-coin band replay; sorted keys => test [0,.1) train [.1,.9) val [.9,1)
         "corpus_split": """
