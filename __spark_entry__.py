@@ -367,6 +367,27 @@ def q_rolling_zscore(spark, sf_dir):
     return _valid_only(out, "rolling_zscore")
 
 
+def q_expanding_cor(spark, sf_dir):
+    """Expanding Pearson correlation over all jointly-valid history
+    (operators/rolling_pair.py) — live-count sliding-sum algebra."""
+    from pyg_timeseries_spark.operators.rolling_pair import expanding_cor
+
+    out = expanding_cor(_pair_frame(spark, sf_dir), 3, x="x", y="y")
+    return out.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("key", "ts", R6(F.col("expanding_cor")).alias("expanding_cor"))
+
+
+def q_expanding_beta(spark, sf_dir):
+    """Expanding OLS slope of y on x over all jointly-valid history."""
+    from pyg_timeseries_spark.operators.rolling_pair import expanding_beta
+
+    out = expanding_beta(_pair_frame(spark, sf_dir), 3, x="x", y="y")
+    return out.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("key", "ts", R6(F.col("expanding_beta")).alias("expanding_beta"))
+
+
 def q_xrank_xsec(spark, sf_dir):
     s = _series(spark, sf_dir)
     m1 = (
@@ -1554,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_cor": q_rolling_cor,
         "rolling_beta": q_rolling_beta,
         "rolling_zscore": q_rolling_zscore,
+        "expanding_cor": q_expanding_cor,
+        "expanding_beta": q_expanding_beta,
         "ewmvar": q_ewmvar,
         "ewma_wgt": q_ewma_wgt,
         "ewmskew": q_ewmskew,
@@ -1814,6 +1837,51 @@ def oracle_sql() -> dict[str, str]:
                              / stddev_samp(v) OVER ({_WIN} {_ROWS_N})
                         END) * 1000000 + 0.4997) AS BIGINT) AS rolling_zscore
             FROM ({VALID_SQL})
+        """,
+        "expanding_cor": """
+            WITH p AS (
+              SELECT event_type AS key, ts,
+                     CASE WHEN value - floor(value) < 0.3 THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT key, ts,
+                     count(*) OVER w AS n,
+                     sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                     sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+                     sum(x * y) OVER w AS sxy
+              FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+              WINDOW w AS (PARTITION BY key ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN n >= 3
+                        AND (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                        THEN (n * sxy - sx * sy)
+                             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                        END) * 1000000 + 0.4997) AS BIGINT) AS expanding_cor
+            FROM v
+        """,
+        "expanding_beta": """
+            WITH p AS (
+              SELECT event_type AS key, ts,
+                     CASE WHEN value - floor(value) < 0.3 THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT key, ts,
+                     count(*) OVER w AS n,
+                     sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                     sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+              FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+              WINDOW w AS (PARTITION BY key ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                        END) * 1000000 + 0.4997) AS BIGINT) AS expanding_beta
+            FROM v
         """,
         # direct day-grain KMV + bottom-k replay — valid as the oracle for the
         # two-batch store cascade because union-k-smallest merging is exact

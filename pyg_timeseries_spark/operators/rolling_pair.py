@@ -99,3 +99,63 @@ def rolling_zscore(
     mean = t1 / n
     expr = F.when((cnt >= n) & (std > 0), (c - mean) / std)
     return apply_on_valid(df, out, expr, v=v)
+
+
+def expanding_cor(
+    df: DataFrame,
+    min_periods: int = 3,
+    key: str = KEY,
+    ts: str = TS,
+    x: str = "x",
+    y: str = "y",
+    out: str = "expanding_cor",
+) -> DataFrame:
+    """Pearson correlation over ALL jointly-valid history (gated until
+    ``min_periods``); the running-sum algebra uses the live count, so the
+    expression stays one Window pass."""
+    from pyg_timeseries_spark.operators._core import w_unbounded
+
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    valid = df.filter(both)
+    w = w_unbounded(key, ts)
+    cnt = F.count(x).over(w).cast("double")
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx = F.sum(F.col(x) * F.col(x)).over(w)
+    syy = F.sum(F.col(y) * F.col(y)).over(w)
+    sxy = F.sum(F.col(x) * F.col(y)).over(w)
+    num = cnt * sxy - sx * sy
+    den = F.sqrt((cnt * sxx - sx * sx) * (cnt * syy - sy * sy))
+    expr = F.when((cnt >= min_periods) & (den > 0), num / den)
+    valid = valid.withColumn(out, expr)
+    nulls = df.filter(F.col(x).isNull() | F.col(y).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    return valid.unionByName(nulls)
+
+
+def expanding_beta(
+    df: DataFrame,
+    min_periods: int = 3,
+    key: str = KEY,
+    ts: str = TS,
+    x: str = "x",
+    y: str = "y",
+    out: str = "expanding_beta",
+) -> DataFrame:
+    """OLS slope of y on x over all jointly-valid history."""
+    from pyg_timeseries_spark.operators._core import w_unbounded
+
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    valid = df.filter(both)
+    w = w_unbounded(key, ts)
+    cnt = F.count(x).over(w).cast("double")
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxx = F.sum(F.col(x) * F.col(x)).over(w)
+    sxy = F.sum(F.col(x) * F.col(y)).over(w)
+    den = cnt * sxx - sx * sx
+    expr = F.when((cnt >= min_periods) & (den != 0), (cnt * sxy - sx * sy) / den)
+    valid = valid.withColumn(out, expr)
+    nulls = df.filter(F.col(x).isNull() | F.col(y).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    return valid.unionByName(nulls)

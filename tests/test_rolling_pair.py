@@ -83,3 +83,26 @@ def test_beta_recovers_slope(spark):
     got = rolling_beta(spark.createDataFrame(pdf), 500)
     med = got.agg(F.expr("percentile_approx(rolling_beta, 0.5)")).first()[0]
     assert abs(med - 0.6) < 0.1
+
+
+def test_expanding_cor_beta_match_pandas(spark):
+    from pyg_timeseries_spark.operators.rolling_pair import (
+        expanding_beta,
+        expanding_cor,
+    )
+
+    pdf = _pair()
+    for fn, out, ref in [
+        (expanding_cor, "expanding_cor",
+         lambda s: s["x"].expanding(3).corr(s["y"])),
+        (expanding_beta, "expanding_beta",
+         lambda s: s["x"].expanding(3).cov(s["y"]) / s["x"].expanding(3).var()),
+    ]:
+        got = _collect(fn(spark.createDataFrame(pdf), 3), out)
+        for k, g in got.groupby("key"):
+            sub = pdf[pdf["key"] == k].dropna(subset=["x", "y"]).sort_values("ts")
+            exp = ref(sub)
+            gv = g.dropna(subset=["x", "y"]).sort_values("ts")[out]
+            assert np.allclose(
+                gv.to_numpy(), exp.to_numpy(), atol=1e-9, equal_nan=True
+            ), (out, k)
