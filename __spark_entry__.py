@@ -822,6 +822,53 @@ def q_stream_ewma_replay(spark, sf_dir):
     )
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Native merging session windows as a REAL Structured Streaming query
+    (file source → withWatermark + session_window → memory sink,
+    availableNow): a far-future sentinel event per user advances the final
+    watermark past every real session, so append mode emits exactly the
+    full batch sessionization; the sentinel's own sessions stay open and
+    are never emitted.  Oracle = the lag/cumsum session replay with
+    end = last_event + gap (Spark's window end convention).  MATCH ==
+    streaming session assembly ≡ batch (operators/sessions.py)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyg_timeseries_spark.operators.sessions import stream_session_counts
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    sentinel = raw.select("user_id").distinct().withColumn(
+        "ts", F.lit("2030-01-01 00:00:00").cast("timestamp")
+    )
+    base = tempfile.mkdtemp(prefix="stream_sessions_")
+    src = os.path.join(base, "src")
+    raw.unionByName(sentinel).orderBy(
+        F.md5(F.concat_ws("|", "user_id", F.col("ts").cast("string")))
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_session_counts(
+        stream, key="user_id", ts="ts", gap="30 minutes", watermark="1 hour"
+    )
+    qname = "sessions_replay_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_sessions did not finish within 600s")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def q_ewmvar(spark, sf_dir):
     return _valid_only(M.ewmvar(_series(spark, sf_dir), 10), "ewmvar")
 
@@ -1569,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "corpus_split": q_corpus_split,
         "series_pipeline": q_series_pipeline,
+        "stream_sessions": q_stream_sessions,
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
@@ -2078,6 +2126,27 @@ FROM rec
                         END AS px_r
             FROM l ASOF LEFT JOIN r
               ON l.key = r.key AND r.rts <= l.ts
+        """,
+        # batch replay of the streamed session windows: same lag/cumsum
+        # partition, window end = last event + gap (Spark's convention)
+        "stream_sessions": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sid AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM s
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTES AS session_end,
+                   count(*) AS n_events
+            FROM sid GROUP BY user_id, session_id
         """,
         # lag + running-sum session replay; epoch() for the gap test
         "sessionize": """
