@@ -1354,6 +1354,28 @@ def q_series_pipeline(spark, sf_dir):
     )
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population-stability-index drift monitor (functions/drift.py):
+    each event_type's value distribution in the back half of the month vs
+    the front half, fixed 10-bin [0,200) edges, Laplace-smoothed with the
+    closed-form absent-bin correction."""
+    from pyg_timeseries_spark.functions.drift import psi_drift
+
+    ev = load(spark, sf_dir, "events")
+    d = psi_drift(
+        ev,
+        ref=F.dayofmonth("ts") <= 15,
+        cur=F.dayofmonth("ts") > 15,
+        key="event_type",
+        v="value",
+        lo=0.0, hi=200.0, bins=10,
+    )
+    return d.select(
+        F.col("key").alias("event_type"), R6(F.col("psi")).alias("psi"),
+        "n_ref", "n_cur",
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test banding (textops/corpus.py
     split_corpus): the md5 coin falls into cumulative fraction bands —
@@ -1617,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "series_pipeline": q_series_pipeline,
         "stream_sessions": q_stream_sessions,
+        "psi_drift": q_psi_drift,
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
@@ -2070,6 +2093,37 @@ rec AS (
 )
 SELECT key, ts, CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) AS pipeline_ewma
 FROM rec
+        """,
+        # full-grid PSI replay (explicit empty bins instead of the closed form)
+        "psi_drift": """
+            WITH d AS (
+              SELECT event_type AS key,
+                     least(9, greatest(0, CAST(floor(value / 20.0) AS INT))) AS bin,
+                     CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS r,
+                     CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END AS c
+              FROM events WHERE value IS NOT NULL
+            ), per AS (
+              SELECT key, bin, sum(r) AS nr, sum(c) AS nc FROM d GROUP BY 1, 2
+            ), grid AS (
+              SELECT k.key, b.b AS bin,
+                     coalesce(p.nr, 0) AS nr, coalesce(p.nc, 0) AS nc
+              FROM (SELECT DISTINCT key FROM per) k
+              CROSS JOIN (SELECT unnest(range(10)) AS b) b
+              LEFT JOIN per p ON p.key = k.key AND p.bin = b.b
+            ), tot AS (
+              SELECT key, sum(nr) AS n_ref, sum(nc) AS n_cur
+              FROM grid GROUP BY 1
+            )
+            SELECT g.key AS event_type,
+                   CAST(floor(sum(
+                     ((g.nc + 0.5) / (t.n_cur + 5.0)
+                      - (g.nr + 0.5) / (t.n_ref + 5.0))
+                     * ln(((g.nc + 0.5) / (t.n_cur + 5.0))
+                          / ((g.nr + 0.5) / (t.n_ref + 5.0)))
+                   ) * 1000000 + 0.4997) AS BIGINT) AS psi,
+                   any_value(t.n_ref) AS n_ref, any_value(t.n_cur) AS n_cur
+            FROM grid g JOIN tot t ON t.key = g.key
+            GROUP BY 1
         """,
         # md5-coin band replay; sorted keys => test [0,.1) train [.1,.9) val [.9,1)
         "corpus_split": """
