@@ -80,6 +80,11 @@ from pyg_timeseries_spark.operators.rolling_pair import (
 from pyg_timeseries_spark.operators.clean import despike, winsorize
 from pyg_timeseries_spark.operators.align import asof_join
 from pyg_timeseries_spark.textops.vocab import token_entropy
+from pyg_timeseries_spark.textops.corpus import split_corpus
+from pyg_timeseries_spark.functions.drift import psi_drift
+from pyg_timeseries_spark.operators.rolling_pair import (
+    expanding_cor, expanding_beta,
+)
 from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     kmv_sketch, kmv_merge, kmv_estimate,
     cms_sketch, cms_merge, cms_query,
