@@ -1376,6 +1376,26 @@ def q_psi_drift(spark, sf_dir):
     )
 
 
+def q_ks_drift(spark, sf_dir):
+    """Exact two-sample KS statistic per event_type (functions/drift.py):
+    back half of the month vs front half, one value-ordered RANGE-frame
+    window pass (ties fold into one ECDF step)."""
+    from pyg_timeseries_spark.functions.drift import ks_drift
+
+    ev = load(spark, sf_dir, "events")
+    d = ks_drift(
+        ev,
+        ref=F.dayofmonth("ts") <= 15,
+        cur=F.dayofmonth("ts") > 15,
+        key="event_type",
+        v="value",
+    )
+    return d.select(
+        F.col("key").alias("event_type"), R6(F.col("ks")).alias("ks"),
+        "n_ref", "n_cur",
+    )
+
+
 def q_corpus_split(spark, sf_dir):
     """Deterministic train/val/test banding (textops/corpus.py
     split_corpus): the md5 coin falls into cumulative fraction bands —
@@ -1640,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_pipeline": q_series_pipeline,
         "stream_sessions": q_stream_sessions,
         "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
         "tfidf_topk": q_tfidf_topk,
         "sample_topn": q_sample_topn,
         "rolling_rank": q_rolling_rank,
@@ -2093,6 +2114,28 @@ rec AS (
 )
 SELECT key, ts, CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) AS pipeline_ewma
 FROM rec
+        """,
+        # ECDF-gap replay: RANGE frame folds ties exactly like the engine
+        "ks_drift": """
+            WITH d AS (
+              SELECT event_type AS key, value AS v,
+                     CASE WHEN date_part('day', ts) <= 15 THEN 1 ELSE 0 END AS r,
+                     CASE WHEN date_part('day', ts) > 15 THEN 1 ELSE 0 END AS c
+              FROM events WHERE value IS NOT NULL
+            ), w AS (
+              SELECT key,
+                     abs(sum(r) OVER wv / (1.0 * sum(r) OVER wk)
+                         - sum(c) OVER wv / (1.0 * sum(c) OVER wk)) AS gap,
+                     sum(r) OVER wk AS n_ref, sum(c) OVER wk AS n_cur
+              FROM d
+              WINDOW wv AS (PARTITION BY key ORDER BY v
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wk AS (PARTITION BY key)
+            )
+            SELECT key AS event_type,
+                   CAST(floor(max(gap) * 1000000 + 0.4997) AS BIGINT) AS ks,
+                   any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur
+            FROM w GROUP BY 1
         """,
         # full-grid PSI replay (explicit empty bins instead of the closed form)
         "psi_drift": """

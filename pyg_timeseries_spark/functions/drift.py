@@ -83,3 +83,50 @@ def psi_drift(
         ).alias("psi"),
         "n_ref", "n_cur",
     )
+
+
+def ks_drift(
+    df: DataFrame,
+    ref: Column,
+    cur: Column,
+    key: str = "key",
+    v: str = "v",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per ``key``:
+    sup_x |F_ref(x) − F_cur(x)|, attained at sample points, computed in a
+    single value-ordered RANGE-frame window pass (the range frame folds
+    duplicate values into one ECDF step, which makes ties exact).
+    Complements :func:`psi_drift`: no bin edges to choose, scale-free."""
+    c = F.col(v)
+    d = df.filter(c.isNotNull() & (ref | cur)).select(
+        F.col(key).alias("key"),
+        c.cast("double").alias("__v"),
+        ref.cast("long").alias("__r"),
+        cur.cast("long").alias("__c"),
+    )
+    from pyspark.sql import Window
+
+    wv = (
+        Window.partitionBy("key")
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy("key")
+    cum_r = F.sum("__r").over(wv)
+    cum_c = F.sum("__c").over(wv)
+    n_r = F.sum("__r").over(wk)
+    n_c = F.sum("__c").over(wk)
+    gap = F.abs(
+        cum_r.cast("double") / n_r - cum_c.cast("double") / n_c
+    )
+    return (
+        d.withColumn("__gap", gap)
+        .withColumn("__nr", n_r)
+        .withColumn("__nc", n_c)
+        .groupBy("key")
+        .agg(
+            F.max("__gap").alias("ks"),
+            F.first("__nr").alias("n_ref"),
+            F.first("__nc").alias("n_cur"),
+        )
+    )

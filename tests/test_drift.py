@@ -86,3 +86,47 @@ def test_value_bin_clamps(spark):
     df = spark.createDataFrame(pd.DataFrame({"v": [-5.0, 0.0, 4.9, 99.0]}))
     got = [r[0] for r in df.select(value_bin(F.col("v"), 0.0, 5.0, 5)).collect()]
     assert got == [0, 0, 4, 4]
+
+
+def _ref_ks(a, b):
+    a, b = np.sort(np.asarray(a)), np.sort(np.asarray(b))
+    pts = np.concatenate([a, b])
+    fa = np.searchsorted(a, pts, side="right") / len(a)
+    fb = np.searchsorted(b, pts, side="right") / len(b)
+    return float(np.abs(fa - fb).max())
+
+
+def test_ks_matches_reference(spark):
+    from pyg_timeseries_spark.functions.drift import ks_drift
+
+    rng = np.random.default_rng(71)
+    pdf = _frame(rng, n=3000, shift=0.6)
+    # force duplicate values to exercise the tie handling
+    pdf["v"] = pdf["v"].round(1)
+    got = ks_drift(
+        spark.createDataFrame(pdf),
+        F.col("period") == "ref", F.col("period") == "cur",
+        key="key", v="v",
+    ).first()
+    exp = _ref_ks(
+        pdf[pdf.period == "ref"]["v"], pdf[pdf.period == "cur"]["v"]
+    )
+    assert abs(got["ks"] - exp) < 1e-12
+    assert got["n_ref"] == 1500 and got["n_cur"] == 1500
+
+
+def test_ks_orders_by_shift(spark):
+    from pyg_timeseries_spark.functions.drift import ks_drift
+
+    rng = np.random.default_rng(72)
+    vals = {}
+    for shift in (0.0, 0.5, 2.0):
+        pdf = _frame(rng, shift=shift)
+        got = ks_drift(
+            spark.createDataFrame(pdf),
+            F.col("period") == "ref", F.col("period") == "cur",
+            key="key", v="v",
+        ).first()
+        vals[shift] = got["ks"]
+    assert vals[0.0] < vals[0.5] < vals[2.0]
+    assert vals[0.0] < 0.08 and vals[2.0] > 0.5
