@@ -81,7 +81,7 @@ from pyg_timeseries_spark.operators.clean import despike, winsorize
 from pyg_timeseries_spark.operators.align import asof_join
 from pyg_timeseries_spark.textops.vocab import token_entropy
 from pyg_timeseries_spark.textops.corpus import split_corpus
-from pyg_timeseries_spark.functions.drift import psi_drift
+from pyg_timeseries_spark.functions.drift import psi_drift, ks_drift
 from pyg_timeseries_spark.operators.rolling_pair import (
     expanding_cor, expanding_beta,
 )
