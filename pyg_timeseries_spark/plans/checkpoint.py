@@ -485,6 +485,53 @@ class RollupStore:
     # -- retention ----------------------------------------------------------
     _TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
 
+    # -- compaction ----------------------------------------------------------
+    def fragmentation(self, name: str) -> dict:
+        """Per live day-partition: the number of parquet data files backing
+        it (driver-side listing of each partition's manifest-referenced
+        commit dir — metadata only, no data read)."""
+        out: dict[str, int] = {}
+        for p, v in self._manifest(name).items():
+            pdir = os.path.join(self._table_dir(name, v), f"{PART_COL}={p}")
+            try:
+                out[p] = sum(
+                    1 for f in os.listdir(pdir) if f.endswith(".parquet")
+                )
+            except FileNotFoundError:
+                out[p] = 0
+        return out
+
+    def compact(self, name: str, max_files: int = 4) -> dict:
+        """Rewrite day-partitions backed by more than ``max_files`` parquet
+        files into one coalesced commit — the Iceberg rewrite_data_files
+        analog.  A commit writes one file per (task, partition), so wide
+        clusters leave every touched day split across as many files as the
+        write had tasks (AQE coalescing caps this only up to its target
+        size), taxing scan planning and open costs; compaction is incremental
+        (only fragmented partitions are read or written — O(fragmented),
+        never O(table)) and pure motion: rows are bit-identical, untouched
+        partitions keep their original commit version, and prior versions
+        stay time-travelable until expire_snapshots GCs them."""
+        frag = {
+            p: n for p, n in self.fragmentation(name).items() if n > max_files
+        }
+        stats = {"candidate_parts": sorted(frag), "files_before": frag}
+        if not frag:
+            stats["compacted_parts"] = []
+            self.last_compact_stats = stats
+            return stats
+        parts = sorted(frag)
+        df = self.read_table(name, parts=parts)
+        # one shuffle task per day-partition => one output file per day
+        df = df.repartition(len(parts), F.to_date("bucket"))
+        self.commit_partitions(name, df, parts)
+        stats["compacted_parts"] = parts
+        stats["files_after"] = {
+            p: n for p, n in self.fragmentation(name).items() if p in frag
+        }
+        self.last_compact_stats = stats
+        return stats
+
     def expire(self, tier: str, keep_buckets: int) -> None:
         """Tier TTL: keep the newest ``keep_buckets`` bucket-intervals,
         measured back from the tier's max bucket (finer tiers retain less

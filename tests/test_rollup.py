@@ -452,3 +452,67 @@ def test_sketch_estimates_sane(spark, raw):
         else:
             assert abs(r["est"] - r["cnt"]) / r["cnt"] < 1.5  # k=32 is coarse
         assert r["min_n_tok"] <= r["q50"] <= r["max_n_tok"]
+
+
+# -- compaction ---------------------------------------------------------------
+
+
+def test_compact_small_files(spark, raw, tmp_path):
+    """Three same-day ingests fragment the day's partitions; compact()
+    rewrites ONLY fragmented partitions to one file each, rows identical,
+    untouched partitions keep their original commit version."""
+    store = RollupStore(str(tmp_path / "cmp"), spark)
+    thirds = [
+        raw.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    # a wide write leaves one file per (task, partition); disable AQE's
+    # small-data coalescing so this test fragments like a wide cluster
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        # hash split violates the in-bucket append order for token concat,
+        # so ingest measures-only (sketches on) — compaction is file layout
+        for t in thirds:
+            store.ingest(t, tokens=None, sketch_id="doc_id")
+    finally:
+        spark.conf.set(coalesce_key, old)
+
+    def full_rows(df):
+        return (rows_of(df.drop("kmv", "sample")), sketch_rows(df))
+
+    before = full_rows(store.read_table("rollup_1m"))
+    frag = store.fragmentation("rollup_1m")
+    assert frag, "no partitions?"
+    assert max(frag.values()) > 1, "fixture failed to fragment"
+
+    man_before = dict(store._manifest("rollup_1m"))
+    stats = store.compact("rollup_1m", max_files=1)
+    assert stats["compacted_parts"], "nothing compacted"
+    # all compacted partitions now one file
+    after = store.fragmentation("rollup_1m")
+    for p in stats["compacted_parts"]:
+        assert after[p] == 1, (p, after[p])
+    # pure motion: identical rows (incl. the sketch columns)
+    assert full_rows(store.read_table("rollup_1m")) == before
+    # untouched partitions keep their original version
+    man_after = store._manifest("rollup_1m")
+    for p, v in man_before.items():
+        if p not in stats["compacted_parts"]:
+            assert man_after[p] == v, p
+    # idempotent: second compact is a no-op
+    stats2 = store.compact("rollup_1m", max_files=1)
+    assert stats2["compacted_parts"] == []
+
+
+def test_compact_preserves_time_travel(spark, raw, tmp_path):
+    store = RollupStore(str(tmp_path / "cmp_tt"), spark)
+    cut = F.lit("2024-01-01 03:00:00").cast("timestamp")
+    store.ingest(raw.filter(F.col("ts") < cut), tokens=None)
+    store.ingest(raw.filter(F.col("ts") >= cut), tokens=None)
+    v2 = store.meta["tables"]["rollup_1m"]["version"]
+    v2_rows = rows_of(store.read_table("rollup_1m", version=v2))
+    store.compact("rollup_1m", max_files=0)  # force full rewrite
+    assert rows_of(store.read_table("rollup_1m", version=v2)) == v2_rows
+    assert rows_of(store.read_table("rollup_1m")) == v2_rows
