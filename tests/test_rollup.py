@@ -516,3 +516,34 @@ def test_compact_preserves_time_travel(spark, raw, tmp_path):
     store.compact("rollup_1m", max_files=0)  # force full rewrite
     assert rows_of(store.read_table("rollup_1m", version=v2)) == v2_rows
     assert rows_of(store.read_table("rollup_1m")) == v2_rows
+
+
+def test_four_way_incremental_equals_full(spark, raw, tmp_path):
+    """ingest(q1);...;ingest(q4) == ingest(full) — the resume invariant
+    holds under chained multi-batch ingestion, tokens and sketches
+    included (time-ordered splits keep the append contract)."""
+    cuts = ["2024-01-01 02:00:00", "2024-01-01 04:00:00", "2024-01-01 06:00:00"]
+    ts = [F.lit(c).cast("timestamp") for c in cuts]
+    quarters = [
+        raw.filter(F.col("ts") < ts[0]),
+        raw.filter((F.col("ts") >= ts[0]) & (F.col("ts") < ts[1])),
+        raw.filter((F.col("ts") >= ts[1]) & (F.col("ts") < ts[2])),
+        raw.filter(F.col("ts") >= ts[2]),
+    ]
+    full = RollupStore(str(tmp_path / "q_full"), spark)
+    full_tiers = full.ingest(raw, sketch_id="doc_id")
+    inc = RollupStore(str(tmp_path / "q_inc"), spark)
+    for q in quarters:
+        inc_tiers = inc.ingest(q, sketch_id="doc_id")
+    for tier in ("1m", "1h", "1d"):
+        a, b = full_tiers[tier], inc_tiers[tier]
+        assert rows_of(a.drop("kmv", "sample")) == rows_of(b.drop("kmv", "sample")), tier
+        assert sketch_rows(a) == sketch_rows(b), tier
+    # chunked token payload too
+    def chunk_rows(store):
+        pdf = store.read_table("tokens_1m").toPandas().sort_values(
+            ["source", "bucket", "part"]).reset_index(drop=True)
+        pdf["tokens"] = pdf["tokens"].apply(tuple)
+        return list(map(tuple, pdf.itertuples(index=False)))
+
+    assert chunk_rows(inc) == chunk_rows(full)
