@@ -61,4 +61,9 @@ def py_epoch_us(stamp: str) -> int:
         "%Y-%m-%d %H:%M:%S" if ":" in stamp else "%Y-%m-%d"
     )
     dt = datetime.strptime(stamp, fmt)
-    return int((dt - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+    delta = dt - datetime(1970, 1, 1)
+    # exact integer arithmetic — total_seconds() is a double whose
+    # resolution at 2^31-second magnitudes is ~0.5µs (found by hypothesis)
+    return (
+        delta.days * US_DAY + delta.seconds * 1_000_000 + delta.microseconds
+    )

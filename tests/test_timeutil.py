@@ -31,8 +31,12 @@ def test_ntz_epoch_us_matches_python(spark, dts):
     )
     got = [r["us"] for r in
            df.select(ntz_epoch_us(F.col("ts")).alias("us")).orderBy("s").collect()]
-    exp = [int((d - datetime(1970, 1, 1)).total_seconds() * 1_000_000)
-           for d in sorted(dts)]
+    def _us(d):
+        delta = d - datetime(1970, 1, 1)
+        return (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+                + delta.microseconds)
+
+    exp = [_us(d) for d in sorted(dts)]
     # formatting sorts identically to datetime sorting (fixed-width ISO)
     assert got == exp
 
