@@ -398,6 +398,34 @@ def q_xrank_xsec(spark, sf_dir):
     return out.select("key", "bucket", R6(F.col("xr")).alias("xr"))
 
 
+def q_xsec_zscore(spark, sf_dir):
+    """Cross-sectional standardization per minute bucket
+    (operators/xrank.py xsec_zscore) — the factor-pipeline companion of
+    xrank; one (bucket)-partitioned window."""
+    from pyg_timeseries_spark.operators.xrank import xsec_zscore
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sv"))
+    )
+    out = xsec_zscore(m1, key="key", ts="bucket", v="sv")
+    return out.select("key", "bucket", R6(F.col("xsec_zscore")).alias("xz"))
+
+
+def q_xsec_winsorize(spark, sf_dir):
+    """Cross-sectional winsorization at mean ± 1.5 std per minute bucket."""
+    from pyg_timeseries_spark.operators.xrank import xsec_winsorize
+
+    s = _series(spark, sf_dir)
+    m1 = (
+        s.groupBy("key", _trunc_ntz(F.col("ts"), "minute").alias("bucket"))
+        .agg(F.sum("v").alias("sv"))
+    )
+    out = xsec_winsorize(m1, z=1.5, key="key", ts="bucket", v="sv")
+    return out.select("key", "bucket", R6(F.col("xsec_winsorized")).alias("xw"))
+
+
 def q_token_count_bpe(spark, sf_dir):
     d = TX.token_count_bpe(load(spark, sf_dir, "documents"))
     return d.select("doc_id", "n_tok_bpe")
@@ -1672,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewmvar": q_ewmvar,
         "ewma_wgt": q_ewma_wgt,
         "ewmskew": q_ewmskew,
+        "xsec_zscore": q_xsec_zscore,
+        "xsec_winsorize": q_xsec_winsorize,
         "ohlc_5m": q_ohlc_5m,
         "rolling_skew": q_rolling_skew,
         "expanding_median": q_expanding_median,
@@ -2114,6 +2144,42 @@ rec AS (
 )
 SELECT key, ts, CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) AS pipeline_ewma
 FROM rec
+        """,
+        # per-bucket mean/std window replays
+        "xsec_zscore": f"""
+            WITH m1 AS (
+              SELECT key, date_trunc('minute', ts) AS bucket, sum(v) AS sv
+              FROM ({SERIES_SQL}) GROUP BY 1, 2
+            ), w AS (
+              SELECT key, bucket, sv,
+                     count(sv) OVER wb AS n,
+                     avg(sv) OVER wb AS m,
+                     stddev_samp(sv) OVER wb AS s
+              FROM m1 WINDOW wb AS (PARTITION BY bucket)
+            )
+            SELECT key, bucket,
+                   CAST(floor((CASE WHEN sv IS NOT NULL AND n > 1 AND s > 0
+                        THEN (sv - m) / s END) * 1000000 + 0.4997) AS BIGINT) AS xz
+            FROM w
+        """,
+        "xsec_winsorize": f"""
+            WITH m1 AS (
+              SELECT key, date_trunc('minute', ts) AS bucket, sum(v) AS sv
+              FROM ({SERIES_SQL}) GROUP BY 1, 2
+            ), w AS (
+              SELECT key, bucket, sv,
+                     count(sv) OVER wb AS n,
+                     avg(sv) OVER wb AS m,
+                     stddev_samp(sv) OVER wb AS s
+              FROM m1 WINDOW wb AS (PARTITION BY bucket)
+            )
+            SELECT key, bucket,
+                   CAST(floor((CASE
+                        WHEN sv IS NULL THEN NULL
+                        WHEN coalesce(n > 1 AND s > 0, FALSE)
+                        THEN least(greatest(sv, m - 1.5 * s), m + 1.5 * s)
+                        ELSE sv END) * 1000000 + 0.4997) AS BIGINT) AS xw
+            FROM w
         """,
         # ECDF-gap replay: RANGE frame folds ties exactly like the engine
         "ks_drift": """

@@ -94,7 +94,9 @@ from pyg_timeseries_spark.dedup.incremental import IncrementalDeduper
 from pyg_timeseries_spark.kernels.multibuffer_numpy import (
     beta_correlation_matrix, near_correlation_matrix,
 )
-from pyg_timeseries_spark.operators.xrank import xrank, xrank_simple
+from pyg_timeseries_spark.operators.xrank import (
+    xrank, xrank_simple, xsec_zscore, xsec_winsorize,
+)
 from pyg_timeseries_spark.operators.matrix import (  # kernel (np.linalg)
     ewmAAi, ewmAAi_, ewmGLM, ewmGLM_, ewmcorr_psd, ewmcorr_psd_,
 )

@@ -127,3 +127,41 @@ def xrank_simple(df: DataFrame, key: str = KEY, ts: str = TS, v: str = VAL,
     valid = df.filter(F.col(v).isNotNull()).withColumn(out, expr)
     nulls = df.filter(F.col(v).isNull()).withColumn(out, F.lit(None).cast("double"))
     return valid.unionByName(nulls)
+
+
+def xsec_zscore(df: DataFrame, key: str = KEY, ts: str = TS, v: str = VAL,
+                out: str = "xsec_zscore") -> DataFrame:
+    """Cross-sectional standardization: (v − mean_t) / std_t over the
+    valid values at each timestamp (unbiased std; NULL when fewer than two
+    valid peers or zero dispersion).  The factor-pipeline companion of
+    xrank — one (ts)-partitioned window, no ordering needed."""
+    w = Window.partitionBy(ts)
+    c = F.col(v)
+    cnt = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    expr = F.when(c.isNotNull() & (cnt > 1) & (sd > 0), (c - mean) / sd)
+    valid = df.filter(c.isNotNull()).withColumn(out, expr)
+    nulls = df.filter(c.isNull()).withColumn(out, F.lit(None).cast("double"))
+    return valid.unionByName(nulls)
+
+
+def xsec_winsorize(df: DataFrame, z: float = 3.0, key: str = KEY,
+                   ts: str = TS, v: str = VAL,
+                   out: str = "xsec_winsorized") -> DataFrame:
+    """Clip each timestamp's values to mean_t ± z·std_t — the standard
+    cross-sectional outlier guard before weighting; degenerate sections
+    (one name, zero dispersion) pass through unchanged."""
+    w = Window.partitionBy(ts)
+    c = F.col(v)
+    cnt = F.count(v).over(w)
+    mean = F.avg(v).over(w)
+    sd = F.stddev_samp(v).over(w)
+    lo, hi = mean - F.lit(float(z)) * sd, mean + F.lit(float(z)) * sd
+    ready = F.coalesce((cnt > 1) & (sd > 0), F.lit(False))
+    clipped = F.when(c < lo, lo).when(c > hi, hi).otherwise(c)
+    valid = df.filter(c.isNotNull()).withColumn(
+        out, F.when(ready, clipped).otherwise(c)
+    )
+    nulls = df.filter(c.isNull()).withColumn(out, F.lit(None).cast("double"))
+    return valid.unionByName(nulls)

@@ -124,3 +124,38 @@ def test_token_entropy_matches_python(spark):
         assert got[src][1] == len(c)
         assert abs(got[src][2] - h) < 1e-12
     assert got["b"][2] == 0.0
+
+
+def test_xsec_zscore_and_winsorize(spark):
+    from pyg_timeseries_spark.operators.xrank import xsec_winsorize, xsec_zscore
+
+    rng = np.random.default_rng(81)
+    n_ts, n_keys = 40, 12
+    rows = []
+    for t in range(n_ts):
+        for k in range(n_keys):
+            v = rng.normal(10, 3) if rng.random() > 0.1 else np.nan
+            rows.append((f"k{k}", pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=t), v))
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "v"])
+    df = spark.createDataFrame(pdf)
+
+    gz = xsec_zscore(df).toPandas()
+    gw = xsec_winsorize(df, z=1.0).toPandas()
+    for t, grp in pdf.groupby("ts"):
+        vals = grp["v"].dropna()
+        m, s = vals.mean(), vals.std(ddof=1)
+        sub = gz[gz["ts"] == t].set_index("key")
+        for k, v in grp.set_index("key")["v"].items():
+            if np.isnan(v):
+                assert pd.isna(sub.loc[k, "xsec_zscore"])
+            else:
+                assert abs(sub.loc[k, "xsec_zscore"] - (v - m) / s) < 1e-12
+        subw = gw[gw["ts"] == t].set_index("key")
+        for k, v in grp.set_index("key")["v"].items():
+            if not np.isnan(v):
+                exp = min(max(v, m - s), m + s)
+                assert abs(subw.loc[k, "xsec_winsorized"] - exp) < 1e-12
+    # zscore of each section: mean 0, std 1
+    zz = gz.dropna(subset=["xsec_zscore"]).groupby("ts")["xsec_zscore"]
+    assert np.allclose(zz.mean(), 0, atol=1e-10)
+    assert np.allclose(zz.std(ddof=1), 1, atol=1e-10)
