@@ -367,6 +367,25 @@ def q_rolling_zscore(spark, sf_dir):
     return _valid_only(out, "rolling_zscore")
 
 
+def q_rolling_cov(spark, sf_dir):
+    """Rolling unbiased covariance over the last N jointly-valid rows."""
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_cov
+
+    out = rolling_cov(_pair_frame(spark, sf_dir), N, x="x", y="y")
+    return out.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("key", "ts", R6(F.col("rolling_cov")).alias("rolling_cov"))
+
+
+def q_ts_argminmax(spark, sf_dir):
+    """Per-key timestamps of the extreme values (ts_argmax / ts_argmin,
+    tie-broken via (v, ts) struct ordering — latest max, earliest min)."""
+    from pyg_timeseries_spark.operators.ts import ts_argmax, ts_argmin
+
+    s = _series(spark, sf_dir)
+    return ts_argmax(s).join(ts_argmin(s), "key")
+
+
 def q_expanding_cor(spark, sf_dir):
     """Expanding Pearson correlation over all jointly-valid history
     (operators/rolling_pair.py) — live-count sliding-sum algebra."""
@@ -1697,6 +1716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "expanding_cor": q_expanding_cor,
         "expanding_beta": q_expanding_beta,
+        "rolling_cov": q_rolling_cov,
+        "ts_argminmax": q_ts_argminmax,
         "ewmvar": q_ewmvar,
         "ewma_wgt": q_ewma_wgt,
         "ewmskew": q_ewmskew,
@@ -1959,6 +1980,42 @@ def oracle_sql() -> dict[str, str]:
                              / stddev_samp(v) OVER ({_WIN} {_ROWS_N})
                         END) * 1000000 + 0.4997) AS BIGINT) AS rolling_zscore
             FROM ({VALID_SQL})
+        """,
+        "rolling_cov": f"""
+            WITH p AS (
+              SELECT event_type AS key, ts,
+                     CASE WHEN value - floor(value) < 0.3 THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT key, ts,
+                     row_number() OVER (PARTITION BY key ORDER BY ts) AS rn,
+                     sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                     sum(x * y) OVER w AS sxy
+              FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+              WINDOW w AS (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN {N - 1} PRECEDING AND CURRENT ROW)
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN rn >= {N}
+                        THEN (sxy - sx * sy / {N}) / ({N} - 1)
+                        END) * 1000000 + 0.4997) AS BIGINT) AS rolling_cov
+            FROM v
+        """,
+        "ts_argminmax": f"""
+            WITH s AS ({VALID_SQL}),
+            r AS (
+              SELECT key, ts, v,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY v DESC, ts DESC) AS rmx,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY v ASC, ts ASC) AS rmn
+              FROM s
+            )
+            SELECT key,
+                   max(CASE WHEN rmx = 1 THEN ts END) AS ts_argmax,
+                   max(CASE WHEN rmn = 1 THEN ts END) AS ts_argmin
+            FROM r GROUP BY 1
         """,
         "expanding_cor": """
             WITH p AS (

@@ -29,7 +29,7 @@ from pyg_timeseries_spark.operators.expanding import (  # native
 )
 from pyg_timeseries_spark.operators.ts import (  # native (partial+final agg)
     ts_count, ts_sum, ts_mean, ts_rms, ts_std, ts_skew, ts_min, ts_max,
-    ts_median, ts_cor, ts_interval,
+    ts_median, ts_cor, ts_interval, ts_argmax, ts_argmin,
 )
 from pyg_timeseries_spark.operators.ewm import (  # kernel
     ewma, ewmrms, ewmstd, ewmvar, ewmskew,
@@ -83,7 +83,7 @@ from pyg_timeseries_spark.textops.vocab import token_entropy
 from pyg_timeseries_spark.textops.corpus import split_corpus
 from pyg_timeseries_spark.functions.drift import psi_drift, ks_drift
 from pyg_timeseries_spark.operators.rolling_pair import (
-    expanding_cor, expanding_beta,
+    expanding_cor, expanding_beta, rolling_cov,
 )
 from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     kmv_sketch, kmv_merge, kmv_estimate,

@@ -159,3 +159,23 @@ def expanding_beta(
         out, F.lit(None).cast("double")
     )
     return valid.unionByName(nulls)
+
+
+def rolling_cov(
+    df: DataFrame,
+    n: int,
+    key: str = KEY,
+    ts: str = TS,
+    x: str = "x",
+    y: str = "y",
+    out: str = "rolling_cov",
+) -> DataFrame:
+    """Unbiased sample covariance over the last n jointly-valid rows:
+    (Σxy − ΣxΣy/n) / (n−1)."""
+
+    def build(w):
+        sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+        sxy = F.sum(F.col(x) * F.col(y)).over(w)
+        return (sxy - sx * sy / n) / (n - 1)
+
+    return _pair_apply(df, x, y, out, build, n, key, ts)

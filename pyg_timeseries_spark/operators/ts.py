@@ -174,3 +174,28 @@ def ts_interval(df: DataFrame, key: str = KEY, ts: str = TS, out: str = "ts_inte
         .groupBy(key)
         .agg(F.min("gap").alias(out))
     )
+
+
+def ts_argmax(df: DataFrame, key: str = KEY, ts: str = TS, v: str = VAL,
+              out: str = "ts_argmax") -> DataFrame:
+    """Per key: the timestamp of the maximum valid value.  Deterministic
+    under ties via max over (v, ts) structs — the LATEST timestamp among
+    equal maxima wins, on any partitioning."""
+    c = F.col(v)
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(key)
+        .agg(F.max(F.struct(c.alias("v"), F.col(ts).alias("t")))["t"].alias(out))
+    )
+
+
+def ts_argmin(df: DataFrame, key: str = KEY, ts: str = TS, v: str = VAL,
+              out: str = "ts_argmin") -> DataFrame:
+    """Per key: the timestamp of the minimum valid value; ties break to the
+    EARLIEST timestamp (min over (v, ts) structs)."""
+    c = F.col(v)
+    return (
+        df.filter(c.isNotNull())
+        .groupBy(key)
+        .agg(F.min(F.struct(c.alias("v"), F.col(ts).alias("t")))["t"].alias(out))
+    )

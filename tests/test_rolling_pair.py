@@ -106,3 +106,41 @@ def test_expanding_cor_beta_match_pandas(spark):
             assert np.allclose(
                 gv.to_numpy(), exp.to_numpy(), atol=1e-9, equal_nan=True
             ), (out, k)
+
+
+def test_rolling_cov_matches_pandas(spark):
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_cov
+
+    pdf = _pair()
+    got = _collect(rolling_cov(spark.createDataFrame(pdf), N), "rolling_cov")
+    for k, g in got.groupby("key"):
+        sub = pdf[pdf["key"] == k].dropna(subset=["x", "y"]).sort_values("ts")
+        exp = sub["x"].rolling(N).cov(sub["y"])
+        gv = g.dropna(subset=["x", "y"]).sort_values("ts")["rolling_cov"]
+        assert np.allclose(gv.to_numpy(), exp.to_numpy(), atol=1e-9,
+                           equal_nan=True), k
+
+
+def test_ts_argmax_argmin(spark):
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.ts import ts_argmax, ts_argmin
+
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 4 + ["b"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:01",
+                 "2024-01-01 00:02", "2024-01-01 00:03",
+                 "2024-01-02 00:00", "2024-01-02 00:01", "2024-01-02 00:02"]
+            ),
+            "v": [1.0, 5.0, 5.0, np.nan, -2.0, -2.0, 7.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    amax = {r["key"]: str(r["ts_argmax"]) for r in ts_argmax(df).collect()}
+    amin = {r["key"]: str(r["ts_argmin"]) for r in ts_argmin(df).collect()}
+    assert amax["a"] == "2024-01-01 00:02:00"  # tie -> latest
+    assert amin["a"] == "2024-01-01 00:00:00"
+    assert amax["b"] == "2024-01-02 00:02:00"
+    assert amin["b"] == "2024-01-02 00:00:00"  # tie -> earliest
