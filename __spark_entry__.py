@@ -367,6 +367,32 @@ def q_rolling_zscore(spark, sf_dir):
     return _valid_only(out, "rolling_zscore")
 
 
+def q_expanding_cov(spark, sf_dir):
+    """Expanding unbiased covariance over all jointly-valid history."""
+    from pyg_timeseries_spark.operators.rolling_pair import expanding_cov
+
+    out = expanding_cov(_pair_frame(spark, sf_dir), 3, x="x", y="y")
+    return out.filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    ).select("key", "ts", R6(F.col("expanding_cov")).alias("expanding_cov"))
+
+
+def q_gap_stats(spark, sf_dir):
+    """Per-key inter-arrival gap statistics (operators/sessions.py
+    gap_stats) — the series-completeness monitor; NTZ-safe µs diffs."""
+    from pyg_timeseries_spark.operators.sessions import gap_stats
+
+    s = _series(spark, sf_dir)
+    d = gap_stats(s, key="key", ts="ts", expected_s=600.0)
+    return d.select(
+        "key", "n_gaps",
+        R6(F.col("mean_gap_s")).alias("mean_gap_s"),
+        R6(F.col("min_gap_s")).alias("min_gap_s"),
+        R6(F.col("max_gap_s")).alias("max_gap_s"),
+        R6(F.col("on_cadence_frac")).alias("on_cadence_frac"),
+    )
+
+
 def q_rolling_cov(spark, sf_dir):
     """Rolling unbiased covariance over the last N jointly-valid rows."""
     from pyg_timeseries_spark.operators.rolling_pair import rolling_cov
@@ -1717,7 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_cor": q_expanding_cor,
         "expanding_beta": q_expanding_beta,
         "rolling_cov": q_rolling_cov,
+        "expanding_cov": q_expanding_cov,
         "ts_argminmax": q_ts_argminmax,
+        "gap_stats": q_gap_stats,
         "ewmvar": q_ewmvar,
         "ewma_wgt": q_ewma_wgt,
         "ewmskew": q_ewmskew,
@@ -2001,6 +2029,42 @@ def oracle_sql() -> dict[str, str]:
                         THEN (sxy - sx * sy / {N}) / ({N} - 1)
                         END) * 1000000 + 0.4997) AS BIGINT) AS rolling_cov
             FROM v
+        """,
+        "expanding_cov": """
+            WITH p AS (
+              SELECT event_type AS key, ts,
+                     CASE WHEN value - floor(value) < 0.3 THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT key, ts,
+                     count(*) OVER w AS n,
+                     sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                     sum(x * y) OVER w AS sxy
+              FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+              WINDOW w AS (PARTITION BY key ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN n >= 3
+                        THEN (sxy - sx * sy / n) / (n - 1)
+                        END) * 1000000 + 0.4997) AS BIGINT) AS expanding_cov
+            FROM v
+        """,
+        "gap_stats": f"""
+            WITH s AS (SELECT key, ts FROM ({SERIES_SQL})),
+            g AS (
+              SELECT key,
+                     epoch(ts) - epoch(lag(ts) OVER (PARTITION BY key ORDER BY ts)) AS gap
+              FROM s
+            )
+            SELECT key, count(gap) AS n_gaps,
+                   CAST(floor(avg(gap) * 1000000 + 0.4997) AS BIGINT) AS mean_gap_s,
+                   CAST(floor(min(gap) * 1000000 + 0.4997) AS BIGINT) AS min_gap_s,
+                   CAST(floor(max(gap) * 1000000 + 0.4997) AS BIGINT) AS max_gap_s,
+                   CAST(floor(avg(CASE WHEN gap <= 900 THEN 1.0 ELSE 0.0 END)
+                        * 1000000 + 0.4997) AS BIGINT) AS on_cadence_frac
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
         """,
         "ts_argminmax": f"""
             WITH s AS ({VALID_SQL}),

@@ -70,6 +70,7 @@ from pyg_timeseries_spark.textops.analysis import (
 )
 from pyg_timeseries_spark.operators.sessions import (
     sessionize, session_stats, session_window_counts, stream_session_counts,
+    gap_stats,
 )
 from pyg_timeseries_spark.operators.resample import (
     time_bucket_col, resample, ohlc_resample,
@@ -83,7 +84,7 @@ from pyg_timeseries_spark.textops.vocab import token_entropy
 from pyg_timeseries_spark.textops.corpus import split_corpus
 from pyg_timeseries_spark.functions.drift import psi_drift, ks_drift
 from pyg_timeseries_spark.operators.rolling_pair import (
-    expanding_cor, expanding_beta, rolling_cov,
+    expanding_cor, expanding_beta, rolling_cov, expanding_cov,
 )
 from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     kmv_sketch, kmv_merge, kmv_estimate,

@@ -179,3 +179,29 @@ def rolling_cov(
         return (sxy - sx * sy / n) / (n - 1)
 
     return _pair_apply(df, x, y, out, build, n, key, ts)
+
+
+def expanding_cov(
+    df: DataFrame,
+    min_periods: int = 3,
+    key: str = KEY,
+    ts: str = TS,
+    x: str = "x",
+    y: str = "y",
+    out: str = "expanding_cov",
+) -> DataFrame:
+    """Unbiased sample covariance over all jointly-valid history."""
+    from pyg_timeseries_spark.operators._core import w_unbounded
+
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    valid = df.filter(both)
+    w = w_unbounded(key, ts)
+    cnt = F.count(x).over(w).cast("double")
+    sx, sy = F.sum(x).over(w), F.sum(y).over(w)
+    sxy = F.sum(F.col(x) * F.col(y)).over(w)
+    expr = F.when(cnt >= min_periods, (sxy - sx * sy / cnt) / (cnt - 1))
+    valid = valid.withColumn(out, expr)
+    nulls = df.filter(F.col(x).isNull() | F.col(y).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    return valid.unionByName(nulls)

@@ -126,3 +126,36 @@ def stream_session_counts(
             "n_events",
         )
     )
+
+
+def gap_stats(
+    df: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    expected_s: float | None = None,
+) -> DataFrame:
+    """Per-key inter-arrival gap statistics — the series-completeness
+    monitor: n_gaps, mean/min/max gap seconds, and (when ``expected_s`` is
+    given) the fraction of gaps within 1.5× the expected cadence.  One
+    key-partitioned window (the same microsecond-exact NTZ-safe diff as
+    sessionize) plus one hash aggregate."""
+    from pyg_timeseries_spark.functions.timeutil import ts_us
+
+    w = Window.partitionBy(key).orderBy(ts)
+    us = ts_us(df, ts)
+    gap_us = us - F.lag(us).over(w)
+    g = df.select(F.col(key).alias("key"), gap_us.alias("__g")).filter(
+        F.col("__g").isNotNull()
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.avg("__g") / 1e6).alias("mean_gap_s"),
+        (F.min("__g") / F.lit(1_000_000.0)).alias("min_gap_s"),
+        (F.max("__g") / F.lit(1_000_000.0)).alias("max_gap_s"),
+    ]
+    if expected_s is not None:
+        tol = int(expected_s * 1.5 * 1_000_000)
+        aggs.append(
+            F.avg((F.col("__g") <= tol).cast("double")).alias("on_cadence_frac")
+        )
+    return g.groupBy("key").agg(*aggs)

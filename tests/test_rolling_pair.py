@@ -144,3 +144,16 @@ def test_ts_argmax_argmin(spark):
     assert amin["a"] == "2024-01-01 00:00:00"
     assert amax["b"] == "2024-01-02 00:02:00"
     assert amin["b"] == "2024-01-02 00:00:00"  # tie -> earliest
+
+
+def test_expanding_cov_matches_pandas(spark):
+    from pyg_timeseries_spark.operators.rolling_pair import expanding_cov
+
+    pdf = _pair()
+    got = _collect(expanding_cov(spark.createDataFrame(pdf), 3), "expanding_cov")
+    for k, g in got.groupby("key"):
+        sub = pdf[pdf["key"] == k].dropna(subset=["x", "y"]).sort_values("ts")
+        exp = sub["x"].expanding(3).cov(sub["y"])
+        gv = g.dropna(subset=["x", "y"]).sort_values("ts")["expanding_cov"]
+        assert np.allclose(gv.to_numpy(), exp.to_numpy(), atol=1e-9,
+                           equal_nan=True), k

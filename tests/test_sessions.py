@@ -145,3 +145,24 @@ def test_sessionize_single_window_operator(spark):
     assert plan.count("Window") - plan.count("WindowGroupLimit") >= 1
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_gap_stats_matches_pandas(spark):
+    from pyg_timeseries_spark.operators.sessions import gap_stats
+
+    pdf = _events(n=600, n_keys=4)
+    pdf = pdf.rename(columns={"user_id": "key"})
+    got = {
+        r["key"]: r.asDict()
+        for r in gap_stats(
+            spark.createDataFrame(pdf), key="key", ts="ts", expected_s=300.0
+        ).collect()
+    }
+    for k, grp in pdf.groupby("key"):
+        gaps = grp.sort_values("ts")["ts"].diff().dropna().dt.total_seconds()
+        g = got[k]
+        assert g["n_gaps"] == len(gaps)
+        assert abs(g["mean_gap_s"] - gaps.mean()) < 1e-6
+        assert g["min_gap_s"] == gaps.min()
+        assert g["max_gap_s"] == gaps.max()
+        assert abs(g["on_cadence_frac"] - (gaps <= 450).mean()) < 1e-12
