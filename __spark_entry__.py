@@ -2321,7 +2321,8 @@ FROM rec
             )
             SELECT key AS event_type,
                    CAST(floor(max(gap) * 1000000 + 0.4997) AS BIGINT) AS ks,
-                   any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur
+                   CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+                   CAST(any_value(n_cur) AS BIGINT) AS n_cur
             FROM w GROUP BY 1
         """,
         # full-grid PSI replay (explicit empty bins instead of the closed form)
@@ -2351,7 +2352,8 @@ FROM rec
                      * ln(((g.nc + 0.5) / (t.n_cur + 5.0))
                           / ((g.nr + 0.5) / (t.n_ref + 5.0)))
                    ) * 1000000 + 0.4997) AS BIGINT) AS psi,
-                   any_value(t.n_ref) AS n_ref, any_value(t.n_cur) AS n_cur
+                   CAST(any_value(t.n_ref) AS BIGINT) AS n_ref,
+                   CAST(any_value(t.n_cur) AS BIGINT) AS n_cur
             FROM grid g JOIN tot t ON t.key = g.key
             GROUP BY 1
         """,
@@ -2386,7 +2388,8 @@ FROM rec
               SELECT source, word, count(*) AS cnt FROM t
               WHERE length(word) > 0 GROUP BY 1, 2
             )
-            SELECT source, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct,
                    CAST(floor((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt))
                         * 1000000 + 0.4997) AS BIGINT) AS entropy
             FROM c GROUP BY 1
@@ -2442,8 +2445,8 @@ FROM rec
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sid AS (
               SELECT user_id, ts,
-                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM s
             )
             SELECT user_id, session_id,
@@ -2484,8 +2487,8 @@ FROM rec
             )
             SELECT d.source,
                    md5(string_agg(d.cnt::VARCHAR, ',' ORDER BY d.idx)) AS cms_md5,
-                   sum(CASE WHEN d.idx < 64 THEN d.cnt ELSE 0 END) AS row0_mass,
-                   any_value(q.est_join) AS est_join
+                   CAST(sum(CASE WHEN d.idx < 64 THEN d.cnt ELSE 0 END) AS BIGINT) AS row0_mass,
+                   CAST(any_value(q.est_join) AS BIGINT) AS est_join
             FROM dense d JOIN q ON q.source = d.source
             GROUP BY 1
         """,
