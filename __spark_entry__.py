@@ -1666,66 +1666,15 @@ def q_sample_topn(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
-    first 50 entries, so the top 50 carry one representative per operator
-    family (rollup/chunked-tokens, fill, shift/clock, rolling, repetition,
-    expanding, ts_*, sketches incl. the store cascade, vocab, EWM incl.
-    clock, sessions, resample, as-of join, pairwise, matrix, composites,
-    recurrence, optimizers, xrank, bars, codecs, similarity, dedup,
-    corpus sampling, multimodal, streaming, packing); near-duplicate
-    variants — value-oracled and judge-checkable — follow after the cap."""
+    first 50 entries.  Round-4 rotation: the 33 queries never stamped green
+    in r2/r3 (incl. the two r3 HUGEINT-oracle hash-fails, now BIGINT-cast)
+    come first, padded to 50 with flagship rows (rollup cascade, chunked
+    tokens, streaming replay, incremental dedup, sketch store, as-of join).
+    Everything past the cap stays value-oracled and judge-checkable."""
     return {
-        # -- 1-50: one driver row per family ---------------------------------
-        "rollup_1m": _rollup("minute"),
-        "tokens_cascade": q_tokens_cascade,
-        "tokens_chunked": q_tokens_chunked,
-        "ffill": q_ffill,
-        "ewfill": q_ewfill,
-        "decontaminate": q_decontaminate,
-        "tdiff": q_tdiff,
-        "corpus_pipeline": q_corpus_pipeline,
-        "rolling_std": q_rolling_std,
-        "rolling_quantile_heap": q_rolling_quantile_heap,
-        "repetition": q_repetition,
-        "rolling_tover": q_rolling_tover,
-        "expanding_skew": q_expanding_skew,
-        "ts_rms_skew": q_ts_rms_skew,
-        "kmv_distinct": q_kmv_distinct,
-        "rollup_sketches": q_rollup_sketches,
+        # -- 1-50: never-stamped first (r4 rotation), then flagships ---------
         "cms_tokens": q_cms_tokens,
-        "doclen_quantiles": q_doclen_quantiles,
-        "vocab_topk": q_vocab_topk,
-        "ewma": q_ewma,
         "sessionize": q_sessionize,
-        "resample_5m": q_resample_5m,
-        "asof_join": q_asof_join,
-        "ewma_clock": q_ewma_clock,
-        "ewmstd": q_ewmstd,
-        "ewmxcor": q_ewmxcor,
-        "ewmxLR": q_ewmxLR,
-        "ewmcorrelation": q_ewmcorrelation,
-        "ewmcovariance": q_ewmcovariance,
-        "ewmAAi": q_ewmAAi,
-        "ewmGLM": q_ewmGLM,
-        "ewmcorr_psd": q_ewmcorr_psd,
-        "ewmvol": q_ewmvol,
-        "multibuffer": q_multibuffer,
-        "maxdiv": q_maxdiv,
-        "riskparity_diag": q_riskparity_diag,
-        "least_squares": q_least_squares,
-        "xrank_full": q_xrank_full,
-        "bar_eod": q_bar_eod,
-        "cor_codec": q_cor_codec,
-        "gorilla_roundtrip": q_gorilla_roundtrip,
-        "ivf_topk": q_ivf_topk,
-        "minhash_dedup": q_minhash_dedup,
-        "embedding_neardup": q_embedding_neardup,
-        "dedup_incremental": q_dedup_incremental,
-        "corpus_sample": q_corpus_sample,
-        "media_features": q_media_features,
-        "stream_ewma_replay": q_stream_ewma_replay,
-        "pack_concat": q_pack_concat,
-        "pack_greedy": q_pack_greedy,
-        # -- 51+: variants, all value-oracled (judge-checkable past the cap) -
         "align_ffill": q_align_ffill,
         "despike": q_despike,
         "token_entropy": q_token_entropy,
@@ -1752,12 +1701,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xsec_zscore": q_xsec_zscore,
         "xsec_winsorize": q_xsec_winsorize,
         "ohlc_5m": q_ohlc_5m,
-        "rolling_skew": q_rolling_skew,
         "expanding_median": q_expanding_median,
         "expanding_rank": q_expanding_rank,
         "cumprod": q_cumprod,
         "fnna": q_fnna,
         "na2v_v2na": q_na2v_v2na,
+        "rollup_1m": _rollup("minute"),
+        "tokens_cascade": q_tokens_cascade,
+        "tokens_chunked": q_tokens_chunked,
+        "stream_ewma_replay": q_stream_ewma_replay,
+        "dedup_incremental": q_dedup_incremental,
+        "rollup_sketches": q_rollup_sketches,
+        "asof_join": q_asof_join,
+        "resample_5m": q_resample_5m,
+        "ewma_clock": q_ewma_clock,
+        "multibuffer": q_multibuffer,
+        "ivf_topk": q_ivf_topk,
+        "pack_greedy": q_pack_greedy,
+        "corpus_pipeline": q_corpus_pipeline,
+        "repetition": q_repetition,
+        "ewmcorr_psd": q_ewmcorr_psd,
+        "kmv_distinct": q_kmv_distinct,
+        "decontaminate": q_decontaminate,
+        # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "ffill": q_ffill,
+        "ewfill": q_ewfill,
+        "tdiff": q_tdiff,
+        "rolling_std": q_rolling_std,
+        "rolling_quantile_heap": q_rolling_quantile_heap,
+        "rolling_tover": q_rolling_tover,
+        "expanding_skew": q_expanding_skew,
+        "ts_rms_skew": q_ts_rms_skew,
+        "doclen_quantiles": q_doclen_quantiles,
+        "vocab_topk": q_vocab_topk,
+        "ewma": q_ewma,
+        "ewmstd": q_ewmstd,
+        "ewmxcor": q_ewmxcor,
+        "ewmxLR": q_ewmxLR,
+        "ewmcorrelation": q_ewmcorrelation,
+        "ewmcovariance": q_ewmcovariance,
+        "ewmAAi": q_ewmAAi,
+        "ewmGLM": q_ewmGLM,
+        "ewmvol": q_ewmvol,
+        "maxdiv": q_maxdiv,
+        "riskparity_diag": q_riskparity_diag,
+        "least_squares": q_least_squares,
+        "xrank_full": q_xrank_full,
+        "bar_eod": q_bar_eod,
+        "cor_codec": q_cor_codec,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "minhash_dedup": q_minhash_dedup,
+        "embedding_neardup": q_embedding_neardup,
+        "corpus_sample": q_corpus_sample,
+        "media_features": q_media_features,
+        "pack_concat": q_pack_concat,
+        "rolling_skew": q_rolling_skew,
         "diff": q_diff,
         "ewmcombine": q_ewmcombine,
         "ts_interval": q_ts_interval,
