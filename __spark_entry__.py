@@ -21,6 +21,7 @@ rounding, and limited-decimal source data hits exact ties often).
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 from collections.abc import Callable
 
@@ -781,11 +782,14 @@ def q_dedup_incremental(spark, sf_dir):
     from pyg_timeseries_spark.dedup.incremental import IncrementalDeduper
 
     docs = load(spark, sf_dir, "documents")
-    d = IncrementalDeduper(tempfile.mkdtemp(prefix="incdedup_"), spark,
-                           hash_fn="md5")
+    base = tempfile.mkdtemp(prefix="incdedup_")
+    d = IncrementalDeduper(base, spark, hash_fn="md5")
     v1 = d.add_batch(docs.filter(F.col("doc_id") < 250))
     v2 = d.add_batch(docs.filter(F.col("doc_id") >= 250))
-    return v1.unionByName(v2).select("doc_id", "dropped", "reason")
+    res = v1.unionByName(v2).select("doc_id", "dropped", "reason")
+    out = spark.createDataFrame(res.collect(), schema=res.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_corpus_pipeline(spark, sf_dir):
@@ -886,7 +890,6 @@ def q_stream_ewma_replay(spark, sf_dir):
         raise RuntimeError("stream_ewma_replay did not finish within 600s")
     # the memory sink holds the emitted rows in the session; the parquet
     # copy and the checkpoint are no longer needed
-    import shutil
 
     shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname).select(
@@ -904,7 +907,6 @@ def q_stream_sessions(spark, sf_dir):
     are never emitted.  Oracle = the lag/cumsum session replay with
     end = last_event + gap (Spark's window end convention).  MATCH ==
     streaming session assembly ≡ batch (operators/sessions.py)."""
-    import shutil
     import tempfile
     import uuid
 
@@ -1354,19 +1356,25 @@ def q_rollup_sketches(spark, sf_dir):
         F.col("event_type").alias("source"), "ts",
         F.col("event_id").alias("doc_id"), F.col("value").alias("n_tok"),
     )
-    store = RollupStore(tempfile.mkdtemp(prefix="sketchstore_"), spark)
+    base = tempfile.mkdtemp(prefix="sketchstore_")
+    store = RollupStore(base, spark)
     store.ingest(raw.filter(F.col("doc_id") % 2 == 0), tokens=None,
                  sketch_id="doc_id", with_lineage=False)
     store.ingest(raw.filter(F.col("doc_id") % 2 == 1), tokens=None,
                  sketch_id="doc_id", with_lineage=False)
     st = store.sketch_stats("1d")
-    return st.select(
+    res = st.select(
         "source", F.col("bucket").alias("day"), "cnt", "n_kept",
         F.md5(F.concat_ws(",", F.col("kmv"))).alias("kmv_md5"),
         R6(F.col("distinct_est")).alias("est"),
         R6(F.col("q50")).alias("q50"),
         R6(F.col("q90")).alias("q90"),
     )
+    # materialize before removing the backing store (repeated driver/bench
+    # runs must not accumulate sketchstore_* dirs in /tmp)
+    out = spark.createDataFrame(res.collect(), schema=res.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 def q_resample_5m(spark, sf_dir):

@@ -3,14 +3,26 @@ production shape for a continuously-ingested training corpus: each new
 batch dedups against EVERYTHING seen so far without ever reprocessing the
 historical corpus text.
 
-State per seen document is one slim row (id, md5(text), MinHash signature,
-band buckets) — the corpus text itself is never stored or re-read.  The
-per-batch cost is: signature map work over the batch (pipelined with its
-scan), one anti-join on the exact hash, and one band-bucket join of batch
-rows against the store's (bucket, id) rows.  At web scale the signature
-table is n_docs × (16 longs) — petabytes of text become terabytes of
-signatures; production layouts would additionally bucket the store by band
-hash so the candidate join partition-prunes.
+Store layout (round 4: partition-pruned).  Two parquet tables, both
+hash-partitioned so a batch's candidate join reads ONLY the partitions its
+own hashes touch — the per-batch scan is O(store-fraction-touched), not
+O(store):
+
+* ``exact/``   partitioned by ``epart = pmod(xxhash64(h_exact), P)``;
+  columns (h_exact, id).  The exact layer prunes to the ≤P partitions the
+  batch's content hashes land in.
+* ``buckets/`` partitioned by ``part = pmod(xxhash64(bucket), P)``;
+  columns (band, bucket, id, h0..h{n-1}).  The near layer prunes to the
+  partitions the batch's band buckets land in.  Signatures ride INLINE on
+  the bucket rows (×bands storage, parquet-compressed) so candidate
+  verification never re-scans a full signature table — the only store I/O
+  per batch is the pruned partition read itself.
+
+A small batch against a 10B-doc store therefore touches at most
+min(P, bands × batch_docs) exact partitions + min(P, bands × batch_docs)
+bucket partitions instead of the whole store.  Appends create ≤P files per
+batch per table; compact with a periodic per-partition rewrite if batch
+count grows large.
 
 Drop rule (same greedy order-based rule as neardup.minhash_dedup, made
 incremental-safe): a document is dropped iff
@@ -46,6 +58,7 @@ class IncrementalDeduper:
         threshold: float = 0.5,
         shingle_k: int = 3,
         hash_fn: str = "xxhash64",
+        n_parts: int = 32,
     ):
         self.path = path
         self.spark = spark
@@ -55,8 +68,10 @@ class IncrementalDeduper:
         self.threshold = threshold
         self.shingle_k = shingle_k
         self.hash_fn = hash_fn
+        self.n_parts = n_parts
         os.makedirs(path, exist_ok=True)
-        self._sig_dir = os.path.join(path, "sigs")
+        self._exact_dir = os.path.join(path, "exact")
+        self._bucket_dir = os.path.join(path, "buckets")
 
     # -- signature construction (same families as dedup/neardup.py) ---------
     def _signatures(self, docs: DataFrame, id_col: str, text: str) -> DataFrame:
@@ -96,10 +111,48 @@ class IncrementalDeduper:
                           *[F.col(f"h{p}") for p in range(self.n_hashes)],
                           *band_cols)
 
-    def _stored(self) -> DataFrame | None:
-        if not os.path.exists(os.path.join(self._sig_dir, "_SUCCESS")):
+    # -- partitioned-store plumbing ------------------------------------------
+    def _epart(self, col):
+        return F.pmod(F.xxhash64(col.cast("string")), F.lit(self.n_parts))
+
+    def _exact_rows(self, sig: DataFrame) -> DataFrame:
+        return sig.select(
+            "h_exact", "id", self._epart(F.col("h_exact")).alias("epart")
+        )
+
+    def _bucket_rows(self, sig: DataFrame) -> DataFrame:
+        """Exploded (band, bucket, id, h0.., part) rows — signatures inline
+        so near-verification needs no second store scan."""
+        hcols = [f"h{p}" for p in range(self.n_hashes)]
+        out = sig.select(
+            "id", *hcols,
+            F.posexplode(
+                F.array(*[F.col(f"b{b}") for b in range(self.bands)])
+            ).alias("band", "bucket"),
+        )
+        return out.withColumn("part", self._epart(F.col("bucket")))
+
+    def _has_store(self) -> bool:
+        return os.path.exists(os.path.join(self._bucket_dir, "_SUCCESS"))
+
+    def store_exact(self, eparts: list[int] | None = None) -> DataFrame | None:
+        """The exact-hash table, pruned to ``eparts`` (partition filter —
+        the scan's PartitionFilters carries the IN list)."""
+        if not self._has_store():
             return None
-        return self.spark.read.parquet(self._sig_dir)
+        df = self.spark.read.parquet(self._exact_dir)
+        if eparts is not None:
+            df = df.filter(F.col("epart").isin(eparts))
+        return df
+
+    def store_buckets(self, parts: list[int] | None = None) -> DataFrame | None:
+        """The band-bucket table, pruned to ``parts``."""
+        if not self._has_store():
+            return None
+        df = self.spark.read.parquet(self._bucket_dir)
+        if parts is not None:
+            df = df.filter(F.col("part").isin(parts))
+        return df
 
     # -- the incremental step -----------------------------------------------
     def add_batch(self, docs: DataFrame, id_col: str = "doc_id",
@@ -108,48 +161,51 @@ class IncrementalDeduper:
         signatures.  Returns (id, dropped, reason) for every batch doc
         (reason 'exact' | 'near' | NULL)."""
         sig_b = self._signatures(docs, id_col, text).persist()
-        prev = self._stored()
-        earlier = (
-            sig_b if prev is None
-            else prev.unionByName(sig_b)
-        )
+        eb = self._exact_rows(sig_b)
+        bb = self._bucket_rows(sig_b)
 
-        # exact layer: an earlier doc with the same content hash
-        ex = earlier.select(F.col("id").alias("e_id"),
-                            F.col("h_exact").alias("e_h"))
+        # Partition sets the batch touches: ≤ n_parts small ints, collected
+        # driver-side once per batch — this is what makes the store read
+        # partition-pruned instead of full-scan.
+        eparts = [r[0] for r in eb.select("epart").distinct().collect()]
+        parts = [r[0] for r in bb.select("part").distinct().collect()]
+
+        # exact layer: an earlier doc with the same content hash (store
+        # partitions pruned to the batch's eparts, plus the batch itself)
+        se = self.store_exact(eparts)
+        earlier_exact = eb if se is None else se.unionByName(eb)
         exact_drop = (
-            sig_b.join(ex, (F.col("h_exact") == F.col("e_h"))
-                       & (F.col("e_id") < F.col("id")), "left_semi")
+            sig_b.join(
+                earlier_exact.select(F.col("h_exact").alias("e_h"),
+                                     F.col("id").alias("e_id")),
+                (F.col("h_exact") == F.col("e_h"))
+                & (F.col("e_id") < F.col("id")), "left_semi")
             .select("id").withColumn("reason", F.lit("exact"))
         )
 
         # near layer: band-bucket candidates vs earlier docs, verified by
-        # signature agreement ≥ threshold.  Slim join: only (band, bucket,
-        # id) rows shuffle; full signatures re-attach per candidate side.
-        def buckets(sdf, prefix):
-            return sdf.select(
-                F.col("id").alias(f"{prefix}id"),
-                F.posexplode(
-                    F.array(*[F.col(f"b{b}") for b in range(self.bands)])
-                ).alias("band", "bucket"),
-            )
-
-        cand = (
-            buckets(sig_b, "").join(buckets(earlier, "e_"), ["band", "bucket"])
-            .filter(F.col("e_id") < F.col("id"))
-            .select("id", "e_id").distinct()
-        )
+        # signature agreement ≥ threshold.  The earlier side's signature
+        # rides inline on its bucket row (pruned scan), so no full-store
+        # re-attach join exists; the batch side re-attaches from the small
+        # persisted sig_b.
         hcols = [f"h{p}" for p in range(self.n_hashes)]
-        sb = sig_b.select("id", *hcols)
-        se = earlier.select(
-            F.col("id").alias("e_id"),
-            *[F.col(h).alias(f"e_{h}") for h in hcols],
+        sb = self.store_buckets(parts)
+        earlier_b = bb if sb is None else sb.unionByName(bb)
+        cand = (
+            bb.select("band", "bucket", "id")
+            .join(
+                earlier_b.select(
+                    "band", "bucket", F.col("id").alias("e_id"),
+                    *[F.col(h).alias(f"e_{h}") for h in hcols]),
+                ["band", "bucket"])
+            .filter(F.col("e_id") < F.col("id"))
+            .select("id", "e_id", *[f"e_{h}" for h in hcols]).distinct()
         )
         agree = sum(
             F.when(F.col(h) == F.col(f"e_{h}"), 1).otherwise(0) for h in hcols
         )
         near_drop = (
-            cand.join(sb, "id").join(se, "e_id")
+            cand.join(sig_b.select("id", *hcols), "id")
             .withColumn("_est", agree / F.lit(float(self.n_hashes)))
             .filter(F.col("_est") >= self.threshold)
             .select("id").distinct().withColumn("reason", F.lit("near"))
@@ -168,7 +224,8 @@ class IncrementalDeduper:
         )
         out = out.persist()
         out.count()  # materialize the verdicts BEFORE the store grows
-        sig_b.write.mode("append").parquet(self._sig_dir)
+        eb.write.mode("append").partitionBy("epart").parquet(self._exact_dir)
+        bb.write.mode("append").partitionBy("part").parquet(self._bucket_dir)
         sig_b.unpersist()
         return out
 

@@ -81,3 +81,50 @@ def test_kept_helper_and_cross_batch_near(spark, tmp_path):
     b2 = docs.filter(F.col("doc_id") == 3)
     v2 = d.add_batch(b2).toPandas().set_index("doc_id")
     assert v2.loc[3, "reason"] == "near"
+
+
+def test_store_scan_is_partition_pruned(spark, tmp_path):
+    """Store ≫ batch: the candidate-join store read must carry a partition
+    filter (PartitionFilters on part/epart), not scan the full store."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    big = pd.DataFrame(
+        {
+            "doc_id": range(100),
+            "text": [
+                " ".join(rng.choice(words, 30)) for _ in range(100)
+            ],
+        }
+    )
+    d = IncrementalDeduper(str(tmp_path / "pruned"), spark)
+    d.add_batch(spark.createDataFrame(big))
+
+    small = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1000], "text": [BASE]})
+    )
+    sig = d._signatures(small, "doc_id", "text")
+    parts = [r[0] for r in d._bucket_rows(sig).select("part").distinct().collect()]
+    eparts = [r[0] for r in d._exact_rows(sig).select("epart").distinct().collect()]
+    assert 0 < len(parts) <= d.bands  # a 1-doc batch touches ≤ bands parts
+
+    for df, col, vals in (
+        (d.store_buckets(parts), "part", parts),
+        (d.store_exact(eparts), "epart", eparts),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan, plan
+        # the filter must be non-empty (values pushed into the scan)
+        seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert col in seg and seg.strip(), plan
+
+    # and the verdict path still works against the pruned store
+    out = d.add_batch(small).toPandas().set_index("doc_id")
+    assert not out.loc[1000, "dropped"]
