@@ -50,30 +50,63 @@ ROLLUP_COLS = [
 # k-smallest of a union == k-smallest of the union of children's k-smallest —
 # so cascade == direct and incremental == one-shot bit-for-bit, the same
 # contract as the integer moments (functions/sketches.py has the estimators).
-# Per-1m-cell build state is the cell's distinct hash set — bounded by
-# per-minute ingest volume, the same boundedness class as the token payload.
+# Per-1m-cell build state is O(k): the build uses the same rank-filter
+# (WindowGroupLimit) shape as functions/sketches.kmv_sketch — Spark's
+# InferWindowGroupLimit turns the row_number <= k filter into a per-map
+# top-k BEFORE the exchange, so a hot cell never materializes its full
+# distinct-hash set in any aggregate buffer and the shuffle carries at most
+# k rows per (cell, map partition).
 
 SKETCH_K = 32
 
 
-def _sketch_build_aggs(id_col: str, v: str, k: int) -> list:
+def _sketch_cells(
+    df: DataFrame, tier: str, ts: str, v: str, id_col: str, k: int, key: str
+) -> DataFrame:
+    """Per (source, bucket): bounded KMV + bottom-k sample columns.
+
+    Content-identical to the former collect_set-then-slice aggregate (k
+    smallest distinct hashes / (h, v) structs), but built via distinct →
+    row_number ≤ k → collect_list so state is O(k) per cell, not
+    O(distinct-per-cell)."""
+    from pyspark.sql import Window
+
     from pyg_timeseries_spark.functions.sketches import kmv_hash
 
-    h_kmv = kmv_hash(F.col(id_col))
-    h_bk = kmv_hash(F.col(id_col), salt="bk")
-    return [
-        F.slice(F.array_sort(F.collect_set(h_kmv)), 1, k).alias("kmv"),
-        F.slice(
-            F.array_sort(
-                F.collect_set(
-                    F.struct(
-                        h_bk.alias("h"), F.col(v).cast("double").alias("v")
-                    )
-                )
-            ),
-            1, k,
-        ).alias("sample"),
-    ]
+    cells = df.select(
+        F.col(key).alias("source"),
+        bucket_col(ts, tier, df).alias("bucket"),
+        kmv_hash(F.col(id_col)).alias("__h"),
+        F.struct(
+            kmv_hash(F.col(id_col), salt="bk").alias("h"),
+            F.col(v).cast("double").alias("v"),
+        ).alias("__s"),
+    )
+    wh = Window.partitionBy("source", "bucket").orderBy("__h")
+    kmv = (
+        cells.select("source", "bucket", "__h")
+        .filter(F.col("__h").isNotNull())  # collect_set dropped null hashes
+        .distinct()
+        .withColumn("__rn", F.row_number().over(wh))
+        .filter(F.col("__rn") <= k)
+        .groupBy("source", "bucket")
+        .agg(F.sort_array(F.collect_list("__h")).alias("kmv"))
+    )
+    ws = Window.partitionBy("source", "bucket").orderBy("__s")
+    smp = (
+        cells.select("source", "bucket", "__s")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(ws))
+        .filter(F.col("__rn") <= k)
+        .groupBy("source", "bucket")
+        .agg(F.sort_array(F.collect_list("__s")).alias("sample"))
+    )
+    return kmv.join(smp, ["source", "bucket"], "full").select(
+        "source", "bucket",
+        # all-null-id cell: collect_set yielded [], the join yields NULL
+        F.coalesce("kmv", F.array().cast("array<long>")).alias("kmv"),
+        "sample",
+    )
 
 
 def _sketch_merge_aggs(k: int) -> list:
@@ -146,14 +179,19 @@ def rollup_from_raw(
                 )
             ).alias("tokens")
         )
-    if sketch_id is not None:
-        aggs.extend(_sketch_build_aggs(sketch_id, v, sketch_k))
-    return (
+    base = (
         df.groupBy(
             F.col(key).alias("source"), bucket_col(ts, tier, df).alias("bucket")
         )
         .agg(*aggs)
     )
+    if sketch_id is not None:
+        # bounded O(k) sketch build joined back on the cell key — both sides
+        # hash-partition on (source, bucket) so the join adds no extra
+        # repartitioning of the wide side
+        sk = _sketch_cells(df, tier, ts, v, sketch_id, sketch_k, key)
+        base = base.join(sk, ["source", "bucket"], "left")
+    return base
 
 
 def rollup_cascade(

@@ -153,3 +153,22 @@ def test_ewm_single_exchange_to_python(spark):
     plan = plan_of(ewma(s, 10))
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_rollup_sketch_build_is_bounded(spark):
+    """The sketch-cell build must carry the Partial WindowGroupLimit shape
+    (per-map top-k before the exchange) and no collect_set aggregate —
+    a hot cell's agg buffer is O(k), not O(distinct-per-minute)."""
+    from pyg_timeseries_spark.plans.rollup import rollup_from_raw
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    raw = ev.select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("event_id").alias("doc_id"), F.col("value").alias("n_tok"),
+    )
+    r = rollup_from_raw(raw, "1m", v="n_tok", tokens=None, sketch_id="doc_id")
+    plan = plan_of(r)
+    assert "collect_set" not in plan
+    assert plan.count("WindowGroupLimit") >= 4  # Partial+Final × (kmv, sample)
+    assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or \
+        ", Partial" in plan
