@@ -36,6 +36,51 @@ def _sf_tag(sf_dir: str) -> str:
     return base[2:] if base.startswith("sf") else base
 
 
+def contention_probe() -> dict:
+    """Quiet-window self-labeling: time a fixed 2-thread numpy workload and
+    compare against the rolling quiet band (best recent probe) recorded in
+    BENCH/probe_history.json.  This VM's wall-times drift ±50% with ambient
+    load (BENCH/BASELINE.md addendum 2); a run whose probe deviates >20%
+    from the quiet band is flagged "contended" so slow numbers are
+    attributable without re-adjudication."""
+    import threading
+
+    import numpy as np
+
+    a = np.random.default_rng(0).random((800, 800))
+
+    def work():
+        x = a
+        for _ in range(12):
+            x = x @ a
+            x = x / np.abs(x).max()
+
+    t0 = time.time()
+    threads = [threading.Thread(target=work) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    probe_sec = round(time.time() - t0, 3)
+
+    hist_path = os.path.join(ROOT, "BENCH", "probe_history.json")
+    try:
+        hist = json.load(open(hist_path))
+    except Exception:
+        hist = []
+    band = min((h["probe_sec"] for h in hist[-20:]), default=probe_sec)
+    contended = probe_sec > 1.2 * band
+    hist.append({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                 "probe_sec": probe_sec})
+    try:
+        os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+        json.dump(hist[-200:], open(hist_path, "w"))
+    except OSError:
+        pass
+    return {"probe_sec": probe_sec, "probe_band": round(band, 3),
+            "contended": contended}
+
+
 def run_action(df):
     """Force full computation without collecting results to the driver."""
     return df.write.format("noop").mode("overwrite").save()
@@ -100,6 +145,7 @@ def main():
 
     from pyg_timeseries_spark.session import get_spark
 
+    probe = contention_probe()
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
 
     import __spark_entry__ as em
@@ -178,6 +224,7 @@ def main():
         "rollup_points_per_sec": {
             k: v["points_per_sec"] for k, v in cascade.items()
         },
+        **probe,
         **result_extra,
     }
     print(json.dumps(result))
@@ -228,7 +275,9 @@ def scaling_main():
     levels = [int(x) for x in os.environ.get("BENCH_LEVELS", "2,4,8,16,32").split(",")]
     pair = [int(x) for x in os.environ.get("BENCH_PAIR", "2,8").split(",")]
     per_level = {}
+    probes = {}
     for n in sorted(set(levels + pair)):
+        probes[n] = contention_probe()
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), BENCH_SEQ_PARQUET=data,
                    BENCH_TIER_PARQUET=tier_data,
                    # 16-32g, NOT bigger: an oversized heap (64g) makes G1
@@ -249,6 +298,8 @@ def scaling_main():
         eff[tier] = round((tput_hi / tput_lo) / (hi / lo), 3)
     print(json.dumps({
         "pair": pair, "levels": per_level, "scaling_efficiency": eff,
+        "probes": {n: p for n, p in probes.items()},
+        "contended": any(probes[n]["contended"] for n in pair),
     }))
 
 
