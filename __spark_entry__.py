@@ -1377,6 +1377,42 @@ def q_rollup_sketches(spark, sf_dir):
     return out
 
 
+def q_retention_expire(spark, sf_dir):
+    """Retention + compaction through the RollupStore (plans/checkpoint.py):
+    events ingest as two time-ordered batches into day-partitioned 1m tier
+    manifests; expire('1m', keep_buckets=14430) drops whole day-partitions
+    METADATA-ONLY (untouched survivors keep their original commit version)
+    and rewrites at most the one boundary day the cutoff bisects; compact()
+    then merges the fragmented boundary files without changing a row.  The
+    surviving tier must equal a plain bucket filter of the full 1m rollup —
+    which is exactly what the oracle replays (cutoff = max bucket minus
+    keep_buckets-1 minutes)."""
+    import tempfile
+
+    from pyg_timeseries_spark.plans.checkpoint import RollupStore
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    base = tempfile.mkdtemp(prefix="retention_")
+    store = RollupStore(base, spark)
+    split = F.lit("2024-01-16").cast("timestamp")
+    store.ingest(raw.filter(F.col("ts") < split), tokens=None,
+                 with_lineage=False)
+    store.ingest(raw.filter(F.col("ts") >= split), tokens=None,
+                 with_lineage=False)
+    store.expire("1m", keep_buckets=10 * 1440 + 30)
+    store.compact("rollup_1m", max_files=1)
+    res = store.read_table("rollup_1m").select(
+        "source", "bucket", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"
+    )
+    out = spark.createDataFrame(res.collect(), schema=res.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_resample_5m(spark, sf_dir):
     """Arbitrary-width time_bucket resampling (operators/resample.py):
     5-minute buckets in exact integer-microsecond arithmetic (NTZ-safe,
@@ -1730,8 +1766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "ewmcorr_psd": q_ewmcorr_psd,
         "kmv_distinct": q_kmv_distinct,
-        "decontaminate": q_decontaminate,
+        "retention_expire": q_retention_expire,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "decontaminate": q_decontaminate,
         "ffill": q_ffill,
         "ewfill": q_ewfill,
         "tdiff": q_tdiff,
@@ -2186,6 +2223,26 @@ def oracle_sql() -> dict[str, str]:
             FROM cnts c
             JOIN ks ON ks.source = c.source AND ks.day = c.day
             JOIN qv ON qv.source = c.source AND qv.day = c.day
+        """,
+        # full-history 1m rollup, then keep the newest keep_buckets minutes
+        # from the tier max (the store's TTL semantics, order-free replay);
+        # Spark's double->long cast truncates toward zero => trunc() here
+        "retention_expire": """
+            WITH r AS (
+              SELECT event_type AS source,
+                     CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+                     CAST(trunc(value) AS BIGINT) AS nv
+              FROM events
+            ), g AS (
+              SELECT source, bucket, count(nv) AS cnt,
+                     CAST(sum(nv) AS BIGINT) AS sum_n_tok,
+                     min(nv) AS min_n_tok, max(nv) AS max_n_tok
+              FROM r GROUP BY 1, 2
+            ), mx AS (SELECT max(bucket) AS mb FROM g)
+            SELECT g.source, g.bucket, g.cnt, g.sum_n_tok,
+                   g.min_n_tok, g.max_n_tok
+            FROM g, mx
+            WHERE g.bucket >= mx.mb - to_minutes(10 * 1440 + 30 - 1)
         """,
         # integer-microsecond bucket floor (epoch_us % width), like the engine
         "resample_5m": f"""
