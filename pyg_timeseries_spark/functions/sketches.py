@@ -206,7 +206,16 @@ def cms_merge(
         *keys, F.posexplode(col).alias("__idx", "__cnt")
     ).filter(F.col("__cnt") != 0)
     summed = exploded.groupBy(*keys, "__idx").agg(F.sum("__cnt").alias("__cnt"))
-    return _dense_grid(summed, keys, depth * width, col)
+    merged = _dense_grid(summed, keys, depth * width, col)
+    # a key group whose merged grid is entirely zero has no surviving
+    # exploded rows — join the distinct keys back so it yields a zero grid
+    # instead of silently disappearing from the output
+    zero = F.array_repeat(F.lit(0).cast("long"), depth * width)
+    return (
+        df.select(*keys).distinct()
+        .join(merged, keys, "left")
+        .select(*keys, F.coalesce(F.col(col), zero).alias(col))
+    )
 
 
 def cms_query(col: Column, item: Column, depth: int, width: int) -> Column:

@@ -6,8 +6,11 @@ spring-forward gap shifts by the gap width under that zone's session),
 while ``hour``/``minute``/``date_part``/``to_date``/``datediff`` and
 ``timestamp_add`` operate on NTZ components and are TZ-free.  So the safe
 µs-since-epoch for NTZ is component arithmetic — days·86400e6 + h·3600e6 +
-m·60e6 + fractional-second·1e6 — and instant arithmetic stays correct for
-TIMESTAMP (with zone), where absolute time IS the semantics.
+m·60e6 + fractional-second·1e6 — and for TIMESTAMP (with zone), where
+absolute time IS the semantics, ``unix_micros`` gives the instant's µs
+since the UTC epoch with no session-timezone dependence.  Bucket anchoring
+is therefore UTC-anchored for TIMESTAMP and wall-clock-anchored for NTZ,
+in any session zone.
 """
 
 from __future__ import annotations
@@ -41,9 +44,11 @@ def ts_us(df: DataFrame, ts: str) -> Column:
     t = df.schema[ts].dataType
     if isinstance(t, TimestampNTZType):
         return ntz_epoch_us(F.col(ts))
-    return F.timestamp_diff(
-        "MICROSECOND", F.lit(_EPOCH).cast(t), F.col(ts)
-    )
+    # unix_micros is the instant's µs since the UTC epoch — independent of
+    # the session timezone (an epoch LITERAL cast to timestamp would be
+    # interpreted in the session zone and shift bucket anchoring under
+    # e.g. half-hour-offset zones)
+    return F.unix_micros(F.col(ts))
 
 
 def us_expr_for_type(dtype) -> "callable":
@@ -51,7 +56,7 @@ def us_expr_for_type(dtype) -> "callable":
     of the given type (e.g. a struct field)."""
     if isinstance(dtype, TimestampNTZType):
         return ntz_epoch_us
-    return lambda c: F.timestamp_diff("MICROSECOND", F.lit(_EPOCH).cast(dtype), c)
+    return F.unix_micros
 
 
 def py_epoch_us(stamp: str) -> int:

@@ -94,6 +94,16 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction}")
     rcols = right_cols or [c for c in right.columns if c not in (key, ts)]
+    # guard the internal temp names and the suffixed output names — a left
+    # frame already carrying them would silently produce duplicate or
+    # ambiguous output columns
+    clashes = {"__side", "__rv", "__m", "__asof_ts"} & set(left.columns)
+    clashes |= {f"{c}{suffix}" for c in rcols} & set(left.columns)
+    if clashes:
+        raise ValueError(
+            f"asof_join output would collide with left columns "
+            f"{sorted(clashes)}; rename them or pass a different suffix"
+        )
 
     payload = F.struct(
         F.col(ts).alias("__t"), *[F.col(c).alias(c) for c in rcols]

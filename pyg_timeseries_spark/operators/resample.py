@@ -2,10 +2,11 @@
 and resampled aggregates / OHLC bars.
 
 The fixed tier cascade (plans/rollup.py) covers 1m/1h/1d; these operators
-bucket to ANY width in integer-microsecond arithmetic so the result is
-exact and identical for TIMESTAMP and TIMESTAMP_NTZ columns — no session-
-timezone routing, no double division near bucket boundaries (the bucket
-floor is ``us - pmod(us, width_us)`` on longs).
+bucket to ANY width in integer-microsecond arithmetic — no double division
+near bucket boundaries (the bucket floor is ``us - pmod(us, width_us)`` on
+longs) and no session-timezone routing: NTZ buckets anchor on the wall
+clock (component arithmetic), TIMESTAMP buckets anchor on the UTC instant
+(``unix_micros``); the two coincide in a UTC session.
 
 Plan shape: bucketing is a pure row expression; every aggregate below is a
 single partial+final hash aggregate on (keys..., bucket) — the same

@@ -172,6 +172,9 @@ def rolling_cov(
 ) -> DataFrame:
     """Unbiased sample covariance over the last n jointly-valid rows:
     (Σxy − ΣxΣy/n) / (n−1)."""
+    if n < 2:
+        raise ValueError(f"rolling_cov needs n >= 2 (got n={n}): the "
+                         "(n-1) denominator is degenerate for a 1-row window")
 
     def build(w):
         sx, sy = F.sum(x).over(w), F.sum(y).over(w)

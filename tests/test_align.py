@@ -181,3 +181,20 @@ def test_asof_join_single_window_pass(spark):
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange") <= 2  # two inputs union into one shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_rejects_colliding_left_columns(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    l = spark.createDataFrame(pd.DataFrame(
+        {"key": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "px_r": [1.0]}))
+    r = spark.createDataFrame(pd.DataFrame(
+        {"key": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "px": [2.0]}))
+    from pyg_timeseries_spark.operators.align import asof_join
+
+    with _pt.raises(ValueError, match="collide"):
+        asof_join(l, r)
+    l2 = l.withColumnRenamed("px_r", "__rv")
+    with _pt.raises(ValueError, match="collide"):
+        asof_join(l2, r)

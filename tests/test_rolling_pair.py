@@ -157,3 +157,12 @@ def test_expanding_cov_matches_pandas(spark):
         gv = g.dropna(subset=["x", "y"]).sort_values("ts")["expanding_cov"]
         assert np.allclose(gv.to_numpy(), exp.to_numpy(), atol=1e-9,
                            equal_nan=True), k
+
+
+def test_rolling_cov_rejects_n1(spark, series_df):
+    import pytest as _pt
+
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_cov
+
+    with _pt.raises(ValueError, match="n >= 2"):
+        rolling_cov(series_df.withColumn("x", F.col("v")).withColumn("y", F.col("v")), 1)

@@ -349,3 +349,21 @@ def test_bottomk_sample_is_hash_prefix(spark):
         for i in range(200)
     )
     assert kept == all_h[:k]
+
+
+def test_cms_merge_preserves_all_zero_groups(spark):
+    """A key whose merged grid is entirely zero must come back as a zero
+    grid, not vanish from the merge output."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.functions.sketches import cms_merge
+
+    depth, width = 2, 4
+    zero = [0] * (depth * width)
+    grid = [0, 3, 0, 0, 0, 0, 1, 0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["empty", "busy"], "cms": [zero, grid]})
+    )
+    out = {r["k"]: list(r["cms"]) for r in cms_merge(df, ["k"], depth, width).collect()}
+    assert out["busy"] == grid
+    assert out["empty"] == zero

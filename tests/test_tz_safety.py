@@ -88,3 +88,35 @@ def test_sessions_and_asof_tz_invariant(spark):
             ref = (sess, asof)
         else:
             assert (sess, asof) == ref, tz
+
+
+def test_timestamp_bucket_anchoring_is_session_tz_free(spark):
+    """For TIMESTAMP (instant) columns, time_bucket_col anchors on the UTC
+    epoch via unix_micros — the bucket assignment must be identical under
+    any session zone, including the fractional-offset torture case (a
+    session-zone-interpreted epoch literal would shift 1h buckets by
+    +05:45 under Kathmandu)."""
+    pdf = pd.DataFrame(
+        {
+            "key": ["a"] * 6,
+            "ts": pd.date_range("2024-03-10 00:10:00", periods=6, freq="37min"),
+            "v": np.arange(6.0),
+        }
+    )
+    df = spark.createDataFrame(pdf)  # pandas datetime64 -> TIMESTAMP
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+
+    def buckets(tz):
+        # evaluate the bucketing UNDER tz; unix_micros renders the bucket
+        # instant as a zone-free long so results compare across sessions
+        with session_tz(spark, tz):
+            return [
+                r[0]
+                for r in df.select(
+                    F.unix_micros(time_bucket_col(df, "ts", 3600.0))
+                ).collect()
+            ]
+
+    ref = buckets("UTC")
+    for tz in ZONES[1:]:
+        assert buckets(tz) == ref, tz
