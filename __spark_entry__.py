@@ -1413,6 +1413,52 @@ def q_retention_expire(spark, sf_dir):
     return out
 
 
+def q_source_mix(spark, sf_dir):
+    """Source-mixture downsampling to a token budget
+    (textops/corpus.py mixture_sample): per-source keep rate
+    min(1, budget*w_s/T_s) quantized to integer ppm, deterministic md5
+    coins — one tiny broadcast (source) aggregate + a coin map, no corpus
+    shuffle."""
+    from pyg_timeseries_spark.textops.corpus import mixture_sample
+
+    d = TX.token_count_ws(load(spark, sf_dir, "documents"))
+    weights = {f"src{i}": (0.08 if i < 10 else 0.02) for i in range(20)}
+    out = mixture_sample(d, weights, budget_tokens=12_000,
+                         token_col="n_tok_ws")
+    return out.select(
+        "doc_id", "source", F.col("n_tok_ws").alias("n_tok"),
+        F.col("__rate_ppm").alias("rate_ppm"), "keep",
+    )
+
+
+def q_boilerplate(spark, sf_dir):
+    """Corpus-level boilerplate coverage (textops/corpus.py
+    boilerplate_coverage): a word 3-gram is boilerplate when it appears in
+    >= 5 distinct documents; per doc, the fraction of its distinct 3-grams
+    that are boilerplate.  Wordcount-shaped doc-frequency aggregate + one
+    slim shingle join — text never shuffles."""
+    from pyg_timeseries_spark.textops.corpus import boilerplate_coverage
+
+    out = boilerplate_coverage(load(spark, sf_dir, "documents"),
+                               shingle_k=3, min_doc_freq=5)
+    return out.select(
+        "doc_id", "n_grams", "n_boiler",
+        R6(F.col("boiler_frac")).alias("boiler_frac"),
+    )
+
+
+def q_rolling_acf(spark, sf_dir):
+    """Rolling lag-2 autocorrelation over the last 20 jointly-valid pairs
+    (operators/rolling_pair.py rolling_acf): shift-over-valid alignment +
+    the sliding-sum Pearson algebra, both in Catalyst windows."""
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_acf
+
+    out = rolling_acf(_series(spark, sf_dir), N, lag=2, lag_out="__vl")
+    return out.filter(
+        F.col("v").isNotNull() & F.col("__vl").isNotNull()
+    ).select("key", "ts", R6(F.col("rolling_acf")).alias("rolling_acf"))
+
+
 def q_resample_5m(spark, sf_dir):
     """Arbitrary-width time_bucket resampling (operators/resample.py):
     5-minute buckets in exact integer-microsecond arithmetic (NTZ-safe,
@@ -1763,11 +1809,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "pack_greedy": q_pack_greedy,
         "corpus_pipeline": q_corpus_pipeline,
+        "retention_expire": q_retention_expire,
+        "source_mix": q_source_mix,
+        "boilerplate": q_boilerplate,
+        "rolling_acf": q_rolling_acf,
+        # -- 51+: stamped green in r2/r3; all value-oracled ------------------
         "repetition": q_repetition,
         "ewmcorr_psd": q_ewmcorr_psd,
         "kmv_distinct": q_kmv_distinct,
-        "retention_expire": q_retention_expire,
-        # -- 51+: stamped green in r2/r3; all value-oracled ------------------
         "decontaminate": q_decontaminate,
         "ffill": q_ffill,
         "ewfill": q_ewfill,
@@ -2022,6 +2071,30 @@ def oracle_sql() -> dict[str, str]:
                         END) * 1000000 + 0.4997) AS BIGINT) AS rolling_cor
             FROM v
         """,
+        "rolling_acf": f"""
+            WITH s AS ({VALID_SQL}),
+            l AS (
+              SELECT key, ts, v AS x,
+                     lag(v, 2) OVER (PARTITION BY key ORDER BY ts) AS y
+              FROM s
+            ), v2 AS (
+              SELECT key, ts,
+                     row_number() OVER (PARTITION BY key ORDER BY ts) AS rn,
+                     sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                     sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+                     sum(x * y) OVER w AS sxy
+              FROM l WHERE y IS NOT NULL
+              WINDOW w AS (PARTITION BY key ORDER BY ts
+                           ROWS BETWEEN {N-1} PRECEDING AND CURRENT ROW)
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN rn >= {N}
+                        AND ({N} * sxx - sx * sx) * ({N} * syy - sy * sy) > 0
+                        THEN ({N} * sxy - sx * sy)
+                             / sqrt(({N} * sxx - sx * sx) * ({N} * syy - sy * sy))
+                        END) * 1000000 + 0.4997) AS BIGINT) AS rolling_acf
+            FROM v2
+        """,
         "rolling_beta": f"""
             WITH p AS (
               SELECT event_type AS key, ts,
@@ -2243,6 +2316,52 @@ def oracle_sql() -> dict[str, str]:
                    g.min_n_tok, g.max_n_tok
             FROM g, mx
             WHERE g.bucket >= mx.mb - to_minutes(10 * 1440 + 30 - 1)
+        """,
+        # per-source token totals -> ppm keep rate -> md5-coin keep
+        "source_mix": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+              FROM documents
+            ), tot AS (
+              SELECT source, CAST(sum(n_tok) AS BIGINT) AS T FROM t GROUP BY 1
+            ), r AS (
+              SELECT source,
+                     CAST(floor(least(1.0,
+                          12000.0 * (CASE WHEN length(source) = 4
+                                          THEN 0.08 ELSE 0.02 END) / T)
+                          * 1000000) AS BIGINT) AS rate_ppm
+              FROM tot
+            )
+            SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok,
+                   r.rate_ppm,
+                   (('0x' || substr(md5(t.doc_id || '|0'), 1, 8))::BIGINT
+                    % 1000000 < r.rate_ppm) AS keep
+            FROM t JOIN r USING (source)
+        """,
+        # distinct 3-gram doc frequency -> boilerplate set -> per-doc coverage
+        "boilerplate": """
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents
+            ), dsh AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, greatest(len(w)-2, 1)),
+                         i -> array_to_string(w[i:i+2], ' ')))) AS s
+              FROM w
+            ), dfreq AS (
+              SELECT s, count(*) AS df FROM dsh GROUP BY 1
+            ), b AS (SELECT s FROM dfreq WHERE df >= 5)
+            SELECT d.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler,
+                   CAST(floor((sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0
+                        END)::DOUBLE / count(*)) * 1000000 + 0.4997)
+                        AS BIGINT) AS boiler_frac
+            FROM dsh d LEFT JOIN b ON d.s = b.s
+            GROUP BY 1
         """,
         # integer-microsecond bucket floor (epoch_us % width), like the engine
         "resample_5m": f"""

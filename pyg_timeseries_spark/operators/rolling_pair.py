@@ -208,3 +208,27 @@ def expanding_cov(
         out, F.lit(None).cast("double")
     )
     return valid.unionByName(nulls)
+
+
+def rolling_acf(
+    df: DataFrame,
+    n: int,
+    lag: int = 1,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = "v",
+    out: str = "rolling_acf",
+    lag_out: str | None = None,
+) -> DataFrame:
+    """Rolling autocorrelation: Pearson correlation of (v_t, v_{t-lag})
+    over the last ``n`` jointly-valid pairs per key.  The lagged partner is
+    the ``lag``-th previous VALID observation (the engine's shift
+    semantics, reference _rolling.py:947-1005), so NaN gaps don't smear
+    the alignment; the pair correlation then reuses rolling_cor's
+    single-Window sliding-sum shape."""
+    from pyg_timeseries_spark.operators.shift import shift
+
+    lcol = lag_out or "__acf_lag"
+    lagged = shift(df, lag, key=key, ts=ts, v=v, out=lcol)
+    r = rolling_cor(lagged, n, key=key, ts=ts, x=v, y=lcol, out=out)
+    return r if lag_out else r.drop(lcol)

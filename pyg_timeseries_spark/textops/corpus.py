@@ -143,3 +143,88 @@ def split_corpus(
             else expr.when(coin < hi, F.lit(name))
         )
     return docs.withColumn(out, expr)
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    seed: int = 0,
+    id_col: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """Source-mixture downsampling to a token budget (the data-mixing step
+    of a pretraining build): source ``s`` with target weight ``w_s`` gets
+    keep rate ``min(1, budget·w_s / T_s)`` where ``T_s`` is its total token
+    count, and each document survives on its deterministic md5 coin.  In
+    expectation the surviving mix hits ``budget·w_s`` tokens per source
+    (exactly ``T_s`` when the source is under-represented — rates cap at 1;
+    re-normalize weights or raise the budget to re-spread the shortfall).
+
+    Returns every doc with (``__rate_ppm``, ``keep``) so callers can audit
+    the realized mix; filter on ``keep`` for the sample itself.
+
+    Scale shape: one tiny (source) aggregate broadcast back onto the
+    corpus + a coin map — no corpus shuffle.  Rates quantize to integer
+    parts-per-million (floor), matching the coin's [0, 1e6) grid, so the
+    keep decision is an integer compare reproducible across engines."""
+    from pyspark.sql import functions as F  # noqa: F811 — local alias
+
+    totals = docs.groupBy(source).agg(
+        F.sum(F.col(token_col).cast("long")).alias("__T")
+    )
+    wmap = F.lit(0.0)
+    for src, wgt in sorted(weights.items()):
+        wmap = F.when(F.col(source) == src, F.lit(float(wgt))).otherwise(wmap)
+    rates = totals.select(
+        source,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget_tokens)) * wmap / F.col("__T"),
+            ) * 1_000_000
+        ).cast("long").alias("__rate_ppm"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    return docs.join(broadcast(rates), source, "left").withColumn(
+        "keep", F.coalesce(_coin(id_col, seed) < F.col("__rate_ppm"), F.lit(False))
+    )
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    min_doc_freq: int = 5,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Per document: how much of it is corpus-level boilerplate.  A word
+    ``shingle_k``-gram is boilerplate when it appears in ≥ ``min_doc_freq``
+    DISTINCT documents (the CCNet/Gopher-style repeated-template signal —
+    navigation chrome, license blurbs, generated headers).  Returns
+    (id, n_grams, n_boiler, boiler_frac) counting the doc's distinct
+    shingles and the boilerplate subset.
+
+    Scale shape: shingles explode map-side; one (shingle) aggregate
+    computes document frequency; the boilerplate set joins back on the
+    shingle hash — the corpus text itself never shuffles.  At 100 TB the
+    doc-frequency aggregate is the standard wordcount shape (map-side
+    partial combine), and the join key is a single string column."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text), shingle_k)).alias("s"),
+    ).distinct()
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("__df"))
+    boiler = df_counts.filter(F.col("__df") >= min_doc_freq).select("s")
+    per_doc = sh.join(boiler.withColumn("__b", F.lit(1)), "s", "left").groupBy(
+        "id"
+    ).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).cast("long").alias("n_boiler"),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col), "n_grams", "n_boiler",
+        (F.col("n_boiler") / F.col("n_grams")).alias("boiler_frac"),
+    )

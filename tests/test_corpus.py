@@ -90,3 +90,64 @@ def test_split_corpus_validates_fractions(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": ["a"]}))
     with _pt.raises(ValueError):
         split_corpus(df, {"train": 0.5, "val": 0.1})
+
+
+def test_mixture_sample_budget_and_determinism(spark):
+    import pandas as pd
+
+    from pyg_timeseries_spark.textops.corpus import mixture_sample
+
+    rows = [(i, f"s{i % 4}", 100) for i in range(400)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "n_tokens"])
+    )
+    weights = {"s0": 0.4, "s1": 0.3, "s2": 0.2, "s3": 0.1}
+    out = mixture_sample(docs, weights, budget_tokens=20_000).persist()
+    pdf = out.toPandas()
+    # every doc gets a verdict; rates quantized to ppm and capped at 1e6
+    assert len(pdf) == 400
+    assert (pdf["__rate_ppm"] <= 1_000_000).all()
+    # expected kept tokens per source ~ budget*w (rate uncapped here:
+    # T_s = 10_000 per source, budget*w <= 8_000)
+    rates = pdf.groupby("source")["__rate_ppm"].first()
+    for src, w in weights.items():
+        assert rates[src] == int(20_000 * w / 10_000 * 1_000_000) or \
+            abs(rates[src] - 20_000 * w / 10_000 * 1_000_000) <= 1
+    # deterministic: same coins -> identical keep set on re-run
+    again = mixture_sample(docs, weights, budget_tokens=20_000).toPandas()
+    assert sorted(pdf[pdf.keep]["doc_id"]) == sorted(again[again.keep]["doc_id"])
+    out.unpersist()
+
+
+def test_mixture_sample_caps_underrepresented_source(spark):
+    import pandas as pd
+
+    from pyg_timeseries_spark.textops.corpus import mixture_sample
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "big", 1000), (1, "big", 1000), (2, "tiny", 10)],
+            columns=["doc_id", "source", "n_tokens"],
+        )
+    )
+    out = mixture_sample(docs, {"big": 0.5, "tiny": 0.5}, budget_tokens=1000)
+    pdf = out.toPandas().set_index("doc_id")
+    # tiny's fair share (500 tokens) exceeds its total (10): rate caps at 1
+    assert pdf.loc[2, "__rate_ppm"] == 1_000_000 and bool(pdf.loc[2, "keep"])
+
+
+def test_boilerplate_coverage(spark):
+    import pandas as pd
+
+    from pyg_timeseries_spark.textops.corpus import boilerplate_coverage
+
+    boiler = "click here to subscribe"
+    rows = [(i, f"{boiler} unique{i} words{i} only{i} here{i}") for i in range(6)]
+    rows.append((99, "entirely novel text with no repeats at all whatsoever"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = boilerplate_coverage(docs, shingle_k=3, min_doc_freq=5).toPandas()
+    out = out.set_index("doc_id")
+    # 'click here to' and 'here to subscribe' appear in 6 docs -> boilerplate
+    assert (out.loc[range(6), "n_boiler"] >= 2).all()
+    assert out.loc[99, "n_boiler"] == 0 and out.loc[99, "boiler_frac"] == 0.0
+    assert ((0 <= out["boiler_frac"]) & (out["boiler_frac"] <= 1)).all()

@@ -3,6 +3,7 @@ pandas references under the joint-validity convention."""
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.operators.rolling_pair import (
@@ -166,3 +167,36 @@ def test_rolling_cov_rejects_n1(spark, series_df):
 
     with _pt.raises(ValueError, match="n >= 2"):
         rolling_cov(series_df.withColumn("x", F.col("v")).withColumn("y", F.col("v")), 1)
+
+
+def test_rolling_acf_matches_pandas(spark, series_pdf):
+    """Engine lag-2 rolling ACF == pandas rolling corr of the valid-row
+    shifted series (the reference's NaN-skip shift semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.rolling_pair import rolling_acf
+
+    sdf = spark.createDataFrame(series_pdf).withColumn(
+        "v", F.when(F.isnan("v"), F.lit(None)).otherwise(F.col("v"))
+    )
+    n, lag = 10, 2
+    got = (
+        rolling_acf(sdf, n, lag=lag, out="acf")
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    for k, g in series_pdf.groupby("key"):
+        g = g.sort_values("ts")
+        valid = g.dropna(subset=["v"]).copy()
+        valid["vl"] = valid["v"].shift(lag)
+        both = valid.dropna(subset=["vl"])
+        exp = both["v"].rolling(n).corr(both["vl"])
+        sub = got[got.key == k].set_index("ts")
+        for ts, e in zip(both["ts"], exp):
+            a = sub.loc[ts, "acf"]
+            if pd.isna(e):
+                assert pd.isna(a), (k, ts)
+            else:
+                assert a == pytest.approx(e, rel=1e-9, abs=1e-9), (k, ts)
