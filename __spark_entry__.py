@@ -1459,6 +1459,24 @@ def q_rolling_acf(spark, sf_dir):
     ).select("key", "ts", R6(F.col("rolling_acf")).alias("rolling_acf"))
 
 
+def q_rollup_gsets(spark, sf_dir):
+    """One-shot multi-tier rollup via GROUPING SETS (plans/rollup.py
+    rollup_grouping_sets, SURVEY.md §2.8): all of 1m/1h/1d from a single
+    scan — one Expand into one partial+final hash aggregate, one
+    Exchange; the declarative alternative to the cascade when every tier
+    is wanted in one pass."""
+    from pyg_timeseries_spark.plans.rollup import rollup_grouping_sets
+
+    src = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    out = rollup_grouping_sets(src)
+    return out.select(
+        "tier", "key", "bucket", "cnt",
+        R6(F.col("sum_v")).alias("sum_v"),
+        R6(F.col("min_v")).alias("min_v"),
+        R6(F.col("max_v")).alias("max_v"),
+    )
+
+
 def q_resample_5m(spark, sf_dir):
     """Arbitrary-width time_bucket resampling (operators/resample.py):
     5-minute buckets in exact integer-microsecond arithmetic (NTZ-safe,
@@ -1808,12 +1826,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multibuffer": q_multibuffer,
         "ivf_topk": q_ivf_topk,
         "pack_greedy": q_pack_greedy,
-        "corpus_pipeline": q_corpus_pipeline,
         "retention_expire": q_retention_expire,
         "source_mix": q_source_mix,
         "boilerplate": q_boilerplate,
         "rolling_acf": q_rolling_acf,
+        "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "corpus_pipeline": q_corpus_pipeline,
         "repetition": q_repetition,
         "ewmcorr_psd": q_ewmcorr_psd,
         "kmv_distinct": q_kmv_distinct,
@@ -2316,6 +2335,27 @@ def oracle_sql() -> dict[str, str]:
                    g.min_n_tok, g.max_n_tok
             FROM g, mx
             WHERE g.bucket >= mx.mb - to_minutes(10 * 1440 + 30 - 1)
+        """,
+        # GROUPING SETS multi-tier replay (same tier-labeling CASE)
+        "rollup_gsets": f"""
+            WITH s AS ({VALID_SQL}),
+            b AS (
+              SELECT key,
+                     CAST(date_trunc('minute', ts) AS TIMESTAMP) AS b1m,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS b1h,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS b1d,
+                     v
+              FROM s
+            )
+            SELECT CASE WHEN grouping(b1h) = 1 AND grouping(b1d) = 1 THEN '1m'
+                        WHEN grouping(b1m) = 1 AND grouping(b1d) = 1 THEN '1h'
+                        ELSE '1d' END AS tier,
+                   key, coalesce(b1m, b1h, b1d) AS bucket, count(v) AS cnt,
+                   CAST(floor(sum(v) * 1000000 + 0.4997) AS BIGINT) AS sum_v,
+                   CAST(floor(min(v) * 1000000 + 0.4997) AS BIGINT) AS min_v,
+                   CAST(floor(max(v) * 1000000 + 0.4997) AS BIGINT) AS max_v
+            FROM b
+            GROUP BY key, GROUPING SETS ((b1m), (b1h), (b1d))
         """,
         # per-source token totals -> ppm keep rate -> md5-coin keep
         "source_mix": """

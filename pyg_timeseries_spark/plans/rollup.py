@@ -392,3 +392,43 @@ def merge_rollup(existing: DataFrame, delta: DataFrame, with_tokens: bool = True
     if "kmv" in both.columns:
         aggs.extend(_sketch_merge_aggs(SKETCH_K))
     return both.groupBy("source", "bucket").agg(*aggs)
+
+
+def rollup_grouping_sets(
+    df: DataFrame,
+    ts: str = "ts",
+    v: str = "v",
+    key: str = "key",
+) -> DataFrame:
+    """One-shot multi-tier rollup: every tier (1m/1h/1d) from a SINGLE scan
+    via GROUPING SETS (SURVEY.md §2.8's one-shot option).
+
+    Trade-off vs the cascade (rollup_all_tiers): GROUPING SETS expands each
+    input row once per tier — 3× map-side rows into ONE partial+final hash
+    aggregate, no intermediate tier materialization, one shuffle; the
+    cascade runs three small aggregations where the coarser tiers read the
+    (much smaller) finer tier.  At high fan-in (many raw rows per minute)
+    the cascade does less total work; grouping-sets wins when you want all
+    tiers in one pass over a source you will not keep, or a single output
+    table keyed by tier.  Output: (tier, key, bucket, cnt, sum_v, min_v,
+    max_v) with tier ∈ {'1m','1h','1d'}."""
+    prepared = df.select(
+        F.col(key).alias("key"),
+        bucket_col(ts, "1m", df).alias("b1m"),
+        bucket_col(ts, "1h", df).alias("b1h"),
+        bucket_col(ts, "1d", df).alias("b1d"),
+        F.col(v).alias("v"),
+    )
+    return prepared.sparkSession.sql(
+        """
+        SELECT CASE WHEN grouping(b1h) = 1 AND grouping(b1d) = 1 THEN '1m'
+                    WHEN grouping(b1m) = 1 AND grouping(b1d) = 1 THEN '1h'
+                    ELSE '1d' END AS tier,
+               key, coalesce(b1m, b1h, b1d) AS bucket,
+               count(v) AS cnt, sum(v) AS sum_v,
+               min(v) AS min_v, max(v) AS max_v
+        FROM {src}
+        GROUP BY key, GROUPING SETS ((b1m), (b1h), (b1d))
+        """,
+        src=prepared,
+    )

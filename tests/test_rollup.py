@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from pyg_timeseries_spark.datagen import sequences
 from pyg_timeseries_spark.plans.checkpoint import RollupStore
 from pyg_timeseries_spark.plans.rollup import (
-    rollup_all_tiers, rollup_cascade, rollup_from_raw,
+    bucket_col, rollup_all_tiers, rollup_cascade, rollup_from_raw,
 )
 
 N_ROWS = 30_000  # ~8 hours of 1s data on the hot source
@@ -547,3 +547,44 @@ def test_four_way_incremental_equals_full(spark, raw, tmp_path):
         return list(map(tuple, pdf.itertuples(index=False)))
 
     assert chunk_rows(inc) == chunk_rows(full)
+
+
+def test_grouping_sets_equals_cascade(spark, raw):
+    """One-shot GROUPING SETS tiers == the cascade's tiers measure-for-
+    measure (cnt/sum/min/max on the value column)."""
+    from pyg_timeseries_spark.plans.rollup import rollup_grouping_sets
+
+    src = raw.select("source", "ts", F.col("n_tok").cast("double").alias("v"))
+    gs = rollup_grouping_sets(src, key="source").persist()
+    for tier in ("1m", "1h", "1d"):
+        direct = (
+            src.groupBy(
+                "source", bucket_col("ts", tier, src).alias("bucket")
+            ).agg(
+                F.count("v").alias("cnt"), F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"), F.max("v").alias("max_v"),
+            )
+        )
+        got = gs.filter(F.col("tier") == tier).drop("tier").withColumnRenamed(
+            "key", "source"
+        )
+        assert got.exceptAll(direct).count() == 0
+        assert direct.exceptAll(got).count() == 0
+    gs.unpersist()
+
+
+def test_grouping_sets_single_exchange(spark, raw):
+    """The one-shot plan must be Expand -> one partial+final aggregate with
+    a single Exchange (no per-tier jobs)."""
+    import contextlib
+    import io
+
+    from pyg_timeseries_spark.plans.rollup import rollup_grouping_sets
+
+    src = raw.select("source", "ts", F.col("n_tok").cast("double").alias("v"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rollup_grouping_sets(src, key="source").explain()
+    plan = buf.getvalue()
+    assert "Expand" in plan
+    assert plan.count("Exchange") == 1
