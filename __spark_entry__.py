@@ -1459,6 +1459,32 @@ def q_rolling_acf(spark, sf_dir):
     ).select("key", "ts", R6(F.col("rolling_acf")).alias("rolling_acf"))
 
 
+def q_interval_join(spark, sf_dir):
+    """Binned interval join (operators/interval_join.py): assign every
+    event to the session interval containing it — intervals explode into
+    the 30-min bins they cover, points map to one bin, equi-join on
+    (key, bin) + exact containment filter; no BroadcastNestedLoopJoin.
+    Cross-check built in: per-session point counts must equal the
+    sessionizer's own n_events."""
+    from pyg_timeseries_spark.operators.interval_join import interval_join
+    from pyg_timeseries_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    st = session_stats(ev, key="user_id", ts="ts", gap_s=1800.0)
+    ivs = st.select(
+        "user_id", F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+        F.col("session_id").alias("sid"), F.col("n_events").alias("n_ev"),
+    )
+    pts = ev.select("user_id", "ts", "event_id")
+    j = interval_join(pts, ivs, key="user_id", ts="ts", bucket_s=1800.0)
+    return j.groupBy("user_id", "start", "end").agg(
+        F.count("*").alias("n_pts"),
+        F.min("n_ev").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
 def q_rollup_gsets(spark, sf_dir):
     """One-shot multi-tier rollup via GROUPING SETS (plans/rollup.py
     rollup_grouping_sets, SURVEY.md §2.8): all of 1m/1h/1d from a single
@@ -1822,7 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sketches": q_rollup_sketches,
         "asof_join": q_asof_join,
         "resample_5m": q_resample_5m,
-        "ewma_clock": q_ewma_clock,
+        "interval_join": q_interval_join,
         "multibuffer": q_multibuffer,
         "ivf_topk": q_ivf_topk,
         "pack_greedy": q_pack_greedy,
@@ -1832,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "ewma_clock": q_ewma_clock,
         "corpus_pipeline": q_corpus_pipeline,
         "repetition": q_repetition,
         "ewmcorr_psd": q_ewmcorr_psd,
@@ -2335,6 +2362,34 @@ def oracle_sql() -> dict[str, str]:
                    g.min_n_tok, g.max_n_tok
             FROM g, mx
             WHERE g.bucket >= mx.mb - to_minutes(10 * 1440 + 30 - 1)
+        """,
+        # session intervals (lag + running-sum replay) then a BETWEEN join;
+        # counts must reproduce the sessionizer's n_events
+        "interval_join": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sid AS (
+              SELECT user_id, ts,
+                     CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM s
+            ), ivs AS (
+              SELECT user_id, min(ts) AS s_start, max(ts) AS s_end,
+                     CAST(count(*) AS BIGINT) AS n_ev
+              FROM sid GROUP BY user_id, session_id
+            )
+            SELECT e.user_id, i.s_start AS start, i.s_end AS "end",
+                   CAST(count(*) AS BIGINT) AS n_pts,
+                   CAST(min(i.n_ev) AS BIGINT) AS n_events,
+                   CAST(min(e.event_id) AS BIGINT) AS first_event
+            FROM events e
+            JOIN ivs i ON i.user_id = e.user_id
+                      AND e.ts BETWEEN i.s_start AND i.s_end
+            GROUP BY 1, 2, 3
         """,
         # GROUPING SETS multi-tier replay (same tier-labeling CASE)
         "rollup_gsets": f"""
