@@ -898,6 +898,45 @@ def q_stream_ewma_replay(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup as a REAL Structured Streaming query
+    (streaming/stream_rollup.py stream_dedup): the events table is
+    doubled (every row twice) and arrival-scrambled, then deduped on
+    event_id with watermark-bounded dropDuplicatesWithinWatermark state;
+    the kept set must equal batch DISTINCT — first-arrival-wins is
+    deterministic here because event_id determines the payload."""
+    import tempfile
+    import uuid
+
+    from pyg_timeseries_spark.streaming.stream_rollup import stream_dedup
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select("event_id", "user_id", "event_type",
+                    F.col("ts").cast("timestamp").alias("ts"))
+    doubled = raw.unionByName(raw).orderBy(
+        F.md5(F.concat_ws("|", "event_id", F.col("ts").cast("string")))
+    )
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(base, "src")
+    doubled.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_dedup(stream, ["event_id"], ts="ts", watermark="1 hour")
+    qname = "dedup_replay_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("stream_dedup did not finish within 600s")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).select("event_id", "user_id", "event_type")
+
+
 def q_stream_sessions(spark, sf_dir):
     """Native merging session windows as a REAL Structured Streaming query
     (file source → withWatermark + session_window → memory sink,
@@ -1849,7 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "resample_5m": q_resample_5m,
         "interval_join": q_interval_join,
-        "multibuffer": q_multibuffer,
+        "stream_dedup": q_stream_dedup,
         "ivf_topk": q_ivf_topk,
         "pack_greedy": q_pack_greedy,
         "retention_expire": q_retention_expire,
@@ -1858,6 +1897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "multibuffer": q_multibuffer,
         "ewma_clock": q_ewma_clock,
         "corpus_pipeline": q_corpus_pipeline,
         "repetition": q_repetition,
@@ -2362,6 +2402,10 @@ def oracle_sql() -> dict[str, str]:
                    g.min_n_tok, g.max_n_tok
             FROM g, mx
             WHERE g.bucket >= mx.mb - to_minutes(10 * 1440 + 30 - 1)
+        """,
+        # streaming dedup replay == batch DISTINCT (payload determined by id)
+        "stream_dedup": """
+            SELECT DISTINCT event_id, user_id, event_type FROM events
         """,
         # session intervals (lag + running-sum replay) then a BETWEEN join;
         # counts must reproduce the sessionizer's n_events

@@ -404,3 +404,23 @@ def stream_ewma(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with watermark-bounded state
+    (dropDuplicatesWithinWatermark): the first arrival wins; a duplicate
+    arriving within the watermark of the kept row is dropped; state for a
+    key is evicted once the watermark passes it — the ingest-side dedup
+    for a continuously-arriving corpus, bounded-memory by construction
+    (unlike an unbounded dropDuplicates, whose state never expires).
+
+    Exactness contract: when every duplicate pair arrives within the
+    watermark window (always true for an availableNow replay of a finite
+    backlog), the kept set equals batch ``SELECT DISTINCT keys`` — which is
+    how the driver oracles it."""
+    return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

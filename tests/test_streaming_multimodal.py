@@ -299,3 +299,41 @@ def test_stream_ingest_sketch_measures(spark, tmp_path):
     for tier in ("1m", "1h", "1d"):
         assert srows(store.read_table(f"rollup_{tier}")) == srows(
             batch_tiers[tier]), tier
+
+
+def test_stream_dedup_equals_batch_distinct(spark, tmp_path):
+    """Doubled + scrambled backlog through watermarked streaming dedup ==
+    batch DISTINCT; state is watermark-bounded by construction."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    from pyg_timeseries_spark.streaming.stream_rollup import stream_dedup
+
+    pdf = pd.DataFrame(
+        {
+            "id": list(range(50)) * 3,  # every id three times
+            "ts": pd.date_range("2024-01-01", periods=150, freq="13s"),
+            "v": range(150),
+        }
+    )
+    src = str(tmp_path / "src")
+    raw = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).select("id", "ts")
+    raw.orderBy(F.md5(F.col("id").cast("string"))).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = stream_dedup(stream, ["id"], ts="ts", watermark="1 hour")
+    qname = "dd_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(r["id"] for r in spark.table(qname).select("id").collect())
+    assert got == sorted(range(50))
