@@ -1699,6 +1699,27 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_fwd(spark, sf_dir):
+    """Forward as-of join with a tight tolerance (operators/align.py,
+    direction='forward', tolerance_s=600): each series row picks up the
+    EARLIEST 5-minute resample row at-or-after its timestamp, voided past
+    10 minutes.  Oracle: DuckDB native ASOF on negated integer
+    microseconds (largest -t <= -ts == smallest t >= ts)."""
+    from pyg_timeseries_spark.operators.align import asof_join
+    from pyg_timeseries_spark.operators.resample import resample
+
+    s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
+    r5 = resample(s, 300.0).select(
+        "key", F.col("bucket").alias("ts"), F.col("mean_v").alias("px")
+    )
+    out = asof_join(s, r5, tolerance_s=600.0, direction="forward")
+    return out.select(
+        "key", "ts", R6(F.col("v")).alias("v"),
+        F.col("__asof_ts").alias("asof_ts"),
+        R6(F.col("px_r")).alias("px_r"),
+    )
+
+
 def _ntz_us(c):
     from pyg_timeseries_spark.functions.timeutil import ntz_epoch_us
 
@@ -1897,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "asof_fwd": q_asof_fwd,
         "multibuffer": q_multibuffer,
         "ewma_clock": q_ewma_clock,
         "corpus_pipeline": q_corpus_pipeline,
@@ -2716,6 +2738,28 @@ FROM rec
             FROM c GROUP BY 1
         """,
         # DuckDB native ASOF JOIN vs the engine's union+window rendition
+        "asof_fwd": f"""
+            WITH l AS (SELECT key, ts, v, -epoch_us(ts) AS nt
+                       FROM ({VALID_SQL})),
+            r AS (
+              SELECT key,
+                     make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS rts,
+                     avg(v) AS px
+              FROM ({VALID_SQL})
+              GROUP BY 1, 2
+            ), r2 AS (
+              SELECT key, rts, px, -epoch_us(rts) AS nt FROM r
+            )
+            SELECT l.key, l.ts,
+                   CAST(floor(l.v * 1000000 + 0.4997) AS BIGINT) AS v,
+                   CASE WHEN r2.rts - l.ts <= INTERVAL 600 SECONDS
+                        THEN r2.rts END AS asof_ts,
+                   CASE WHEN r2.rts - l.ts <= INTERVAL 600 SECONDS
+                        THEN CAST(floor(r2.px * 1000000 + 0.4997) AS BIGINT)
+                        END AS px_r
+            FROM l ASOF LEFT JOIN r2
+              ON l.key = r2.key AND l.nt >= r2.nt
+        """,
         "asof_join": f"""
             WITH l AS (SELECT key, ts, v FROM ({VALID_SQL})),
             r AS (
