@@ -205,7 +205,8 @@ def main():
         "rolling_median", "dedup_exact", "token_count", "quality", "ann_topk",
         "ivf_topk", "riskparity_diag", "pack_concat", "minhash_dedup",
         "sessionize", "resample_5m", "cms_tokens", "repetition",
-        "asof_join",
+        "asof_join", "interval_join", "rollup_gsets", "boilerplate",
+        "source_mix",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()
