@@ -43,41 +43,52 @@ def contention_probe() -> dict:
     load (BENCH/BASELINE.md addendum 2); a run whose probe deviates >20%
     from the quiet band is flagged "contended" so slow numbers are
     attributable without re-adjudication."""
+    import hashlib
     import threading
 
-    import numpy as np
-
-    a = np.random.default_rng(0).random((800, 800))
+    # sha256 over fixed bytes: single-threaded per worker (no BLAS thread
+    # pool underneath, unlike a numpy matmul), so the only variance source
+    # is ambient CPU contention — which is what the probe measures
+    blob = bytes(range(256)) * 4096  # 1 MiB
 
     def work():
-        x = a
-        for _ in range(12):
-            x = x @ a
-            x = x / np.abs(x).max()
+        h = b""
+        for _ in range(300):
+            h = hashlib.sha256(blob + h).digest()
 
-    t0 = time.time()
-    threads = [threading.Thread(target=work) for _ in range(2)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    probe_sec = round(time.time() - t0, 3)
+    def run_level(n):
+        t0 = time.time()
+        threads = [threading.Thread(target=work) for _ in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return round(time.time() - t0, 3)
 
-    hist_path = os.path.join(ROOT, "BENCH", "probe_history.json")
+    # 2 threads senses per-core speed; 16 senses whole-host saturation —
+    # this VM can be quiet at 2 threads while a 32-thread Spark stage
+    # still runs ~1.5x slow (observed r4), so both dimensions are needed
+    probe_sec = run_level(2)
+    probe16_sec = run_level(16)
+
+    hist_path = os.path.join(ROOT, "BENCH", "probe_history_v2.json")
     try:
         hist = json.load(open(hist_path))
     except Exception:
         hist = []
     band = min((h["probe_sec"] for h in hist[-20:]), default=probe_sec)
-    contended = probe_sec > 1.2 * band
+    band16 = min((h.get("probe16_sec", probe16_sec) for h in hist[-20:]),
+                 default=probe16_sec)
+    contended = probe_sec > 1.2 * band or probe16_sec > 1.2 * band16
     hist.append({"ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                 "probe_sec": probe_sec})
+                 "probe_sec": probe_sec, "probe16_sec": probe16_sec})
     try:
         os.makedirs(os.path.dirname(hist_path), exist_ok=True)
         json.dump(hist[-200:], open(hist_path, "w"))
     except OSError:
         pass
-    return {"probe_sec": probe_sec, "probe_band": round(band, 3),
+    return {"probe_sec": probe_sec, "probe16_sec": probe16_sec,
+            "probe_band": round(band, 3), "probe16_band": round(band16, 3),
             "contended": contended}
 
 
