@@ -1524,6 +1524,38 @@ def q_interval_join(spark, sf_dir):
     )
 
 
+def q_ingest_lineage(spark, sf_dir):
+    """Per-partition lineage metrics through the store's ingest path
+    (plans/checkpoint.py record_lineage — the north rule's "per-partition
+    lineage + row-count metrics"): two time-ordered batches ingest with
+    lineage on; the per-(batch, stage) row totals must replay from the
+    events table — raw = batch rows, commit_tier = the tier cells of the
+    batch's delta-touched day-partitions (disjoint day halves here, so
+    each commit covers exactly its half's cells)."""
+    import tempfile
+
+    from pyg_timeseries_spark.plans.checkpoint import RollupStore
+
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").alias("n_tok"),
+    )
+    base = tempfile.mkdtemp(prefix="lineage_")
+    store = RollupStore(base, spark)
+    split = F.lit("2024-01-16").cast("timestamp")
+    store.ingest(raw.filter(F.col("ts") < split), tokens=None,
+                 with_lineage=True)
+    store.ingest(raw.filter(F.col("ts") >= split), tokens=None,
+                 with_lineage=True)
+    lin = store.lineage().groupBy("batch_id", "stage").agg(
+        F.sum("rows").alias("rows")
+    )
+    out = spark.createDataFrame(lin.collect(), schema=lin.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_rollup_gsets(spark, sf_dir):
     """One-shot multi-tier rollup via GROUPING SETS (plans/rollup.py
     rollup_grouping_sets, SURVEY.md §2.8): all of 1m/1h/1d from a single
@@ -1907,7 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "rollup_sketches": q_rollup_sketches,
         "asof_join": q_asof_join,
-        "resample_5m": q_resample_5m,
+        "ingest_lineage": q_ingest_lineage,
         "interval_join": q_interval_join,
         "stream_dedup": q_stream_dedup,
         "ivf_topk": q_ivf_topk,
@@ -1918,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "resample_5m": q_resample_5m,
         "asof_fwd": q_asof_fwd,
         "multibuffer": q_multibuffer,
         "ewma_clock": q_ewma_clock,
@@ -2424,6 +2457,38 @@ def oracle_sql() -> dict[str, str]:
                    g.min_n_tok, g.max_n_tok
             FROM g, mx
             WHERE g.bucket >= mx.mb - to_minutes(10 * 1440 + 30 - 1)
+        """,
+        # lineage replay: raw = batch rows; commit_tier = tier cells of the
+        # batch's (disjoint) day half
+        "ingest_lineage": """
+            WITH b AS (
+              SELECT event_type AS source, ts, value,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END
+                         AS batch_id
+              FROM events
+            ), raw_c AS (
+              SELECT batch_id, 'raw' AS stage, CAST(count(*) AS BIGINT) AS rows
+              FROM b GROUP BY 1
+            ), m AS (
+              SELECT batch_id, 'commit_1m' AS stage,
+                     CAST(count(DISTINCT (source, date_trunc('minute', ts)))
+                          AS BIGINT) AS rows
+              FROM b GROUP BY 1
+            ), h AS (
+              SELECT batch_id, 'commit_1h' AS stage,
+                     CAST(count(DISTINCT (source, date_trunc('hour', ts)))
+                          AS BIGINT) AS rows
+              FROM b GROUP BY 1
+            ), d AS (
+              SELECT batch_id, 'commit_1d' AS stage,
+                     CAST(count(DISTINCT (source, date_trunc('day', ts)))
+                          AS BIGINT) AS rows
+              FROM b GROUP BY 1
+            )
+            SELECT CAST(batch_id AS BIGINT) AS batch_id, stage, rows FROM raw_c
+            UNION ALL SELECT CAST(batch_id AS BIGINT), stage, rows FROM m
+            UNION ALL SELECT CAST(batch_id AS BIGINT), stage, rows FROM h
+            UNION ALL SELECT CAST(batch_id AS BIGINT), stage, rows FROM d
         """,
         # streaming dedup replay == batch DISTINCT (payload determined by id)
         "stream_dedup": """
