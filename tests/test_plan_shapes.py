@@ -172,3 +172,31 @@ def test_rollup_sketch_build_is_bounded(spark):
     assert plan.count("WindowGroupLimit") >= 4  # Partial+Final × (kmv, sample)
     assert "Partial" in plan.split("WindowGroupLimit", 1)[1] or \
         ", Partial" in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """The per-source rate table must broadcast; the corpus side must not
+    shuffle (no Exchange above its scan on the probe side of the join)."""
+    from pyg_timeseries_spark.textops.analysis import token_count_ws
+    from pyg_timeseries_spark.textops.corpus import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = mixture_sample(
+        token_count_ws(docs), {"src0": 0.5}, budget_tokens=1000,
+        token_col="n_tok_ws",
+    )
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    # exactly one Exchange: the tiny (source) aggregate feeding the
+    # broadcast; the corpus stream side stays map-only
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_boilerplate_wordcount_shape(spark):
+    """Doc-frequency aggregate must partially combine map-side (partial_
+    count before the exchange) — the standard wordcount shape."""
+    from pyg_timeseries_spark.textops.corpus import boilerplate_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(boilerplate_coverage(docs))
+    assert "partial_count" in plan
