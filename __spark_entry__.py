@@ -1556,6 +1556,22 @@ def q_ingest_lineage(spark, sf_dir):
     return out
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING (dedup/components.py): MinHash band candidates
+    (md5 family) verified at exact jaccard >= 0.3 become an undirected
+    graph; iterative min-label propagation (one shuffle per round,
+    localCheckpoint'd labels) yields per-doc component = smallest
+    transitively-reachable doc_id.  Oracle: the same band replay + a
+    recursive reachability CTE."""
+    from pyg_timeseries_spark.dedup.components import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    cand = ND.minhash_candidates(docs, n_hashes=16, bands=8, hash_fn="md5")
+    edges = cand.filter(F.col("jaccard") >= 0.3).select("id_a", "id_b")
+    cc = connected_components(edges, nodes=docs.select("doc_id"))
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_rollup_gsets(spark, sf_dir):
     """One-shot multi-tier rollup via GROUPING SETS (plans/rollup.py
     rollup_grouping_sets, SURVEY.md §2.8): all of 1m/1h/1d from a single
@@ -1943,13 +1959,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "stream_dedup": q_stream_dedup,
         "ivf_topk": q_ivf_topk,
-        "pack_greedy": q_pack_greedy,
+        "dedup_components": q_dedup_components,
         "retention_expire": q_retention_expire,
         "source_mix": q_source_mix,
         "boilerplate": q_boilerplate,
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "pack_greedy": q_pack_greedy,
         "resample_5m": q_resample_5m,
         "asof_fwd": q_asof_fwd,
         "multibuffer": q_multibuffer,
@@ -3527,6 +3544,45 @@ SELECT key, ts,
     + 0.5 * (coalesce(nxtv, 0) * pow((5.0/6.0), coalesce(nxtrn, rn + 1) - rn) + 0.0)
   END) * 1000000 + 0.4997) AS BIGINT) AS ef
 FROM m
+        """,
+        "dedup_components": """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+),
+sig AS (
+  SELECT id, list_transform(generate_series(0, 15),
+            p -> list_min(list_transform(s, x -> md5(x || '|' || p)))) AS hs
+  FROM sh
+),
+buckets AS (
+  SELECT id, b.band AS band, md5(hs[b.band*2+1] || ',' || hs[b.band*2+2]) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0,7)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM buckets a JOIN buckets bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.id < bb.id
+),
+j AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b
+  WHERE (CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+         THEN len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))
+         ELSE 0 END) >= 0.3
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM j
+  UNION SELECT id_b AS u, id_a AS v FROM j
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s2.u, r.lab FROM sym s2 JOIN reach r ON r.node = s2.v
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY 1
         """,
         "minhash_dedup": """
 WITH sh AS (

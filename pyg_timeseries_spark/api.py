@@ -92,6 +92,7 @@ from pyg_timeseries_spark.functions.sketches import (  # mergeable summaries
     bottomk_sample, bottomk_merge, bottomk_quantile,
 )
 from pyg_timeseries_spark.dedup.incremental import IncrementalDeduper
+from pyg_timeseries_spark.dedup.components import connected_components  # r4
 from pyg_timeseries_spark.operators.interval_join import interval_join  # r4
 from pyg_timeseries_spark.operators.rolling_pair import rolling_acf  # r4
 from pyg_timeseries_spark.plans.rollup import rollup_grouping_sets  # r4

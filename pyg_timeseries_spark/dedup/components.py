@@ -1,0 +1,86 @@
+"""Connected components over a near-duplicate candidate graph — the
+CLUSTERING view of dedup: every document in a component is a transitive
+near-dup of the component's representative (its smallest id).  Complements
+the greedy order-based drop rule (neardup.minhash_dedup, incremental
+store): the greedy rule answers "drop or keep, streaming"; components
+answer "which docs form one duplicate family" for reporting, canonical-doc
+election, and cluster-size-capped sampling.
+
+Algorithm: iterative min-label propagation (the simple special case of
+Kiveris et al.'s star contractions that suffices for shallow dedup
+clusters): every node starts labeled with itself; each round every node
+takes the min of its own and its neighbors' labels; fixpoint = min id of
+the connected component.  Each round is ONE shuffle (edge-label join +
+min-aggregate); rounds needed = component diameter, which for near-dup
+families is small (a cluster of rewrites of one document is a dense
+blob, diameter ~2).  Labels are localCheckpoint'ed per round so the plan
+does not grow with iterations, and the convergence test is a single count
+action per round — the standard Spark iterative-algorithm pattern
+(documented driver-side loop, NOT a per-row collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node, where component is the smallest
+    node id reachable through the undirected ``edges``.  ``nodes``
+    (optional, column ``node_col`` or its only column) adds isolated
+    nodes — each its own singleton component."""
+    sym = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    sym = (
+        sym.unionByName(
+            sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct()
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        labels = labels.unionByName(
+            nodes.select(F.col(nc).alias("node"))
+        ).distinct()
+    labels = labels.withColumn("lab", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(F.col("node").alias("v"),
+                              F.col("lab").alias("vlab")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            .select(
+                "node", "lab",
+                F.least(
+                    F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))
+                ).alias("new_lab"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("new_lab") != F.col("lab")).count()
+        labels = new_labels.select("node", F.col("new_lab").alias("lab"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+    sym.unpersist()
+    return labels.select("node", F.col("lab").alias("component"))
