@@ -1572,6 +1572,20 @@ def q_dedup_components(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_ts_quantile(spark, sf_dir):
+    """Exact per-key p10/p90 (operators/ts.py ts_quantile — linear
+    interpolation, one sort-based aggregate per key; DuckDB
+    quantile_cont is the same estimator)."""
+    from pyg_timeseries_spark.operators.ts import ts_quantile
+
+    s = _series(spark, sf_dir)
+    p10 = ts_quantile(s, 0.1, out="p10")
+    p90 = ts_quantile(s, 0.9, out="p90")
+    return p10.join(p90, "key").select(
+        "key", R6(F.col("p10")).alias("p10"), R6(F.col("p90")).alias("p90")
+    )
+
+
 def q_rollup_gsets(spark, sf_dir):
     """One-shot multi-tier rollup via GROUPING SETS (plans/rollup.py
     rollup_grouping_sets, SURVEY.md §2.8): all of 1m/1h/1d from a single
@@ -1967,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
         "pack_greedy": q_pack_greedy,
+        "ts_quantile": q_ts_quantile,
         "resample_5m": q_resample_5m,
         "asof_fwd": q_asof_fwd,
         "multibuffer": q_multibuffer,
@@ -3609,6 +3624,12 @@ SELECT p.id_a, p.id_b,
             THEN len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))
             ELSE 0 END) * 1000000 + 0.4997) AS BIGINT) AS jaccard
 FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b
+        """,
+        "ts_quantile": f"""
+            SELECT key,
+                   CAST(floor(quantile_cont(v, 0.1) * 1000000 + 0.4997) AS BIGINT) AS p10,
+                   CAST(floor(quantile_cont(v, 0.9) * 1000000 + 0.4997) AS BIGINT) AS p90
+            FROM ({VALID_SQL}) GROUP BY 1
         """,
         "ts_interval": f"""
             WITH gaps AS (

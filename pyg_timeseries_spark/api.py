@@ -29,7 +29,7 @@ from pyg_timeseries_spark.operators.expanding import (  # native
 )
 from pyg_timeseries_spark.operators.ts import (  # native (partial+final agg)
     ts_count, ts_sum, ts_mean, ts_rms, ts_std, ts_skew, ts_min, ts_max,
-    ts_median, ts_cor, ts_interval, ts_argmax, ts_argmin,
+    ts_median, ts_cor, ts_interval, ts_argmax, ts_argmin, ts_quantile,
 )
 from pyg_timeseries_spark.operators.ewm import (  # kernel
     ewma, ewmrms, ewmstd, ewmvar, ewmskew,

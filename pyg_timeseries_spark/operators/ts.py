@@ -81,6 +81,23 @@ def ts_median(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_median
     return df.groupBy(key).agg(F.expr(f"percentile({v}, 0.5)").alias(out))
 
 
+def ts_quantile(
+    df: DataFrame,
+    q: float,
+    key: str = KEY,
+    v: str = VAL,
+    out: str = "ts_quantile",
+) -> DataFrame:
+    """Exact per-key percentile, linear interpolation (generalizes
+    ts_median; same interpolation as np.nanquantile / SQL
+    percentile_cont).  Exact percentile aggregates sort per key — for an
+    approximate O(1)-memory alternative at 100 TB use percentile_approx
+    or the cascade's bottom-k sample quantiles (functions/sketches.py)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    return df.groupBy(key).agg(F.expr(f"percentile({v}, {q!r})").alias(out))
+
+
 def ts_agg(
     df: DataFrame,
     measures: dict[str, str] | None = None,
