@@ -228,6 +228,22 @@ def q_ewma(spark, sf_dir):
     return _valid_only(s, "ewma")
 
 
+def q_ewma_segmented(spark, sf_dir):
+    """Skew/salting path as a driver row (plans/partitioning.py
+    run_segmented — the north rule's "salting + repartitionByRange for
+    skewed sources" made hard-signal): the stateful ewma_ runs over THREE
+    contiguous time segments with (data, state) chained segment-to-segment
+    (keys absent from a segment carry state forward).  Bit-identical to
+    the one-sweep EWMA, so the oracle is the same recursive replay as
+    `ewma` — MATCH proves the segment-chained execution exactly."""
+    from pyg_timeseries_spark.operators.ewm import ewma_
+    from pyg_timeseries_spark.plans.partitioning import run_segmented
+
+    s = _series(spark, sf_dir)
+    data, _state = run_segmented(s, ewma_, n_segments=3, n=10)
+    return _valid_only(data, "ewma")
+
+
 def q_ewmstd(spark, sf_dir):
     s = M.ewmstd(_series(spark, sf_dir), 10)
     return _valid_only(s, "ewmstd")
@@ -1968,7 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_replay": q_stream_ewma_replay,
         "dedup_incremental": q_dedup_incremental,
         "rollup_sketches": q_rollup_sketches,
-        "asof_join": q_asof_join,
+        "ewma_segmented": q_ewma_segmented,
         "ingest_lineage": q_ingest_lineage,
         "interval_join": q_interval_join,
         "stream_dedup": q_stream_dedup,
@@ -1980,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        "asof_join": q_asof_join,
         "pack_greedy": q_pack_greedy,
         "ts_quantile": q_ts_quantile,
         "resample_5m": q_resample_5m,
@@ -3364,6 +3381,21 @@ SELECT source, seq_id, off AS seq_pos_off, doc_id, n AS n_tok_ws FROM rec
             SELECT key, bucket,
                    CAST(floor((pow(close - lag(close) OVER (PARTITION BY key ORDER BY bucket), 2)) * 1000000 + 0.4997) AS BIGINT) AS r2
             FROM bars
+        """,
+        "ewma_segmented": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, v, rn, (1.0 - 10.0/11.0) AS t0, (1.0 - 10.0/11.0) * v AS t1
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         r.t0 * (10.0/11.0) + (1.0 - 10.0/11.0), r.t1 * (10.0/11.0) + (1.0 - 10.0/11.0) * o.v
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) AS ewma FROM rec
         """,
         "ewma": f"""
 WITH RECURSIVE ordered AS (
