@@ -803,9 +803,7 @@ def q_dedup_incremental(spark, sf_dir):
     v1 = d.add_batch(docs.filter(F.col("doc_id") < 250))
     v2 = d.add_batch(docs.filter(F.col("doc_id") >= 250))
     res = v1.unionByName(v2).select("doc_id", "dropped", "reason")
-    out = spark.createDataFrame(res.collect(), schema=res.schema)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    return _materialize_and_remove(spark, res, base)
 
 
 def q_corpus_pipeline(spark, sf_dir):
@@ -863,6 +861,45 @@ def q_pack_greedy(spark, sf_dir):
     return pack_greedy(d, 256, key="source", doc="doc_id", n="n_tok_ws")
 
 
+def _materialize_and_remove(spark, df, base):
+    """Collect ``df`` to the driver, rebuild it as a local DataFrame with
+    the same schema, then remove the backing temp store — the ordering that
+    prevents both /tmp accumulation and read-after-delete."""
+    out = spark.createDataFrame(df.collect(), schema=df.schema)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def _run_stream_to_memory(spark, batch_df, build_query, prefix):
+    """Write ``batch_df`` as a single-file parquet backlog, replay it as a
+    file-source stream through ``build_query(stream)`` into a memory sink
+    (availableNow), and return the sink table.  awaitTermination returns
+    False on timeout (it does not raise) — reading the sink then would
+    compare a PARTIAL flush, so stop and fail instead."""
+    import tempfile
+    import uuid
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(base, "src")
+    batch_df.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = build_query(stream)
+    qname = prefix + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{prefix} stream did not finish within 600s")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname)
+
+
 def q_stream_ewma_replay(spark, sf_dir):
     """Out-of-order streaming EWM as a REAL Structured Streaming query
     (file source → applyInPandasWithState with event-time timeout → memory
@@ -873,42 +910,21 @@ def q_stream_ewma_replay(spark, sf_dir):
     recursive-CTE EWM over the same 1m sums with the same watermark cutoff
     — a value MATCH proves streaming == batch on finalized buckets
     (streaming/stream_rollup.py stream_ewma_ooo)."""
-    import tempfile
-    import uuid
-
     from pyg_timeseries_spark.streaming.stream_rollup import stream_ewma_ooo
 
     s = _series(spark, sf_dir).filter(F.col("v").isNotNull())
     raw = s.select("key", F.col("ts").cast("timestamp").alias("ts"), "v")
-    base = tempfile.mkdtemp(prefix="stream_replay_")
-    src = os.path.join(base, "src")
     # deterministic scramble: arrival order inside the batch is out-of-order
-    raw.orderBy(
+    scrambled = raw.orderBy(
         F.md5(F.concat_ws("|", "key", F.col("ts").cast("string")))
-    ).coalesce(1).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = stream_ewma_ooo(stream, 10, key="key", ts="ts", v="v",
-                          watermark="2 minutes")
-    qname = "ewma_replay_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
     )
-    finished = q.awaitTermination(600)
-    if not finished:
-        # awaitTermination returns False on timeout (it does not raise) —
-        # reading the memory sink now would compare a PARTIAL flush
-        q.stop()
-        raise RuntimeError("stream_ewma_replay did not finish within 600s")
-    # the memory sink holds the emitted rows in the session; the parquet
-    # copy and the checkpoint are no longer needed
-
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(qname).select(
+    sink = _run_stream_to_memory(
+        spark, scrambled,
+        lambda stream: stream_ewma_ooo(stream, 10, key="key", ts="ts",
+                                       v="v", watermark="2 minutes"),
+        "ewma_replay_",
+    )
+    return sink.select(
         "key", "bucket", R6(F.col("sum_v")).alias("sum_v"),
         R6(F.col("ewma")).alias("ewma"),
     )
@@ -921,9 +937,6 @@ def q_stream_dedup(spark, sf_dir):
     event_id with watermark-bounded dropDuplicatesWithinWatermark state;
     the kept set must equal batch DISTINCT — first-arrival-wins is
     deterministic here because event_id determines the payload."""
-    import tempfile
-    import uuid
-
     from pyg_timeseries_spark.streaming.stream_rollup import stream_dedup
 
     ev = load(spark, sf_dir, "events")
@@ -932,25 +945,13 @@ def q_stream_dedup(spark, sf_dir):
     doubled = raw.unionByName(raw).orderBy(
         F.md5(F.concat_ws("|", "event_id", F.col("ts").cast("string")))
     )
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
-    src = os.path.join(base, "src")
-    doubled.coalesce(1).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = stream_dedup(stream, ["event_id"], ts="ts", watermark="1 hour")
-    qname = "dedup_replay_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    sink = _run_stream_to_memory(
+        spark, doubled,
+        lambda stream: stream_dedup(stream, ["event_id"], ts="ts",
+                                    watermark="1 hour"),
+        "dedup_replay_",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_dedup did not finish within 600s")
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(qname).select("event_id", "user_id", "event_type")
+    return sink.select("event_id", "user_id", "event_type")
 
 
 def q_stream_sessions(spark, sf_dir):
@@ -962,9 +963,6 @@ def q_stream_sessions(spark, sf_dir):
     are never emitted.  Oracle = the lag/cumsum session replay with
     end = last_event + gap (Spark's window end convention).  MATCH ==
     streaming session assembly ≡ batch (operators/sessions.py)."""
-    import tempfile
-    import uuid
-
     from pyg_timeseries_spark.operators.sessions import stream_session_counts
 
     ev = load(spark, sf_dir, "events")
@@ -972,29 +970,18 @@ def q_stream_sessions(spark, sf_dir):
     sentinel = raw.select("user_id").distinct().withColumn(
         "ts", F.lit("2030-01-01 00:00:00").cast("timestamp")
     )
-    base = tempfile.mkdtemp(prefix="stream_sessions_")
-    src = os.path.join(base, "src")
-    raw.unionByName(sentinel).orderBy(
+    scrambled = raw.unionByName(sentinel).orderBy(
         F.md5(F.concat_ws("|", "user_id", F.col("ts").cast("string")))
-    ).coalesce(1).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = stream_session_counts(
-        stream, key="user_id", ts="ts", gap="30 minutes", watermark="1 hour"
     )
-    qname = "sessions_replay_" + uuid.uuid4().hex[:8]
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory").queryName(qname)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
+    sink = _run_stream_to_memory(
+        spark, scrambled,
+        lambda stream: stream_session_counts(
+            stream, key="user_id", ts="ts", gap="30 minutes",
+            watermark="1 hour"
+        ),
+        "sessions_replay_",
     )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("stream_sessions did not finish within 600s")
-    shutil.rmtree(base, ignore_errors=True)
-    return spark.table(qname).select(
+    return sink.select(
         "user_id", "session_start", "session_end", "n_events"
     )
 
@@ -1425,11 +1412,7 @@ def q_rollup_sketches(spark, sf_dir):
         R6(F.col("q50")).alias("q50"),
         R6(F.col("q90")).alias("q90"),
     )
-    # materialize before removing the backing store (repeated driver/bench
-    # runs must not accumulate sketchstore_* dirs in /tmp)
-    out = spark.createDataFrame(res.collect(), schema=res.schema)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    return _materialize_and_remove(spark, res, base)
 
 
 def q_retention_expire(spark, sf_dir):
@@ -1463,9 +1446,7 @@ def q_retention_expire(spark, sf_dir):
     res = store.read_table("rollup_1m").select(
         "source", "bucket", "cnt", "sum_n_tok", "min_n_tok", "max_n_tok"
     )
-    out = spark.createDataFrame(res.collect(), schema=res.schema)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    return _materialize_and_remove(spark, res, base)
 
 
 def q_source_mix(spark, sf_dir):
@@ -1567,9 +1548,7 @@ def q_ingest_lineage(spark, sf_dir):
     lin = store.lineage().groupBy("batch_id", "stage").agg(
         F.sum("rows").alias("rows")
     )
-    out = spark.createDataFrame(lin.collect(), schema=lin.schema)
-    shutil.rmtree(base, ignore_errors=True)
-    return out
+    return _materialize_and_remove(spark, lin, base)
 
 
 def q_dedup_components(spark, sf_dir):
@@ -1995,7 +1974,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
-        # -- 51+: stamped green in r2/r3; all value-oracled ------------------
+        # -- 51+: all value-oracled; stamped green in r2/r3 except
+        # ts_quantile and asof_fwd (added past the cap late in round 4 —
+        # rotate them into the top-50 next round) -------------------------
         "asof_join": q_asof_join,
         "pack_greedy": q_pack_greedy,
         "ts_quantile": q_ts_quantile,

@@ -39,7 +39,7 @@ def _sf_tag(sf_dir: str) -> str:
 def contention_probe() -> dict:
     """Quiet-window self-labeling: time a fixed 2-thread numpy workload and
     compare against the rolling quiet band (best recent probe) recorded in
-    BENCH/probe_history.json.  This VM's wall-times drift ±50% with ambient
+    BENCH/probe_history_v2.json.  This VM's wall-times drift ±50% with ambient
     load (BENCH/BASELINE.md addendum 2); a run whose probe deviates >20%
     from the quiet band is flagged "contended" so slow numbers are
     attributable without re-adjudication."""

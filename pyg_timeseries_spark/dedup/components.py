@@ -54,6 +54,13 @@ def connected_components(
         ).distinct()
     labels = labels.withColumn("lab", F.col("node")).localCheckpoint()
 
+    try:
+        return _propagate(sym, labels, max_iter)
+    finally:
+        sym.unpersist()
+
+
+def _propagate(sym, labels, max_iter):
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -82,5 +89,4 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter)"
         )
-    sym.unpersist()
     return labels.select("node", F.col("lab").alias("component"))

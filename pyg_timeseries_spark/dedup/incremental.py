@@ -133,7 +133,9 @@ class IncrementalDeduper:
         return out.withColumn("part", self._epart(F.col("bucket")))
 
     def _has_store(self) -> bool:
-        return os.path.exists(os.path.join(self._bucket_dir, "_SUCCESS"))
+        # gate on exact/_SUCCESS — the LAST table add_batch commits — so a
+        # half-written first batch reads as "no store yet" for both tables
+        return os.path.exists(os.path.join(self._exact_dir, "_SUCCESS"))
 
     def store_exact(self, eparts: list[int] | None = None) -> DataFrame | None:
         """The exact-hash table, pruned to ``eparts`` (partition filter —
@@ -224,8 +226,15 @@ class IncrementalDeduper:
         )
         out = out.persist()
         out.count()  # materialize the verdicts BEFORE the store grows
-        eb.write.mode("append").partitionBy("epart").parquet(self._exact_dir)
+        # Commit order: buckets first, exact last.  The two appends are not
+        # atomic; the recovery contract is RETRY THE FAILED BATCH — appends
+        # are verdict-idempotent (the exact layer is a semi-join and the
+        # near layer dedups candidate pairs, so duplicate store rows from a
+        # retried batch change nothing).  An abandoned half-written batch
+        # leaves bucket rows whose extra candidate pairs are still
+        # signature-verified; only genuinely-near docs can be affected.
         bb.write.mode("append").partitionBy("part").parquet(self._bucket_dir)
+        eb.write.mode("append").partitionBy("epart").parquet(self._exact_dir)
         sig_b.unpersist()
         return out
 

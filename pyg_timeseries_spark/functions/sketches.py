@@ -209,12 +209,19 @@ def cms_merge(
     merged = _dense_grid(summed, keys, depth * width, col)
     # a key group whose merged grid is entirely zero has no surviving
     # exploded rows — join the distinct keys back so it yields a zero grid
-    # instead of silently disappearing from the output
+    # instead of silently disappearing.  NULL-SAFE equality: a NULL key
+    # component must match its own merged row, not fall through to the
+    # zero grid.
     zero = F.array_repeat(F.lit(0).cast("long"), depth * width)
-    return (
-        df.select(*keys).distinct()
-        .join(merged, keys, "left")
-        .select(*keys, F.coalesce(F.col(col), zero).alias(col))
+    left = df.select(*keys).distinct().alias("__l")
+    right = merged.alias("__r")
+    cond = None
+    for k in keys:
+        c = F.col(f"__l.{k}").eqNullSafe(F.col(f"__r.{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(right, cond, "left").select(
+        *[F.col(f"__l.{k}").alias(k) for k in keys],
+        F.coalesce(F.col(f"__r.{col}"), zero).alias(col),
     )
 
 

@@ -12,8 +12,13 @@ scales with points + intervals × (interval_width / bucket_s + 1), so pick
 ``bucket_s`` near the typical interval width.  No cartesian, no BNLJ (plan
 asserted in tests).
 
-Bin arithmetic is integer µs via functions/timeutil.py (NTZ-safe: no
-session-timezone routing, no double rounding at bin edges).
+Bin values come from floor(epoch-µs / width): epoch-µs via
+functions/timeutil.py (NTZ-safe, no session-timezone routing), and the
+binning map is MONOTONE, so containment can never straddle a bin — a
+point's bin always lies within its interval's exploded bin range.  (The
+float division is exact for |epoch µs| < 2^53 ≈ year 2255; and even past
+that, monotonicity keeps the join correct.)  Inverted rows
+(start > end) contain nothing and are dropped before the explode.
 
 Reference scope note: the reference engine has no two-table joins at all
 (its only "join" is index alignment — SURVEY.md §2.8); this operator extends
@@ -71,7 +76,7 @@ def interval_join(
         F.col(key).alias(key), F.col(ts).alias(ts), *pcols,
         F.floor(p_us(F.col(ts)) / w_us).alias("__bin"),
     )
-    i = intervals.select(
+    i = intervals.filter(F.col(start) <= F.col(end)).select(
         F.col(key).alias(key), F.col(start).alias(start),
         F.col(end).alias(end), *icols,
         F.explode(

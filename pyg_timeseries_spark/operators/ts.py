@@ -93,6 +93,7 @@ def ts_quantile(
     percentile_cont).  Exact percentile aggregates sort per key — for an
     approximate O(1)-memory alternative at 100 TB use percentile_approx
     or the cascade's bottom-k sample quantiles (functions/sketches.py)."""
+    q = float(q)  # np.float64/Decimal reprs are not valid SQL literals
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"q must be in [0, 1], got {q}")
     return df.groupBy(key).agg(F.expr(f"percentile({v}, {q!r})").alias(out))

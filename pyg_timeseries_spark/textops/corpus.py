@@ -169,8 +169,6 @@ def mixture_sample(
     corpus + a coin map — no corpus shuffle.  Rates quantize to integer
     parts-per-million (floor), matching the coin's [0, 1e6) grid, so the
     keep decision is an integer compare reproducible across engines."""
-    from pyspark.sql import functions as F  # noqa: F811 — local alias
-
     totals = docs.groupBy(source).agg(
         F.sum(F.col(token_col).cast("long")).alias("__T")
     )
@@ -186,9 +184,7 @@ def mixture_sample(
             ) * 1_000_000
         ).cast("long").alias("__rate_ppm"),
     )
-    from pyspark.sql.functions import broadcast
-
-    return docs.join(broadcast(rates), source, "left").withColumn(
+    return docs.join(F.broadcast(rates), source, "left").withColumn(
         "keep", F.coalesce(_coin(id_col, seed) < F.col("__rate_ppm"), F.lit(False))
     )
 

@@ -367,3 +367,19 @@ def test_cms_merge_preserves_all_zero_groups(spark):
     out = {r["k"]: list(r["cms"]) for r in cms_merge(df, ["k"], depth, width).collect()}
     assert out["busy"] == grid
     assert out["empty"] == zero
+
+
+def test_cms_merge_null_key_group_keeps_counts(spark):
+    """NULL-key groups must keep their real merged counts (null-safe
+    restoration join), not get zeroed."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.functions.sketches import cms_merge
+
+    depth, width = 2, 4
+    grid = [1, 0, 0, 0, 0, 2, 0, 0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [None, "x"], "cms": [grid, grid]})
+    )
+    out = {r["k"]: list(r["cms"]) for r in cms_merge(df, ["k"], depth, width).collect()}
+    assert out[None] == grid and out["x"] == grid
