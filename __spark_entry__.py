@@ -1581,6 +1581,21 @@ def q_ts_quantile(spark, sf_dir):
     )
 
 
+def q_twap_5m(spark, sf_dir):
+    """Time-weighted 5-minute average (operators/resample.py
+    twap_resample — the TimescaleDB time_weight analog): each valid
+    observation holds until the next one in its bucket (last holds to
+    bucket end), weights in exact integer microseconds; robust to
+    irregular sampling where a plain mean over-weights bursts."""
+    from pyg_timeseries_spark.operators.resample import twap_resample
+
+    s = _series(spark, sf_dir)
+    out = twap_resample(s, 300.0)
+    return out.select(
+        "key", "bucket", "cnt", R6(F.col("twap")).alias("twap"), "held_us"
+    )
+
+
 def q_rollup_gsets(spark, sf_dir):
     """One-shot multi-tier rollup via GROUPING SETS (plans/rollup.py
     rollup_grouping_sets, SURVEY.md §2.8): all of 1m/1h/1d from a single
@@ -1967,7 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_lineage": q_ingest_lineage,
         "interval_join": q_interval_join,
         "stream_dedup": q_stream_dedup,
-        "ivf_topk": q_ivf_topk,
+        "twap_5m": q_twap_5m,
         "dedup_components": q_dedup_components,
         "retention_expire": q_retention_expire,
         "source_mix": q_source_mix,
@@ -1978,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ts_quantile and asof_fwd (added past the cap late in round 4 —
         # rotate them into the top-50 next round) -------------------------
         "asof_join": q_asof_join,
+        "ivf_topk": q_ivf_topk,
         "pack_greedy": q_pack_greedy,
         "ts_quantile": q_ts_quantile,
         "resample_5m": q_resample_5m,
@@ -2618,6 +2634,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS boiler_frac
             FROM dsh d LEFT JOIN b ON d.s = b.s
             GROUP BY 1
+        """,
+        # within-bucket LOCF TWAP replay: lead clipped to bucket end,
+        # exact integer-us weights
+        "twap_5m": f"""
+            WITH s AS ({VALID_SQL}),
+            b AS (
+              SELECT key, ts, v, epoch_us(ts) AS us,
+                     epoch_us(ts) - epoch_us(ts) % 300000000 AS b_us
+              FROM s
+            ), d AS (
+              SELECT key, make_timestamp(b_us) AS bucket, v,
+                     least(coalesce(lead(us) OVER (PARTITION BY key
+                                                   ORDER BY us, v),
+                                    b_us + 300000000),
+                           b_us + 300000000) - us AS dt
+              FROM b
+            )
+            SELECT key, bucket, count(v) AS cnt,
+                   CAST(floor((sum(v * dt)
+                        / (CASE WHEN sum(dt) > 0 THEN sum(dt) END))
+                        * 1000000 + 0.4997) AS BIGINT) AS twap,
+                   CAST(sum(dt) AS BIGINT) AS held_us
+            FROM d GROUP BY 1, 2
         """,
         # integer-microsecond bucket floor (epoch_us % width), like the engine
         "resample_5m": f"""

@@ -73,7 +73,7 @@ from pyg_timeseries_spark.operators.sessions import (
     gap_stats,
 )
 from pyg_timeseries_spark.operators.resample import (
-    time_bucket_col, resample, ohlc_resample,
+    time_bucket_col, resample, ohlc_resample, twap_resample,
 )
 from pyg_timeseries_spark.operators.rolling_pair import (
     rolling_cor, rolling_beta, rolling_zscore,

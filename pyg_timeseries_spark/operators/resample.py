@@ -92,3 +92,56 @@ def ohlc_resample(
             F.count(c).alias("cnt"),
         )
     )
+
+
+def twap_resample(
+    df: DataFrame,
+    width_s: float,
+    key: str = "key",
+    ts: str = "ts",
+    v: str = "v",
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) — the TimescaleDB
+    ``time_weight('locf', ...)`` analog, within-bucket variant: each
+    observation's value holds from its own timestamp until the next
+    observation in the same bucket (the last one holds until bucket
+    end), and the bucket's TWAP is Σ(v·dt)/Σ(dt) in exact integer-µs
+    weights.  A bucket whose single observation sits exactly on the
+    bucket end gets dt 0 and a NULL twap (no holding time).  Unlike
+    ``resample``'s plain mean this is robust to irregular sampling — a
+    burst of readings no longer dominates the bucket.
+
+    Plan: one per-key window (lead) + one partial+final hash aggregate —
+    same single-exchange class as resample.  Valid rows only (NULL v
+    rows neither hold value nor clip the previous observation)."""
+    from pyspark.sql import Window
+
+    from pyg_timeseries_spark.functions.timeutil import py_epoch_us, ts_us
+
+    w_us = int(round(width_s * 1_000_000))
+    valid = df.filter(F.col(v).isNotNull())
+    us = ts_us(valid, ts)
+    rel = us - F.lit(py_epoch_us(_EPOCH))
+    bucket_end_us = us - F.pmod(rel, F.lit(w_us)) + F.lit(w_us)
+    p = valid.select(
+        F.col(key).alias(key),
+        time_bucket_col(valid, ts, width_s).alias("bucket"),
+        F.col(v).alias(v),
+        us.alias("__us"),
+        bucket_end_us.alias("__end_us"),
+    ).withColumn(
+        "__dt",
+        F.least(
+            # v tiebreaks duplicate timestamps deterministically
+            F.coalesce(F.lead("__us").over(
+                Window.partitionBy(key).orderBy("__us", v)
+            ), F.col("__end_us")),
+            F.col("__end_us"),
+        ) - F.col("__us"),
+    )
+    return p.groupBy(key, "bucket").agg(
+        F.count(v).alias("cnt"),
+        (F.sum(F.col(v) * F.col("__dt"))
+         / F.when(F.sum("__dt") > 0, F.sum("__dt"))).alias("twap"),
+        F.sum("__dt").alias("held_us"),
+    )

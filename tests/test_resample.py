@@ -127,3 +127,34 @@ def test_resample_single_exchange(spark):
     plan = resample(df, 300.0)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_twap_weights_by_holding_time(spark):
+    """One bucket, two observations: v=10 held 4 minutes, v=20 held 1
+    minute => twap 12.0 (a plain mean would say 15)."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.operators.resample import twap_resample
+
+    pdf = pd.DataFrame(
+        {
+            "key": ["a", "a"],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:04:00"]),
+            "v": [10.0, 20.0],
+        }
+    )
+    out = twap_resample(spark.createDataFrame(pdf), 300.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["cnt"] == 2 and r["held_us"] == 300_000_000
+    assert abs(r["twap"] - 12.0) < 1e-12
+
+
+def test_twap_constant_series_is_constant(spark, series_df):
+    from pyg_timeseries_spark.operators.resample import twap_resample
+    from pyspark.sql import functions as F
+
+    const = series_df.withColumn("v", F.lit(7.5))
+    out = twap_resample(const, 600.0)
+    vals = [r["twap"] for r in out.collect()]
+    assert vals and all(abs(x - 7.5) < 1e-12 for x in vals)
