@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
 
 US_DAY = 86_400_000_000
-_EPOCH = "1970-01-01 00:00:00"
 
 
 def ntz_epoch_us(col: Column) -> Column:
