@@ -100,6 +100,9 @@ from pyg_timeseries_spark.streaming.stream_rollup import stream_dedup  # r4
 from pyg_timeseries_spark.textops.corpus import (  # r4
     boilerplate_coverage, mixture_sample,
 )
+from pyg_timeseries_spark.textops.lm import (  # r4
+    char_bigram_counts, perplexity_score,
+)
 from pyg_timeseries_spark.kernels.multibuffer_numpy import (
     beta_correlation_matrix, near_correlation_matrix,
 )

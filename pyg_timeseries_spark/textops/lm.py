@@ -1,0 +1,100 @@
+"""Character-bigram language-model scoring — the lightweight stand-in for
+CCNet-style LM-perplexity quality filtering (Wenzek et al. 2020 score
+documents with a KenLM 5-gram; the cheap in-engine analog is an add-k
+char bigram model, which already separates fluent text from
+gibberish/boilerplate and needs no external model artifact).
+
+Everything is two corpus passes of plain column expressions:
+
+* ``char_bigram_counts`` — one wordcount-shaped aggregate over the
+  corpus's 2-char windows (map-side partial combine; bigram vocabulary is
+  tiny — at most |charset|², parquet/broadcast friendly).
+* ``perplexity_score`` — per document, the add-k smoothed cross-entropy
+  -mean ln P(c_i | c_{i-1}); the model table broadcasts onto the doc
+  bigram explode, so the corpus text never shuffles.  Lower = more like
+  the training corpus; filter the high tail as low-quality.
+
+Unseen bigrams fall back to the smoothed floor k / (c(prev)+k·V), and an
+unseen context to the uniform 1/V, so scoring a NEW corpus against a
+trained model is well-defined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bigrams(text_col):
+    """2-char windows of lower(trim(text)) as an array<string>.  The
+    normalized text is _let-bound so the lower/trim evaluates once, not
+    once per window position (dedup/neardup.py's lambda-scope trap)."""
+    from pyg_timeseries_spark.dedup.neardup import _let
+
+    return _let(
+        F.lower(F.trim(text_col)),
+        lambda t: F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 1, F.lit(1))),
+            lambda i: t.substr(i, F.lit(2)),
+        ),
+    )
+
+
+def char_bigram_counts(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(prev, cur, n) corpus-wide character-bigram counts."""
+    bg = docs.select(F.explode(_bigrams(F.col(text))).alias("bg")).filter(
+        F.length("bg") == 2
+    )
+    return (
+        bg.select(F.substring("bg", 1, 1).alias("prev"),
+                  F.substring("bg", 2, 1).alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def perplexity_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: float = 0.5,
+    out: str = "xent",
+) -> DataFrame:
+    """Per document: (id, n_bigrams, xent) where xent is the add-``k``
+    smoothed bigram cross-entropy -mean ln P(cur|prev) under ``model``
+    (a char_bigram_counts frame).  Perplexity = exp(xent)."""
+    v = model.select("cur").distinct().count()  # charset size (small)
+    ctx = model.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    probs = model.join(ctx, "prev").select(
+        "prev", "cur",
+        ((F.col("n") + F.lit(k))
+         / (F.col("n_prev") + F.lit(k * v))).alias("p"),
+    )
+    floor_ctx = ctx.select(
+        "prev", (F.lit(k) / (F.col("n_prev") + F.lit(k * v))).alias("p_floor")
+    )
+    bg = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_bigrams(F.col(text))).alias("bg"),
+    ).filter(F.length("bg") == 2).select(
+        "id",
+        F.substring("bg", 1, 1).alias("prev"),
+        F.substring("bg", 2, 1).alias("cur"),
+    )
+    scored = (
+        bg.join(F.broadcast(probs), ["prev", "cur"], "left")
+        .join(F.broadcast(floor_ctx), "prev", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.col("p"),           # seen bigram
+                F.col("p_floor"),     # seen context, unseen continuation
+                F.lit(1.0 / v),       # unseen context: uniform
+            ).alias("__p"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.avg(F.log("__p"))).alias(out),
+    ).select(F.col("id").alias(id_col), "n_bigrams", out)

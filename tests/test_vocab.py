@@ -107,3 +107,32 @@ def test_sample_fixed_n_exact_size_and_nesting(spark):
     assert ids10 == {r["doc_id"] for r in sample_fixed_n(docs, 10, seed=3).collect()}
     # different seed -> different sample (overwhelmingly)
     assert ids10 != {r["doc_id"] for r in sample_fixed_n(docs, 10, seed=4).collect()}
+
+
+def test_lm_xent_separates_gibberish(spark):
+    """Fluent-corpus docs must score lower cross-entropy than a gibberish
+    doc under a model trained on the fluent corpus; probabilities are a
+    proper distribution (xent > 0); unseen-context fallback works."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.textops.lm import (
+        char_bigram_counts, perplexity_score,
+    )
+
+    fluent = [
+        (i, "the quick brown fox jumps over the lazy dog again and again")
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(fluent, columns=["doc_id", "text"])
+    )
+    model = char_bigram_counts(docs)
+    test = spark.createDataFrame(
+        pd.DataFrame(
+            fluent[:1] + [(99, "zqxj vw kk qq zz xx jj ww qzqzqz xjxjxj")],
+            columns=["doc_id", "text"],
+        )
+    )
+    out = {r["doc_id"]: r["xent"] for r in
+           perplexity_score(test, model).collect()}
+    assert 0 < out[0] < out[99]
