@@ -217,7 +217,7 @@ def main():
         "ivf_topk", "riskparity_diag", "pack_concat", "minhash_dedup",
         "sessionize", "resample_5m", "cms_tokens", "repetition",
         "asof_join", "interval_join", "rollup_gsets", "boilerplate",
-        "source_mix",
+        "source_mix", "lm_xent", "twap_5m", "dedup_components",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()
