@@ -799,7 +799,10 @@ def q_dedup_incremental(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="incdedup_")
-    d = IncrementalDeduper(base, spark, hash_fn="md5")
+    # n_parts right-sized for the tiny sf store (sizing rule in
+    # dedup/incremental.py: P ≳ bands × batch_docs / touch_fraction only
+    # pays off when the store ≫ batch; production default is 1024)
+    d = IncrementalDeduper(base, spark, hash_fn="md5", n_parts=32)
     v1 = d.add_batch(docs.filter(F.col("doc_id") < 250))
     v2 = d.add_batch(docs.filter(F.col("doc_id") >= 250))
     res = v1.unionByName(v2).select("doc_id", "dropped", "reason")
@@ -1569,14 +1572,14 @@ def q_dedup_components(spark, sf_dir):
 
 def q_ts_quantile(spark, sf_dir):
     """Exact per-key p10/p90 (operators/ts.py ts_quantile — linear
-    interpolation, one sort-based aggregate per key; DuckDB
-    quantile_cont is the same estimator)."""
+    interpolation; DuckDB quantile_cont is the same estimator).  Both
+    percentiles come from ONE percentile(v, array(0.1, 0.9)) aggregate —
+    one scan + one per-key sort, not two groupBys joined on key."""
     from pyg_timeseries_spark.operators.ts import ts_quantile
 
     s = _series(spark, sf_dir)
-    p10 = ts_quantile(s, 0.1, out="p10")
-    p90 = ts_quantile(s, 0.9, out="p90")
-    return p10.join(p90, "key").select(
+    both = ts_quantile(s, [0.1, 0.9], out=["p10", "p90"])
+    return both.select(
         "key", R6(F.col("p10")).alias("p10"), R6(F.col("p90")).alias("p90")
     )
 

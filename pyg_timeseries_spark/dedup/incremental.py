@@ -20,9 +20,22 @@ O(store):
 
 A small batch against a 10B-doc store therefore touches at most
 min(P, bands × batch_docs) exact partitions + min(P, bands × batch_docs)
-bucket partitions instead of the whole store.  Appends create ≤P files per
-batch per table; compact with a periodic per-partition rewrite if batch
-count grows large.
+bucket partitions instead of the whole store.  **Sizing rule**: pruning
+only bites while P ≫ bands × batch_docs, i.e. pick
+``P ≳ bands × typical_batch_docs / target_touch_fraction`` (default
+P=2048 keeps a 10-doc batch under 4% of store partitions; a production
+store fed 1e4-doc batches wants P in the 1e5 range — P only costs one
+driver-side list of ≤P ints per batch, so err large).  Appends create ≤P
+files per batch per table; run :meth:`compact` periodically to rewrite
+each partition into one file and purge uncommitted orphans.
+
+Crash safety (round 5): the two appends are not atomic, so each batch
+writes its rows tagged with a fresh batch token and the token is recorded
+in a store-level manifest (atomic rename) only AFTER both appends
+succeed.  Reads filter to committed tokens — a crash between the bucket
+and exact appends leaves orphan rows that are invisible forever (and
+physically removed at the next compact()), instead of a permanently
+half-committed batch the old exact/_SUCCESS gate could not detect.
 
 Drop rule (same greedy order-based rule as neardup.minhash_dedup, made
 incremental-safe): a document is dropped iff
@@ -42,7 +55,10 @@ extends the pipeline the same way dedup/neardup.py does.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,7 +74,7 @@ class IncrementalDeduper:
         threshold: float = 0.5,
         shingle_k: int = 3,
         hash_fn: str = "xxhash64",
-        n_parts: int = 32,
+        n_parts: int = 2048,
     ):
         self.path = path
         self.spark = spark
@@ -72,6 +88,24 @@ class IncrementalDeduper:
         os.makedirs(path, exist_ok=True)
         self._exact_dir = os.path.join(path, "exact")
         self._bucket_dir = os.path.join(path, "buckets")
+        self._manifest = os.path.join(path, "manifest.json")
+
+    # -- commit manifest -----------------------------------------------------
+    def _committed(self) -> list[str]:
+        """Batch tokens whose bucket AND exact appends both completed."""
+        if not os.path.exists(self._manifest):
+            return []
+        with open(self._manifest) as f:
+            return json.load(f)["batches"]
+
+    def _record_commit(self, token: str) -> None:
+        """Append ``token`` to the manifest via write-temp + atomic rename —
+        the batch becomes visible only once both table appends are durable."""
+        batches = self._committed() + [token]
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": batches}, f)
+        os.replace(tmp, self._manifest)
 
     # -- signature construction (same families as dedup/neardup.py) ---------
     def _signatures(self, docs: DataFrame, id_col: str, text: str) -> DataFrame:
@@ -133,28 +167,32 @@ class IncrementalDeduper:
         return out.withColumn("part", self._epart(F.col("bucket")))
 
     def _has_store(self) -> bool:
-        # gate on exact/_SUCCESS — the LAST table add_batch commits — so a
-        # half-written first batch reads as "no store yet" for both tables
-        return os.path.exists(os.path.join(self._exact_dir, "_SUCCESS"))
+        # a store exists iff the manifest records ≥1 fully-committed batch —
+        # a half-written first batch (appends without the manifest record)
+        # reads as "no store yet" for both tables
+        return bool(self._committed())
 
     def store_exact(self, eparts: list[int] | None = None) -> DataFrame | None:
         """The exact-hash table, pruned to ``eparts`` (partition filter —
-        the scan's PartitionFilters carries the IN list)."""
-        if not self._has_store():
+        the scan's PartitionFilters carries the IN list) and to committed
+        batch tokens (orphans from crashed appends are invisible)."""
+        committed = self._committed()
+        if not committed:
             return None
         df = self.spark.read.parquet(self._exact_dir)
         if eparts is not None:
             df = df.filter(F.col("epart").isin(eparts))
-        return df
+        return df.filter(F.col("batch").isin(committed))
 
     def store_buckets(self, parts: list[int] | None = None) -> DataFrame | None:
-        """The band-bucket table, pruned to ``parts``."""
-        if not self._has_store():
+        """The band-bucket table, pruned to ``parts`` and committed batches."""
+        committed = self._committed()
+        if not committed:
             return None
         df = self.spark.read.parquet(self._bucket_dir)
         if parts is not None:
             df = df.filter(F.col("part").isin(parts))
-        return df
+        return df.filter(F.col("batch").isin(committed))
 
     # -- the incremental step -----------------------------------------------
     def add_batch(self, docs: DataFrame, id_col: str = "doc_id",
@@ -162,9 +200,10 @@ class IncrementalDeduper:
         """Dedup ``docs`` against the store + itself and append the batch's
         signatures.  Returns (id, dropped, reason) for every batch doc
         (reason 'exact' | 'near' | NULL)."""
+        token = f"b{len(self._committed()) + 1:06d}_{uuid.uuid4().hex[:8]}"
         sig_b = self._signatures(docs, id_col, text).persist()
-        eb = self._exact_rows(sig_b)
-        bb = self._bucket_rows(sig_b)
+        eb = self._exact_rows(sig_b).withColumn("batch", F.lit(token))
+        bb = self._bucket_rows(sig_b).withColumn("batch", F.lit(token))
 
         # Partition sets the batch touches: ≤ n_parts small ints, collected
         # driver-side once per batch — this is what makes the store read
@@ -226,15 +265,18 @@ class IncrementalDeduper:
         )
         out = out.persist()
         out.count()  # materialize the verdicts BEFORE the store grows
-        # Commit order: buckets first, exact last.  The two appends are not
-        # atomic; the recovery contract is RETRY THE FAILED BATCH — appends
-        # are verdict-idempotent (the exact layer is a semi-join and the
-        # near layer dedups candidate pairs, so duplicate store rows from a
-        # retried batch change nothing).  An abandoned half-written batch
-        # leaves bucket rows whose extra candidate pairs are still
-        # signature-verified; only genuinely-near docs can be affected.
+        # Commit protocol: append both tables tagged with this batch's
+        # token, THEN record the token in the manifest (atomic rename).  A
+        # crash anywhere before the manifest write leaves orphan rows that
+        # reads never see (filtered to committed tokens) and compact()
+        # physically removes; the recovery contract is simply RETRY THE
+        # BATCH — the retry gets a fresh token, and even a double-committed
+        # retry is verdict-idempotent (the exact layer is a semi-join and
+        # the near layer dedups candidate pairs, so duplicate store rows
+        # change nothing).
         bb.write.mode("append").partitionBy("part").parquet(self._bucket_dir)
         eb.write.mode("append").partitionBy("epart").parquet(self._exact_dir)
+        self._record_commit(token)
         sig_b.unpersist()
         return out
 
@@ -243,3 +285,50 @@ class IncrementalDeduper:
         """The surviving documents of a batch given its verdict frame."""
         keep_ids = verdicts.filter(~F.col("dropped")).select(id_col)
         return docs.join(keep_ids, id_col, "left_semi")
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self) -> None:
+        """Per-partition rewrite: each append leaves ≤P small files per
+        table per batch, so after B batches a partition holds up to B file
+        fragments.  Compaction rewrites every committed row into ONE file
+        per store partition (repartition on the partition column before
+        write — each task owns whole partitions) and physically drops
+        orphan rows from crashed, never-committed batches.  All committed
+        rows are re-tagged under a single fresh token so the manifest's
+        committed list resets to length 1 (the read-path isin filter stays
+        O(1) no matter how many batches preceded the compact).
+
+        Swap protocol: write both compacted tables to side directories,
+        then rename old→trash / new→live / remove trash, and rewrite the
+        manifest last.  A crash mid-swap can lose the LIVE directory for
+        the instant between the two renames — run compaction from a single
+        maintenance job, not concurrently with add_batch (documented
+        contract, same as any parquet table swap without a catalog)."""
+        committed = self._committed()
+        if not committed:
+            return
+        token = f"c{uuid.uuid4().hex[:8]}"
+        swaps = []
+        for live, pcol in ((self._bucket_dir, "part"), (self._exact_dir, "epart")):
+            new = live + ".compact"
+            if os.path.exists(new):
+                shutil.rmtree(new)
+            (
+                self.spark.read.parquet(live)
+                .filter(F.col("batch").isin(committed))
+                .withColumn("batch", F.lit(token))
+                .repartition(F.col(pcol))
+                .write.mode("overwrite").partitionBy(pcol).parquet(new)
+            )
+            swaps.append((live, new))
+        for live, new in swaps:
+            trash = live + ".old"
+            if os.path.exists(trash):
+                shutil.rmtree(trash)
+            os.replace(live, trash)
+            os.replace(new, live)
+            shutil.rmtree(trash)
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batches": [token]}, f)
+        os.replace(tmp, self._manifest)

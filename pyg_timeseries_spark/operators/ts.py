@@ -83,20 +83,46 @@ def ts_median(df: DataFrame, key: str = KEY, v: str = VAL, out: str = "ts_median
 
 def ts_quantile(
     df: DataFrame,
-    q: float,
+    q: "float | list[float]",
     key: str = KEY,
     v: str = VAL,
-    out: str = "ts_quantile",
+    out: "str | list[str]" = "ts_quantile",
 ) -> DataFrame:
-    """Exact per-key percentile, linear interpolation (generalizes
+    """Exact per-key percentile(s), linear interpolation (generalizes
     ts_median; same interpolation as np.nanquantile / SQL
-    percentile_cont).  Exact percentile aggregates sort per key — for an
+    percentile_cont).
+
+    ``q`` may be a list — all requested percentiles then come from ONE
+    ``percentile(v, array(...))`` sort-based aggregate (one scan + one
+    per-key sort total, the ts_agg argument: N separate groupBys would
+    scan and sort N times) and land as one column per quantile, named by
+    ``out`` (a matching list, or a prefix getting ``_p{100q:g}``
+    suffixes).  Exact percentile aggregates sort per key — for an
     approximate O(1)-memory alternative at 100 TB use percentile_approx
     or the cascade's bottom-k sample quantiles (functions/sketches.py)."""
-    q = float(q)  # np.float64/Decimal reprs are not valid SQL literals
-    if not 0.0 <= q <= 1.0:
-        raise ValueError(f"q must be in [0, 1], got {q}")
-    return df.groupBy(key).agg(F.expr(f"percentile({v}, {q!r})").alias(out))
+    qs = [q] if isinstance(q, (int, float)) else list(q)
+    qs = [float(x) for x in qs]  # np.float64/Decimal reprs aren't SQL literals
+    for x in qs:
+        if not 0.0 <= x <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {x}")
+    if isinstance(q, (int, float)):
+        return df.groupBy(key).agg(
+            F.expr(f"percentile({v}, {qs[0]!r})").alias(
+                out if isinstance(out, str) else out[0])
+        )
+    if isinstance(out, str):
+        names = [f"{out}_p{100 * x:g}" for x in qs]
+    else:
+        names = list(out)
+        if len(names) != len(qs):
+            raise ValueError("out list must match q list length")
+    arr = ", ".join(repr(x) for x in qs)
+    agg = df.groupBy(key).agg(
+        F.expr(f"percentile({v}, array({arr}))").alias("__qs")
+    )
+    return agg.select(
+        key, *[F.col("__qs")[i].alias(n) for i, n in enumerate(names)]
+    )
 
 
 def ts_agg(

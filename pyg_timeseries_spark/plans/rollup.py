@@ -101,8 +101,24 @@ def _sketch_cells(
         .groupBy("source", "bucket")
         .agg(F.sort_array(F.collect_list("__s")).alias("sample"))
     )
-    return kmv.join(smp, ["source", "bucket"], "full").select(
-        "source", "bucket",
+    # Null-safe full join: a NULL source (or NULL bucket) cell is a real
+    # group on both sides — plain name-join would split it into a kmv-only
+    # and a sample-only row.  Key selection uses side-presence (kmv rows
+    # always carry a non-null array), not coalesce of the key itself,
+    # because the key value may legitimately BE null.
+    smp_r = smp.withColumnRenamed("source", "__s_src").withColumnRenamed(
+        "bucket", "__s_bkt"
+    )
+    return kmv.join(
+        smp_r,
+        F.col("source").eqNullSafe(F.col("__s_src"))
+        & F.col("bucket").eqNullSafe(F.col("__s_bkt")),
+        "full",
+    ).select(
+        F.when(F.col("kmv").isNotNull(), F.col("source"))
+        .otherwise(F.col("__s_src")).alias("source"),
+        F.when(F.col("kmv").isNotNull(), F.col("bucket"))
+        .otherwise(F.col("__s_bkt")).alias("bucket"),
         # all-null-id cell: collect_set yielded [], the join yields NULL
         F.coalesce("kmv", F.array().cast("array<long>")).alias("kmv"),
         "sample",
@@ -188,9 +204,18 @@ def rollup_from_raw(
     if sketch_id is not None:
         # bounded O(k) sketch build joined back on the cell key — both sides
         # hash-partition on (source, bucket) so the join adds no extra
-        # repartitioning of the wide side
-        sk = _sketch_cells(df, tier, ts, v, sketch_id, sketch_k, key)
-        base = base.join(sk, ["source", "bucket"], "left")
+        # repartitioning of the wide side.  Null-safe equality: a cell with
+        # NULL source or NULL bucket (null ts) is a real group-by cell on
+        # both sides, and a plain equi-join would silently drop its sketch
+        sk = _sketch_cells(df, tier, ts, v, sketch_id, sketch_k, key).\
+            withColumnRenamed("source", "__sk_source").\
+            withColumnRenamed("bucket", "__sk_bucket")
+        base = base.join(
+            sk,
+            F.col("source").eqNullSafe(F.col("__sk_source"))
+            & F.col("bucket").eqNullSafe(F.col("__sk_bucket")),
+            "left",
+        ).drop("__sk_source", "__sk_bucket")
     return base
 
 

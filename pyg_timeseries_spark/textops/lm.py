@@ -31,15 +31,22 @@ def _bigrams(text_col):
     O(1) array access — substr(t, i, 2) inside the loop would re-scan the
     UTF8 string to codepoint i each time, an O(L²) hot path on long docs.
     The char array is _let-bound so the split evaluates once, not per
-    element (dedup/neardup.py's lambda-scope trap)."""
+    element (dedup/neardup.py's lambda-scope trap).  Docs whose trimmed
+    text has <2 chars yield an empty array — guarding with ``when`` (not
+    ``greatest(size-1, 1)``) matters under Spark 4's default ANSI mode,
+    where element_at(a, 2) on a 1-element array throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT instead of returning NULL."""
     from pyg_timeseries_spark.dedup.neardup import _let
 
     return _let(
         F.split(F.lower(F.trim(text_col)), ""),
-        lambda a: F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(a) - 1, F.lit(1))),
-            lambda i: F.concat(F.element_at(a, i), F.element_at(a, i + 1)),
-        ),
+        lambda a: F.when(
+            F.size(a) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(a) - 1),
+                lambda i: F.concat(F.element_at(a, i), F.element_at(a, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
@@ -63,11 +70,25 @@ def perplexity_score(
     text: str = "text",
     k: float = 0.5,
     out: str = "xent",
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Per document: (id, n_bigrams, xent) where xent is the add-``k``
     smoothed bigram cross-entropy -mean ln P(cur|prev) under ``model``
-    (a char_bigram_counts frame).  Perplexity = exp(xent)."""
-    v = model.select("cur").distinct().count()  # charset size (small)
+    (a char_bigram_counts frame).  Perplexity = exp(xent).
+
+    The model joins onto the per-doc bigram counts as a broadcast only
+    while it stays small (``broadcast_rows``, default 2M rows ≈ tens of
+    MB).  ASCII/European charsets give |charset|² ≪ that; a CJK-heavy
+    corpus can push the bigram table toward ~10⁸ rows, where a forced
+    broadcast would OOM the driver — above the threshold we fall back to
+    a plain shuffle join on the already-slim (prev, cur) keys."""
+    stats = model.agg(
+        F.count("*").alias("rows"), F.count_distinct("cur").alias("v")
+    ).first()
+    n_model, v = stats["rows"], stats["v"]
+    if v == 0:
+        raise ValueError("perplexity_score: empty bigram model")
+    _bcast = (lambda d: F.broadcast(d)) if n_model <= broadcast_rows else (lambda d: d)
     ctx = model.groupBy("prev").agg(F.sum("n").alias("n_prev"))
     probs = model.join(ctx, "prev").select(
         "prev", "cur",
@@ -94,8 +115,8 @@ def perplexity_score(
         .agg(F.count("*").alias("__c"))
     )
     scored = (
-        bg.join(F.broadcast(probs), ["prev", "cur"], "left")
-        .join(F.broadcast(floor_ctx), "prev", "left")
+        bg.join(_bcast(probs), ["prev", "cur"], "left")
+        .join(_bcast(floor_ctx), "prev", "left")
         .select(
             "id", "__c",
             F.coalesce(

@@ -588,3 +588,26 @@ def test_grouping_sets_single_exchange(spark, raw):
     plan = buf.getvalue()
     assert "Expand" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_sketch_join_null_keys(spark, raw):
+    """Cells with NULL source or NULL bucket (null ts) are real group-by
+    groups; the sketch re-attach join must be null-safe so they carry
+    sketches like any other cell (round-5 ADVICE: a plain equi-join
+    silently NULLed their kmv/sample)."""
+    few = raw.limit(200)
+    nulled = few.withColumn(
+        "source",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0, F.lit(None)).otherwise(F.col("source")),
+    ).withColumn(
+        "ts",
+        F.when(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0, F.lit(None)).otherwise(F.col("ts")),
+    )
+    out = rollup_from_raw(nulled, "1h", sketch_id="doc_id")
+    null_cells = out.filter(
+        F.col("source").isNull() | F.col("bucket").isNull()
+    ).collect()
+    assert null_cells  # the fixture produces such cells
+    for r in null_cells:
+        assert r["kmv"] is not None and len(r["kmv"]) > 0, r
+        assert r["sample"] is not None and len(r["sample"]) > 0, r

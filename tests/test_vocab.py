@@ -136,3 +136,68 @@ def test_lm_xent_separates_gibberish(spark):
     out = {r["doc_id"]: r["xent"] for r in
            perplexity_score(test, model).collect()}
     assert 0 < out[0] < out[99]
+
+
+def test_lm_degenerate_docs_and_empty_model(spark):
+    """Empty / whitespace / 1-char docs must not crash the bigram path
+    (Spark 4 ANSI mode: element_at(a, 2) on a 1-element char array throws
+    unless guarded); they simply contribute no bigrams.  An empty model
+    raises a clear ValueError, not ZeroDivisionError at plan-build."""
+    import pandas as pd
+    import pytest as pt
+
+    from pyg_timeseries_spark.textops.lm import (
+        char_bigram_counts, perplexity_score,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (0, "the quick brown fox"),
+                (1, ""),          # empty
+                (2, "   "),       # whitespace-only → trimmed empty
+                (3, "x"),         # single char
+                (4, None),        # null text
+                (5, "ab"),        # minimal 1-bigram doc
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    model = char_bigram_counts(docs)   # must not throw under ANSI
+    counts = {(r["prev"], r["cur"]): r["n"] for r in model.collect()}
+    assert counts[("a", "b")] >= 1 and ("x", "x") not in counts
+
+    out = {r["doc_id"]: r for r in perplexity_score(docs, model).collect()}
+    assert out[0]["xent"] > 0 and out[5]["n_bigrams"] == 1
+    for deg in (1, 2, 3, 4):
+        assert deg not in out  # no bigrams → no score row
+
+    empty = model.filter(F.lit(False))
+    with pt.raises(ValueError, match="empty bigram model"):
+        perplexity_score(docs, empty)
+
+
+def test_lm_shuffle_join_fallback_matches_broadcast(spark):
+    """Above the broadcast-rows threshold perplexity_score must fall back
+    to a shuffle join and produce identical scores (CJK-scale charset²
+    guard — a forced broadcast of a huge model would OOM the driver)."""
+    import pandas as pd
+
+    from pyg_timeseries_spark.textops.lm import (
+        char_bigram_counts, perplexity_score,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, f"doc number {i} with some shared text body") for i in range(6)],
+            columns=["doc_id", "text"],
+        )
+    )
+    model = char_bigram_counts(docs)
+    a = perplexity_score(docs, model).collect()
+    b = perplexity_score(docs, model, broadcast_rows=0).collect()
+    key = lambda r: r["doc_id"]
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert ra["doc_id"] == rb["doc_id"]
+        assert abs(ra["xent"] - rb["xent"]) < 1e-12
+        assert ra["n_bigrams"] == rb["n_bigrams"]

@@ -215,3 +215,25 @@ def test_ts_aggregates(spark, series_df, series_pdf):
     skew = TSOPS.ts_skew(series_df).toPandas().set_index("key")["ts_skew"].sort_index()
     np.testing.assert_allclose(skew.to_numpy(float),
                                per_key.skew().sort_index().to_numpy(float), atol=1e-9)
+
+
+def test_ts_quantile_multi(spark, series_df, series_pdf):
+    """List-q ts_quantile: one percentile(v, array(...)) aggregate — plan
+    has exactly ONE Aggregate pair (no self-join) — and values match
+    np.nanquantile (linear interpolation) per requested q."""
+    out = TSOPS.ts_quantile(series_df, [0.1, 0.5, 0.9], out=["p10", "p50", "p90"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    got = out.toPandas().set_index("key").sort_index()
+    per_key = series_pdf.groupby("key")["v"]
+    for col, q in (("p10", 0.1), ("p50", 0.5), ("p90", 0.9)):
+        exp = per_key.apply(lambda s, q=q: np.nanquantile(s.dropna(), q)).sort_index()
+        np.testing.assert_allclose(got[col].to_numpy(float),
+                                   exp.to_numpy(float), atol=1e-10)
+    # scalar form unchanged; default list names get _p{100q:g} suffixes
+    one = TSOPS.ts_quantile(series_df, 0.5, out="m").toPandas().set_index("key")
+    np.testing.assert_allclose(one["m"].sort_index().to_numpy(float),
+                               per_key.median().sort_index().to_numpy(float),
+                               atol=1e-10)
+    named = TSOPS.ts_quantile(series_df, [0.25], out="q")
+    assert named.columns == ["key", "q_p25"]
