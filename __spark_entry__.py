@@ -1570,6 +1570,35 @@ def q_dedup_components(spark, sf_dir):
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+def q_components_incremental(spark, sf_dir):
+    """Incremental near-dup clustering vs a persistent label store
+    (dedup/components_store.py): the same verified candidate edges as
+    dedup_components arrive in TWO batches (both-endpoints < 250 first,
+    the rest after); each batch merges into stored (node, component)
+    labels via union-find over COMPONENT ids — closed components are
+    never recomputed and untouched label partitions are hard-linked into
+    the new snapshot, not rewritten.  Min-label CC is order-free, so the
+    oracle is the one-shot recursive-CTE reachability over ALL edges —
+    the batched store must land on identical labels."""
+    import tempfile
+
+    from pyg_timeseries_spark.dedup.components_store import ComponentStore
+
+    docs = load(spark, sf_dir, "documents")
+    cand = ND.minhash_candidates(docs, n_hashes=16, bands=8, hash_fn="md5")
+    edges = cand.filter(F.col("jaccard") >= 0.3).select("id_a", "id_b")
+    base = tempfile.mkdtemp(prefix="ccstore_")
+    # n_parts right-sized for the tiny sf corpus (sizing note in the module)
+    st = ComponentStore(base, spark, n_parts=32)
+    in1 = (F.col("id_a") < 250) & (F.col("id_b") < 250)
+    st.add_batch(edges.filter(in1),
+                 nodes=docs.filter(F.col("doc_id") < 250).select("doc_id"))
+    st.add_batch(edges.filter(~in1),
+                 nodes=docs.filter(F.col("doc_id") >= 250).select("doc_id"))
+    res = st.labels().select(F.col("node").alias("doc_id"), "component")
+    return _materialize_and_remove(spark, res, base)
+
+
 def q_ts_quantile(spark, sf_dir):
     """Exact per-key p10/p90 (operators/ts.py ts_quantile — linear
     interpolation; DuckDB quantile_cont is the same estimator).  Both
@@ -1953,13 +1982,19 @@ def q_sample_topn(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
-    first 50 entries.  Round-4 rotation: the 33 queries never stamped green
-    in r2/r3 (incl. the two r3 HUGEINT-oracle hash-fails, now BIGINT-cast)
-    come first, padded to 50 with flagship rows (rollup cascade, chunked
-    tokens, streaming replay, incremental dedup, sketch store, as-of join).
-    Everything past the cap stays value-oracled and judge-checkable."""
+    first 50 entries.  Round-5 rotation: ts_quantile + asof_fwd (the only
+    2 of 137 registered queries never driver-stamped, added past the cap
+    late in r4) and the new components_incremental move INTO the top-50;
+    three r4-stamped near-duplicates of still-present family reps
+    (rolling_cov, expanding_cov, expanding_beta) rotate out.  With r5
+    stamps this closes full coverage: every registered query green in at
+    least one of r2–r5.  Everything past the cap stays value-oracled and
+    judge-checkable."""
     return {
-        # -- 1-50: never-stamped first (r4 rotation), then flagships ---------
+        # -- 1-50: r5 rotation ins first, then the r4 window ---------------
+        "ts_quantile": q_ts_quantile,
+        "asof_fwd": q_asof_fwd,
+        "components_incremental": q_components_incremental,
         "cms_tokens": q_cms_tokens,
         "sessionize": q_sessionize,
         "align_ffill": q_align_ffill,
@@ -1977,9 +2012,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_beta": q_rolling_beta,
         "rolling_zscore": q_rolling_zscore,
         "expanding_cor": q_expanding_cor,
-        "expanding_beta": q_expanding_beta,
-        "rolling_cov": q_rolling_cov,
-        "expanding_cov": q_expanding_cov,
         "ts_argminmax": q_ts_argminmax,
         "gap_stats": q_gap_stats,
         "ewmvar": q_ewmvar,
@@ -2010,16 +2042,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "rolling_acf": q_rolling_acf,
         "rollup_gsets": q_rollup_gsets,
-        # -- 51+: all value-oracled; stamped green in r2/r3 except
-        # ts_quantile and asof_fwd (added past the cap late in round 4 —
-        # rotate them into the top-50 next round) -------------------------
+        # -- 51+: all value-oracled; every entry driver-stamped green in
+        # one of r2-r4 (r5 rotated the last two never-stamped into the
+        # top-50 above) ---------------------------------------------------
         "asof_join": q_asof_join,
+        "rolling_cov": q_rolling_cov,
+        "expanding_cov": q_expanding_cov,
+        "expanding_beta": q_expanding_beta,
         "rollup_sketches": q_rollup_sketches,
         "ivf_topk": q_ivf_topk,
         "pack_greedy": q_pack_greedy,
-        "ts_quantile": q_ts_quantile,
         "resample_5m": q_resample_5m,
-        "asof_fwd": q_asof_fwd,
         "multibuffer": q_multibuffer,
         "ewma_clock": q_ewma_clock,
         "corpus_pipeline": q_corpus_pipeline,
@@ -3665,6 +3698,45 @@ SELECT key, ts,
 FROM m
         """,
         "dedup_components": """
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS id,
+         list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents)
+),
+sig AS (
+  SELECT id, list_transform(generate_series(0, 15),
+            p -> list_min(list_transform(s, x -> md5(x || '|' || p)))) AS hs
+  FROM sh
+),
+buckets AS (
+  SELECT id, b.band AS band, md5(hs[b.band*2+1] || ',' || hs[b.band*2+2]) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0,7)) AS band) b
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+  FROM buckets a JOIN buckets bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.id < bb.id
+),
+j AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p JOIN sh x ON x.id = p.id_a JOIN sh y ON y.id = p.id_b
+  WHERE (CASE WHEN len(list_distinct(list_concat(x.s, y.s))) > 0
+         THEN len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s)))
+         ELSE 0 END) >= 0.3
+),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM j
+  UNION SELECT id_b AS u, id_a AS v FROM j
+),
+reach(node, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s2.u, r.lab FROM sym s2 JOIN reach r ON r.node = s2.v
+)
+SELECT node AS doc_id, CAST(min(lab) AS BIGINT) AS component
+FROM reach GROUP BY 1
+        """,
+        "components_incremental": """
 WITH RECURSIVE sh AS (
   SELECT doc_id AS id,
          list_distinct(list_transform(generate_series(1, greatest(len(w)-2,1)),
