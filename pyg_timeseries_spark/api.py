@@ -100,6 +100,20 @@ from pyg_timeseries_spark.streaming.stream_rollup import stream_dedup  # r4
 from pyg_timeseries_spark.textops.corpus import (  # r4
     boilerplate_coverage, mixture_sample,
 )
+from pyg_timeseries_spark.dedup.substr import chunk_dedup, doc_chunks  # r5
+from pyg_timeseries_spark.dedup.components import cluster_canonical  # r5
+from pyg_timeseries_spark.dedup.components_store import ComponentStore  # r5
+from pyg_timeseries_spark.operators.holt import holt, holt_  # r5
+from pyg_timeseries_spark.operators.kalman import kalman, kalman_  # r5
+from pyg_timeseries_spark.operators.regime import (  # r5
+    cusum, drawdown, max_drawdown,
+)
+from pyg_timeseries_spark.operators.seasonal import (  # r5
+    deseasonalize, seasonal_profile,
+)
+from pyg_timeseries_spark.operators.ts import (  # r5
+    ts_trimmed_mean, ts_winsorized_mean,
+)
 from pyg_timeseries_spark.textops.lm import (  # r4
     char_bigram_counts, perplexity_score,
 )

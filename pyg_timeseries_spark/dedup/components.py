@@ -60,6 +60,35 @@ def connected_components(
         sym.unpersist()
 
 
+def cluster_canonical(
+    labels: DataFrame,
+    docs: DataFrame,
+    quality: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Canonical-document election per duplicate family: given (node,
+    component) labels and a per-doc ``quality`` column, return
+    (component, canonical, best_quality, n_members) where canonical is
+    the member with the highest quality (ties → smallest id) — the doc a
+    pipeline KEEPS when collapsing each near-dup cluster to one.
+
+    One broadcast-free equi-join + one partial-combinable aggregate (the
+    argmax rides a single min(struct(-quality, id)) — no per-component
+    sort window, so mega-clusters don't hot-spot a task)."""
+    j = labels.join(
+        docs.select(F.col(id_col).alias("node"), F.col(quality).alias("__q")),
+        "node",
+    )
+    # null quality ranks worst (struct min would otherwise prefer nulls)
+    nq = F.coalesce((-F.col("__q")).cast("double"), F.lit(float("inf")))
+    best = F.min(F.struct(nq.alias("nq"), F.col("node").alias("n")))
+    return j.groupBy("component").agg(
+        best.getField("n").alias("canonical"),
+        (-best.getField("nq")).alias("best_quality"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
 def _propagate(sym, labels, max_iter):
     for _ in range(max_iter):
         neigh = (

@@ -1,0 +1,144 @@
+"""Holt linear-trend (double exponential) smoothing — the natural
+extension of the engine's EWM family to trending series (public method:
+Holt 1957 / Hyndman & Athanasopoulos, *Forecasting: Principles and
+Practice* §8.2).  The reference's EWM suite stops at level smoothing
+(ewma, _ewm.py); Holt adds the trend component a drifting series needs:
+
+    level:  l_t = α·x_t + (1-α)·(l_{t-1} + b_{t-1})
+    trend:  b_t = β·(l_t − l_{t-1}) + (1-β)·b_{t-1}
+    output: fitted l_t (and optionally the h-step forecast l_t + h·b_t)
+
+Conventions match the EWM kernels: NaN rows emit NaN and leave state
+untouched; the first valid row initializes l = x, b = 0 (emitting x);
+the sequential scalar recurrence makes (head, then tail from head's
+state) bit-identical to one sweep, so plans/partitioning.py's segmented
+execution applies unchanged.
+
+Same execution shape as operators/ewm.py: one groupBy(key).applyInPandas
+pass (the engine's single JVM↔Python boundary), state = 3 doubles
+packable to array<double>.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyg_timeseries_spark.operators._core import KEY, TS, VAL
+
+_STATE_COL = "__state"
+_PRIOR_COL = "__prior_state"
+HOLT_STATE_LEN = 3  # [seen, level, trend]
+
+
+def holt_kernel(
+    a: np.ndarray,
+    alpha: float,
+    beta: float,
+    horizon: float = 0.0,
+    state: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential Holt sweep over one key's values.  Returns (fitted,
+    final_state); ``horizon`` > 0 emits the h-step-ahead forecast
+    l_t + h·b_t instead of the fitted level."""
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0):
+        raise ValueError("need 0 < alpha <= 1 and 0 <= beta <= 1")
+    if state is None:
+        seen, lvl, trd = 0.0, np.nan, np.nan
+    else:
+        seen, lvl, trd = float(state[0]), float(state[1]), float(state[2])
+    out = np.full(len(a), np.nan)
+    for i in range(len(a)):
+        x = a[i]
+        if np.isnan(x):
+            continue
+        if seen == 0.0:
+            lvl, trd, seen = x, 0.0, 1.0
+        else:
+            prev = lvl
+            lvl = alpha * x + (1.0 - alpha) * (lvl + trd)
+            trd = beta * (lvl - prev) + (1.0 - beta) * trd
+        out[i] = lvl + horizon * trd
+    return out, np.array([seen, lvl, trd], dtype=np.float64)
+
+
+def _holt_combined(df, alpha, beta, horizon, key, ts, v, out, state_df):
+    src = df
+    if state_df is None:
+        src = src.withColumn(
+            _PRIOR_COL, F.lit(None).cast(T.ArrayType(T.DoubleType()))
+        )
+    else:
+        prior = state_df.select(F.col(key), F.col("state").alias(_PRIOR_COL))
+        src = src.join(F.broadcast(prior), on=key, how="left")
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField(out, T.DoubleType()),
+            T.StructField(_STATE_COL, T.ArrayType(T.DoubleType())),
+        ]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        a = pdf[v].to_numpy(dtype=np.float64, na_value=np.nan)
+        prior = pdf[_PRIOR_COL].iloc[0]
+        state = (
+            np.asarray(list(prior), dtype=np.float64)
+            if prior is not None and len(list(prior)) == HOLT_STATE_LEN
+            else None
+        )
+        res, s = holt_kernel(a, alpha, beta, horizon, state=state)
+        outp = pdf[in_cols].copy()
+        outp[out] = res
+        outp[_STATE_COL] = None
+        outp.at[len(outp) - 1, _STATE_COL] = [float(x) for x in s]
+        return outp
+
+    return src.groupBy(key).applyInPandas(fn, schema=out_schema)
+
+
+def holt(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    horizon: float = 0.0,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str = "holt",
+    state_df: DataFrame | None = None,
+) -> DataFrame:
+    """Fitted Holt level (or h-step forecast) per row."""
+    return _holt_combined(
+        df, alpha, beta, horizon, key, ts, v, out, state_df
+    ).drop(_STATE_COL)
+
+
+def holt_(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    horizon: float = 0.0,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str = "holt",
+    state_df: DataFrame | None = None,
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Stateful variant: (data, state) pair, resumable bit-for-bit."""
+    combined = _holt_combined(
+        df, alpha, beta, horizon, key, ts, v, out, state_df
+    )
+    if persist:
+        combined = combined.persist()
+    data = combined.drop(_STATE_COL)
+    state = combined.filter(F.col(_STATE_COL).isNotNull()).select(
+        F.col(key), F.col(_STATE_COL).alias("state")
+    )
+    return data, state

@@ -125,6 +125,55 @@ def ts_quantile(
     )
 
 
+def _quantile_bounds(df, lo, hi, key, v):
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    b = df.groupBy(key).agg(
+        F.expr(f"percentile({v}, array({float(lo)!r}, {float(hi)!r}))").alias("__b")
+    ).select(key, F.col("__b")[0].alias("__lo"), F.col("__b")[1].alias("__hi"))
+    # per-key bounds are |keys| rows — broadcast back; corpus never re-shuffles
+    # for the attach, only for the two aggregates
+    return df.join(F.broadcast(b), on=key)
+
+
+def ts_trimmed_mean(
+    df: DataFrame,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    key: str = KEY,
+    v: str = VAL,
+    out: str = "trimmed_mean",
+) -> DataFrame:
+    """Robust location: mean of values inside the per-key [lo, hi]
+    quantile band (values strictly outside are DROPPED — the classic
+    trimmed mean).  Quantiles are exact percentile_cont interpolation,
+    shared with ts_quantile.  Two aggregation passes over the corpus
+    (bounds, then mean) with the tiny bounds table broadcast between."""
+    j = _quantile_bounds(df, lo, hi, key, v)
+    c = F.col(v)
+    inside = F.when((c >= F.col("__lo")) & (c <= F.col("__hi")), c)
+    return j.groupBy(key).agg(F.avg(inside).alias(out))
+
+
+def ts_winsorized_mean(
+    df: DataFrame,
+    lo: float = 0.1,
+    hi: float = 0.9,
+    key: str = KEY,
+    v: str = VAL,
+    out: str = "winsorized_mean",
+) -> DataFrame:
+    """Robust location: mean after CLIPPING values to the per-key
+    [lo, hi] quantile band (outliers pulled to the band edge rather than
+    dropped — same two-pass broadcast shape as ts_trimmed_mean)."""
+    j = _quantile_bounds(df, lo, hi, key, v)
+    c = F.col(v)
+    clipped = F.when(c < F.col("__lo"), F.col("__lo")).when(
+        c > F.col("__hi"), F.col("__hi")
+    ).otherwise(c)
+    return j.groupBy(key).agg(F.avg(clipped).alias(out))
+
+
 def ts_agg(
     df: DataFrame,
     measures: dict[str, str] | None = None,
