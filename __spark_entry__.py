@@ -1652,6 +1652,19 @@ def q_holt(spark, sf_dir):
     return _valid_only(out, "holt")
 
 
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters (operators/holt.py — level + trend +
+    m-periodic seasonal, Hyndman §8.3) with the documented deterministic
+    warm-up (first m valid rows pass through and bootstrap the
+    seasonals).  Oracle carries the seasonal array through a recursive
+    CTE as a LIST column — the literal state-machine replay."""
+    from pyg_timeseries_spark.operators.holt import holt_winters
+
+    s = _series(spark, sf_dir)
+    out = holt_winters(s, 0.3, 0.1, 0.2, 24)
+    return _valid_only(out, "holt_winters")
+
+
 def q_cusum(spark, sf_dir):
     """Two-sided CUSUM shift statistics (operators/regime.py — Page 1954)
     as PURE window expressions via the reset-at-zero identity
@@ -2133,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "cluster_canonical": q_cluster_canonical,
         "holt": q_holt,
+        "holt_winters": q_holt_winters,
         "kalman": q_kalman,
         "cusum": q_cusum,
         "drawdown": q_drawdown,
@@ -2159,7 +2173,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewmskew": q_ewmskew,
         "xsec_zscore": q_xsec_zscore,
         "ohlc_5m": q_ohlc_5m,
-        "expanding_median": q_expanding_median,
         "rollup_1m": _rollup("minute"),
         "tokens_cascade": q_tokens_cascade,
         "tokens_chunked": q_tokens_chunked,
@@ -2182,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top-50 above) ---------------------------------------------------
         "asof_join": q_asof_join,
         "xsec_winsorize": q_xsec_winsorize,
+        "expanding_median": q_expanding_median,
         "expanding_rank": q_expanding_rank,
         "cumprod": q_cumprod,
         "fnna": q_fnna,
@@ -4029,6 +4043,46 @@ rec AS (
   FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
 )
 SELECT key, ts, CAST(floor(lvl * 1000000 + 0.4997) AS BIGINT) AS holt FROM rec
+        """,
+        # additive Holt-Winters: recursive CTE carrying the 24-slot
+        # seasonal array as a LIST column; warm-up rows (rn <= 24) emit v;
+        # p is the 1-based seasonal slot for this valid-row index
+        "holt_winters": f"""
+WITH RECURSIVE ordered AS (
+  SELECT key, ts, v, row_number() OVER (PARTITION BY key ORDER BY ts) AS rn,
+         list(v) OVER (PARTITION BY key ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS firstm
+  FROM ({VALID_SQL})
+),
+rec AS (
+  SELECT key, ts, v, rn,
+         CAST(list_sum(firstm) / 24.0 AS DOUBLE) AS lvl,
+         CAST(0.0 AS DOUBLE) AS trd,
+         list_transform(firstm, x -> CAST(x - list_sum(firstm) / 24.0 AS DOUBLE)) AS sea,
+         CAST(v AS DOUBLE) AS fit
+  FROM ordered WHERE rn = 24
+  UNION ALL
+  SELECT o.key, o.ts, o.v, o.rn,
+         0.3::DOUBLE*(o.v - r.sea[((o.rn-1) % 24) + 1])
+           + (1.0::DOUBLE - 0.3::DOUBLE)*(r.lvl + r.trd),
+         0.1::DOUBLE*((0.3::DOUBLE*(o.v - r.sea[((o.rn-1) % 24) + 1])
+             + (1.0::DOUBLE - 0.3::DOUBLE)*(r.lvl + r.trd)) - r.lvl)
+           + (1.0::DOUBLE - 0.1::DOUBLE)*r.trd,
+         r.sea[1:((o.rn-1) % 24)]
+           || [0.2::DOUBLE*(o.v - r.lvl - r.trd)
+               + (1.0::DOUBLE - 0.2::DOUBLE)*r.sea[((o.rn-1) % 24) + 1]]
+           || r.sea[((o.rn-1) % 24) + 2:24],
+         (0.3::DOUBLE*(o.v - r.sea[((o.rn-1) % 24) + 1])
+           + (1.0::DOUBLE - 0.3::DOUBLE)*(r.lvl + r.trd))
+           + (0.2::DOUBLE*(o.v - r.lvl - r.trd)
+              + (1.0::DOUBLE - 0.2::DOUBLE)*r.sea[((o.rn-1) % 24) + 1])
+  FROM ordered o JOIN rec r ON o.key = r.key AND o.rn = r.rn + 1
+)
+SELECT key, ts, CAST(floor(v * 1000000 + 0.4997) AS BIGINT) AS holt_winters
+FROM ordered WHERE rn <= 24
+UNION ALL
+SELECT key, ts, CAST(floor(fit * 1000000 + 0.4997) AS BIGINT) AS holt_winters
+FROM rec WHERE rn > 24
         """,
         # closed-form CUSUM: s_t = S_t - min(0, running-min S); the window
         # cumsum orders identically to Spark's so doubles match bit-for-bit

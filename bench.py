@@ -248,6 +248,9 @@ def run_headline(spark, em) -> dict:
         "sessionize", "resample_5m", "cms_tokens", "repetition",
         "asof_join", "interval_join", "rollup_gsets", "boilerplate",
         "source_mix", "lm_xent", "twap_5m", "dedup_components",
+        # r5 additions: sub-doc chunk dedup, window-expression CUSUM, the
+        # kernel-boundary Kalman filter, broadcast-profile deseasonalize
+        "chunk_dedup", "cusum", "kalman", "deseasonal",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()

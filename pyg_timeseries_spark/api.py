@@ -103,7 +103,9 @@ from pyg_timeseries_spark.textops.corpus import (  # r4
 from pyg_timeseries_spark.dedup.substr import chunk_dedup, doc_chunks  # r5
 from pyg_timeseries_spark.dedup.components import cluster_canonical  # r5
 from pyg_timeseries_spark.dedup.components_store import ComponentStore  # r5
-from pyg_timeseries_spark.operators.holt import holt, holt_  # r5
+from pyg_timeseries_spark.operators.holt import (  # r5
+    holt, holt_, holt_winters, holt_winters_,
+)
 from pyg_timeseries_spark.operators.kalman import kalman, kalman_  # r5
 from pyg_timeseries_spark.operators.regime import (  # r5
     cusum, drawdown, max_drawdown,

@@ -200,3 +200,40 @@ def test_boilerplate_wordcount_shape(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = plan_of(boilerplate_coverage(docs))
     assert "partial_count" in plan
+
+
+def test_cusum_single_exchange_no_python(spark):
+    """CUSUM's closed form must compile to window expressions over ONE
+    per-key exchange — no Python runner despite the recurrence
+    formulation, and both sides + the running-min stage share the
+    Exchange."""
+    from pyg_timeseries_spark.operators.regime import cusum
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    plan = plan_of(cusum(s, k=0.25))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_deseasonalize_profile_broadcasts(spark):
+    """The |keys| x 24 profile must come back as a broadcast join — the
+    corpus shuffles once (profile aggregate), never for the re-attach."""
+    from pyg_timeseries_spark.operators.seasonal import deseasonalize
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    plan = plan_of(deseasonalize(s, "hour_of_day"))
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_trimmed_mean_bounds_broadcast(spark):
+    from pyg_timeseries_spark.operators.ts import ts_trimmed_mean
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    plan = plan_of(ts_trimmed_mean(s))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan

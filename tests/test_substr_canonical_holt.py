@@ -200,3 +200,99 @@ def test_holt_kernel_validation():
         holt_kernel(np.array([1.0]), 0.0, 0.5)
     with pytest.raises(ValueError):
         holt_kernel(np.array([1.0]), 0.5, 1.5)
+
+
+# ---- holt_winters -----------------------------------------------------------
+
+from pyg_timeseries_spark.operators.holt import (  # noqa: E402
+    holt_winters, holt_winters_, holt_winters_kernel,
+)
+
+
+def _hw_python(xs, alpha, beta, gamma, m):
+    seen, lvl, trd = 0, None, None
+    sea = [np.nan] * m
+    out = []
+    for x in xs:
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            out.append(np.nan)
+            continue
+        p = seen % m
+        if seen < m:
+            sea[p] = x
+            out.append(x)
+            seen += 1
+            if seen == m:
+                lvl = sum(sea) / m
+                trd = 0.0
+                sea = [s - lvl for s in sea]
+            continue
+        s_old = sea[p]
+        new_lvl = alpha * (x - s_old) + (1 - alpha) * (lvl + trd)
+        new_trd = beta * (new_lvl - lvl) + (1 - beta) * trd
+        sea[p] = gamma * (x - lvl - trd) + (1 - gamma) * s_old
+        lvl, trd = new_lvl, new_trd
+        out.append(lvl + sea[p])
+        seen += 1
+    return out
+
+
+def test_holt_winters_matches_replay(spark):
+    rng = np.random.default_rng(7)
+    m = 6
+    season = 3.0 * np.sin(2 * np.pi * np.arange(m) / m)
+    vals = [
+        0.05 * i + season[i % m] + rng.normal(0, 0.2) for i in range(160)
+    ]
+    vals[10] = np.nan
+    vals[77] = np.nan
+    got = (holt_winters(_series(spark, vals), 0.3, 0.1, 0.2, m)
+           .toPandas().sort_values("ts")["holt_winters"].to_numpy(float))
+    exp = np.array(_hw_python(vals, 0.3, 0.1, 0.2, m))
+    np.testing.assert_allclose(got, exp, rtol=1e-12, atol=1e-12,
+                               equal_nan=True)
+
+
+def test_holt_winters_tracks_seasonal_series(spark):
+    """On a noiseless seasonal+trend series the one-step fit converges."""
+    m = 4
+    season = [5.0, -2.0, 1.0, -4.0]
+    vals = [0.5 * i + season[i % m] for i in range(400)]
+    got = (holt_winters(_series(spark, vals), 0.5, 0.2, 0.3, m)
+           .toPandas().sort_values("ts")["holt_winters"].to_numpy(float))
+    np.testing.assert_allclose(got[-20:], vals[-20:], atol=0.05)
+
+
+def test_holt_winters_resume_bit_identical(spark):
+    rng = np.random.default_rng(15)
+    m = 5
+    vals = list(np.cumsum(rng.normal(0, 1, 90)))
+    full = (holt_winters(_series(spark, vals), 0.4, 0.1, 0.2, m)
+            .toPandas().sort_values("ts")["holt_winters"].to_numpy(float))
+    for split in (3, m, 40):          # mid-warm-up, at boundary, deep
+        _, st = holt_winters_(_series(spark, vals[:split]), 0.4, 0.1, 0.2, m)
+        tail_pdf = pd.DataFrame({
+            "key": "k",
+            "ts": pd.date_range("2024-01-01", periods=90, freq="1min")[split:],
+            "v": vals[split:],
+        })
+        tail = holt_winters(spark.createDataFrame(tail_pdf), 0.4, 0.1, 0.2,
+                            m, state_df=st)
+        got = tail.toPandas().sort_values("ts")["holt_winters"].to_numpy(float)
+        assert np.array_equal(got, full[split:], equal_nan=True), split
+
+
+def test_holt_winters_short_key_passthrough(spark):
+    """A key with fewer than m valid rows never leaves warm-up: output
+    equals input."""
+    vals = [3.0, 7.0, np.nan]
+    got = (holt_winters(_series(spark, vals), 0.3, 0.1, 0.2, 8)
+           .toPandas().sort_values("ts")["holt_winters"].tolist())
+    assert got[0] == 3.0 and got[1] == 7.0 and np.isnan(got[2])
+
+
+def test_holt_winters_validation():
+    with pytest.raises(ValueError):
+        holt_winters_kernel(np.ones(4), 0.3, 0.1, 0.2, 1)
+    with pytest.raises(ValueError):
+        holt_winters_kernel(np.ones(4), 0.3, 0.1, 1.5, 4)
