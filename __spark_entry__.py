@@ -57,6 +57,7 @@ R6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.4997)).cast("long")  # noqa: E731
 _WIN = "PARTITION BY key ORDER BY ts"
 _ROWS_N = f"ROWS BETWEEN {N - 1} PRECEDING AND CURRENT ROW"
 _ROWS_INF = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+_ROWS_EXCL = f"ROWS BETWEEN {N} PRECEDING AND 1 PRECEDING"
 
 
 
@@ -1744,6 +1745,55 @@ def q_robust_mean(spark, sf_dir):
     )
 
 
+def q_rolling_mad(spark, sf_dir):
+    """Trailing-window robust dispersion (operators/rolling.py
+    rolling_mad): window median + median absolute deviation from ONE
+    Window pass, sorted deviation array _let-bound (the robust z-score
+    building block).  quantile_cont == Spark percentile interpolation,
+    so both engines agree on both medians."""
+    from pyg_timeseries_spark.operators.rolling import rolling_mad
+
+    out = rolling_mad(_series(spark, sf_dir), N)
+    return (
+        out.filter(F.col("v").isNotNull())
+        .select(
+            "key", "ts",
+            R6(F.col("rolling_mad_med")).alias("mad_med"),
+            R6(F.col("rolling_mad")).alias("mad"),
+        )
+    )
+
+
+def q_rolling_theilsen(spark, sf_dir):
+    """Theil-Sen robust rolling slope (operators/rolling.py
+    rolling_theilsen): median of the n(n-1)/2 pairwise slopes over the
+    trailing window, nested-transform pair build + the shared sorted-
+    interpolated median.  Oracle mirrors the comprehension with DuckDB
+    list lambdas."""
+    from pyg_timeseries_spark.operators.rolling import rolling_theilsen
+
+    out = rolling_theilsen(_series(spark, sf_dir), N)
+    return _valid_only(out, "rolling_theilsen")
+
+
+def q_hampel(spark, sf_dir):
+    """Hampel robust despike (operators/clean.py hampel): replace points
+    > z robust sigmas (1.4826 * trailing MAD) from the trailing median
+    with that median, exclude-current frame so spikes cannot mask
+    themselves.  Emits the filtered series + the replacement flag."""
+    from pyg_timeseries_spark.operators.clean import hampel
+
+    out = hampel(_series(spark, sf_dir), N, 3.0)
+    return (
+        out.filter(F.col("v").isNotNull())
+        .select(
+            "key", "ts",
+            R6(F.col("hampel")).alias("hampel"),
+            F.col("hampel_flag").cast("long").alias("flag"),
+        )
+    )
+
+
 def q_ts_quantile(spark, sf_dir):
     """Exact per-key p10/p90 (operators/ts.py ts_quantile — linear
     interpolation; DuckDB quantile_cont is the same estimator).  Both
@@ -2129,9 +2179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
     first 50 entries.  Round-5 rotation: ts_quantile + asof_fwd (the only
     2 of 137 r4-registered queries never driver-stamped, added past the
-    cap late in r4) and the nine NEW r5 queries (components_incremental,
-    chunk_dedup, cluster_canonical, holt, kalman, cusum, drawdown,
-    deseasonal, robust_mean) move INTO the top-50; eleven r4-stamped
+    cap late in r4) and the thirteen NEW r5 queries (components_incremental,
+    chunk_dedup, cluster_canonical, holt, holt_winters, kalman, cusum,
+    drawdown, deseasonal, robust_mean, rolling_mad, rolling_theilsen,
+    hampel) move INTO the top-50; r4-stamped
     near-duplicates of still-present family reps rotate out past the cap
     (rolling/expanding pairwise variants, xsec_winsorize, expanding_rank,
     cumprod, fnna, na2v_v2na — all keep their oracles).  With r5 stamps
@@ -2152,6 +2203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drawdown": q_drawdown,
         "deseasonal": q_deseasonal,
         "robust_mean": q_robust_mean,
+        "rolling_mad": q_rolling_mad,
+        "rolling_theilsen": q_rolling_theilsen,
+        "hampel": q_hampel,
         "cms_tokens": q_cms_tokens,
         "sessionize": q_sessionize,
         "align_ffill": q_align_ffill,
@@ -4148,6 +4202,86 @@ SELECT s.key,
        CAST(floor(avg(CASE WHEN s.v < b.lo THEN b.lo WHEN s.v > b.hi THEN b.hi ELSE s.v END) * 1000000 + 0.4997) AS BIGINT) AS winsorized_mean
 FROM ({VALID_SQL}) s JOIN b ON b.key = s.key
 GROUP BY 1
+        """,
+        "rolling_mad": f"""
+SELECT key, ts,
+       CASE WHEN cnt >= {N} THEN CAST(floor(med * 1000000 + 0.4997) AS BIGINT) END AS mad_med,
+       CASE WHEN cnt >= {N} THEN CAST(floor(
+            (dv[lo] + (pos - lo) * (dv[CASE WHEN lo + 1 > sz THEN sz ELSE lo + 1 END] - dv[lo]))
+            * 1000000 + 0.4997) AS BIGINT) END AS mad
+FROM (
+  SELECT key, ts, med, cnt, dv, sz,
+         (sz - 1) * 0.5 + 1 AS pos,
+         CAST(floor((sz - 1) * 0.5 + 1) AS BIGINT) AS lo
+  FROM (
+    SELECT key, ts, med, cnt,
+           list_sort(list_transform(w, x -> abs(x - med))) AS dv,
+           len(w) AS sz
+    FROM (SELECT key, ts,
+                 quantile_cont(v, 0.5) OVER ({_WIN} {_ROWS_N}) AS med,
+                 list(v) OVER ({_WIN} {_ROWS_N}) AS w,
+                 count(v) OVER ({_WIN} {_ROWS_N}) AS cnt
+          FROM ({VALID_SQL}))
+  )
+)
+        """,
+        "rolling_theilsen": f"""
+SELECT key, ts,
+       CASE WHEN cnt >= {N} THEN CAST(floor(
+            (dv[lo] + (pos - lo) * (dv[CASE WHEN lo + 1 > sz THEN sz ELSE lo + 1 END] - dv[lo]))
+            * 1000000 + 0.4997) AS BIGINT) END AS rolling_theilsen
+FROM (
+  SELECT key, ts, cnt, dv, sz,
+         (sz - 1) * 0.5 + 1 AS pos,
+         CAST(floor((sz - 1) * 0.5 + 1) AS BIGINT) AS lo
+  FROM (
+    SELECT key, ts, cnt,
+           list_sort(sl) AS dv, len(sl) AS sz
+    FROM (
+      SELECT key, ts, cnt,
+             flatten(list_transform(generate_series(2, greatest(len(w), 2)),
+                 j -> CASE WHEN j <= len(w)
+                      THEN list_transform(generate_series(1, j - 1),
+                           i -> (w[j] - w[i]) / (j - i))
+                      ELSE CAST([] AS DOUBLE[]) END)) AS sl
+      FROM (SELECT key, ts,
+                   list(v) OVER ({_WIN} {_ROWS_N}) AS w,
+                   count(v) OVER ({_WIN} {_ROWS_N}) AS cnt
+            FROM ({VALID_SQL}))
+    )
+  )
+)
+        """,
+        "hampel": f"""
+SELECT key, ts,
+       CAST(floor(CASE WHEN spike THEN med ELSE v END * 1000000 + 0.4997) AS BIGINT) AS hampel,
+       CAST(spike AS BIGINT) AS flag
+FROM (
+  SELECT key, ts, v, med,
+         coalesce(cnt >= {N} AND mad > 0
+                  AND abs(v - med) > 3.0 * 1.4826 * mad, FALSE) AS spike
+  FROM (
+    SELECT key, ts, v, med, cnt,
+           CASE WHEN sz > 0 THEN
+                dv[lo] + (pos - lo) * (dv[CASE WHEN lo + 1 > sz THEN sz ELSE lo + 1 END] - dv[lo])
+           END AS mad
+    FROM (
+      SELECT key, ts, v, med, cnt, dv, sz,
+             (sz - 1) * 0.5 + 1 AS pos,
+             CASE WHEN sz > 0 THEN CAST(floor((sz - 1) * 0.5 + 1) AS BIGINT) ELSE 1 END AS lo
+      FROM (
+        SELECT key, ts, v, med, cnt,
+               list_sort(list_transform(w, x -> abs(x - med))) AS dv,
+               len(w) AS sz
+        FROM (SELECT key, ts, v,
+                     quantile_cont(v, 0.5) OVER ({_WIN} {_ROWS_EXCL}) AS med,
+                     list(v) OVER ({_WIN} {_ROWS_EXCL}) AS w,
+                     count(v) OVER ({_WIN} {_ROWS_EXCL}) AS cnt
+              FROM ({VALID_SQL}))
+      )
+    )
+  )
+)
         """,
         "minhash_dedup": """
 WITH sh AS (

@@ -20,7 +20,8 @@ from pyg_timeseries_spark.operators.fill import (  # native
 from pyg_timeseries_spark.operators.shift import shift, diff, ratio  # native
 from pyg_timeseries_spark.operators.rolling import (  # native
     rolling_sum, rolling_mean, rolling_rms, rolling_std, rolling_skew,
-    rolling_min, rolling_max, rolling_median, rolling_quantile, rolling_rank,
+    rolling_min, rolling_max, rolling_mad, rolling_median, rolling_quantile,
+    rolling_rank, rolling_theilsen,
 )
 from pyg_timeseries_spark.operators.expanding import (  # native
     cumsum, cumprod, expanding_mean, expanding_rms, expanding_std,
@@ -78,7 +79,7 @@ from pyg_timeseries_spark.operators.resample import (
 from pyg_timeseries_spark.operators.rolling_pair import (
     rolling_cor, rolling_beta, rolling_zscore,
 )
-from pyg_timeseries_spark.operators.clean import despike, winsorize
+from pyg_timeseries_spark.operators.clean import despike, hampel, winsorize
 from pyg_timeseries_spark.operators.align import asof_join
 from pyg_timeseries_spark.textops.vocab import token_entropy
 from pyg_timeseries_spark.textops.corpus import split_corpus

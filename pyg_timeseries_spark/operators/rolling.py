@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.functions.formulas import skew_calc, stdev_calc
 from pyg_timeseries_spark.operators._core import (
-    KEY, TS, VAL, apply_on_valid, w_rows,
+    KEY, TS, VAL, apply_on_valid, gated, w_rows,
 )
 
 
@@ -120,6 +120,126 @@ def rolling_quantile(df: DataFrame, n: int, q: float, key: str = KEY, ts: str = 
         df, n, key, ts, v, out,
         lambda w: F.expr(f"percentile({v}, {q!r})").over(w),
     )
+
+
+def sorted_interp_median(arr_expr):
+    """Exact median of an array expression: sort once (_let-bound so the
+    sort doesn't re-run per element_at — Catalyst does not hoist through
+    lambda scopes) and linearly interpolate at pos = (sz-1)*0.5 + 1, the
+    percentile/quantile_cont rule.  NULL on an empty array.  Shared by
+    the robust family (rolling_mad, hampel, rolling_theilsen)."""
+    from pyg_timeseries_spark.dedup.neardup import _let
+
+    def _interp(devs):
+        sz = F.size(devs)
+        pos = (sz.cast("double") - F.lit(1.0)) * F.lit(0.5) + F.lit(1.0)
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        vlo = F.element_at(devs, lo)
+        vhi = F.element_at(devs, F.least(lo + F.lit(1), sz))
+        return F.when(sz > 0, vlo + frac * (vhi - vlo))
+
+    return _let(F.array_sort(arr_expr), _interp)
+
+
+def rolling_mad(df: DataFrame, n: int, key: str = KEY, ts: str = TS,
+                v: str = VAL, out: str = "rolling_mad") -> DataFrame:
+    """Median absolute deviation over the trailing-``n`` valid window:
+    appends ``{out}_med`` (the window median) and ``{out}`` =
+    median(|x - med|) — the robust dispersion despike/winsorize users
+    switch to when the mean/std statistic is itself spike-contaminated
+    (robust z = (v - med) / (1.4826 * mad) for normal data).
+
+    The deviation median can't ride a plain frame aggregate (every frame
+    element is re-centred on the CURRENT row's window median), so the
+    frame is collected and reduced with higher-order array functions —
+    JVM-side, no Python, same single per-key Exchange as the rest of the
+    rolling family (the rolling_rank pattern).  The window median / frame
+    array / count materialize as plain columns FIRST (one Window pass),
+    so the transform lambda closes over an evaluated value, not a window
+    expression (Catalyst does not hoist through lambda scopes — the
+    shingling trap, dedup/neardup.py:_let), and the sorted deviation
+    array is _let-bound so array_sort runs once, not once per element_at.
+    Interpolation matches percentile/quantile_cont: pos = (sz-1)*q + 1
+    with linear blend."""
+    c = F.col(v)
+    w = w_rows(n, key, ts)
+    med_c, arr_c, cnt_c = f"__{out}_med", f"__{out}_arr", f"__{out}_cnt"
+    valid = (
+        df.filter(c.isNotNull())
+        .withColumn(med_c, F.expr(f"percentile({v}, 0.5)").over(w))
+        .withColumn(arr_c, F.collect_list(c).over(w))
+        .withColumn(cnt_c, F.count(v).over(w))
+    )
+    med, cnt = F.col(med_c), F.col(cnt_c)
+    mad = sorted_interp_median(
+        F.transform(F.col(arr_c), lambda x: F.abs(x - med))
+    )
+    valid = (
+        valid
+        .withColumn(f"{out}_med", gated(med, cnt, n))
+        .withColumn(out, gated(mad, cnt, n))
+        .drop(med_c, arr_c, cnt_c)
+    )
+    nulls = (
+        df.filter(c.isNull())
+        .withColumn(f"{out}_med", F.lit(None).cast("double"))
+        .withColumn(out, F.lit(None).cast("double"))
+    )
+    return valid.unionByName(nulls)
+
+
+def rolling_theilsen(df: DataFrame, n: int, key: str = KEY, ts: str = TS,
+                     v: str = VAL, out: str = "rolling_theilsen") -> DataFrame:
+    """Theil-Sen robust slope over the trailing-``n`` valid window: the
+    median of all pairwise slopes (x_j - x_i) / (j - i), 0 <= i < j < n,
+    with the observation index as the abscissa (count-window semantics,
+    like the rest of the rolling family — equally-spaced valid points).
+    Breakdown point ~29%: a single spike that would swing an OLS rolling
+    slope by O(spike/n) leaves the pairwise-slope median untouched.
+    Sen (1968); the window rendition of scipy.stats.theilslopes.
+
+    All JVM-side: the frame array materializes as a column first (the
+    lambda-scope rule, see rolling_mad), the n(n-1)/2 pair slopes build
+    with nested transforms + flatten, and the median is the shared
+    sorted-interpolated reduction.  O(n^2) per row — fine for the small
+    n this engine's rolling family targets."""
+    c = F.col(v)
+    w = w_rows(n, key, ts)
+    arr_c, cnt_c = f"__{out}_arr", f"__{out}_cnt"
+    valid = (
+        df.filter(c.isNotNull())
+        .withColumn(arr_c, F.collect_list(c).over(w))
+        .withColumn(cnt_c, F.count(v).over(w))
+    )
+
+    def _slopes(a):
+        sz = F.size(a)
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(2), F.greatest(sz, F.lit(2))),
+                lambda j: F.when(
+                    j <= sz,
+                    F.transform(
+                        F.sequence(F.lit(1), j - 1),
+                        lambda i: (F.element_at(a, j) - F.element_at(a, i))
+                        / (j - i).cast("double"),
+                    ),
+                ).otherwise(F.array().cast("array<double>")),
+            )
+        )
+
+    slope = sorted_interp_median(_slopes(F.col(arr_c)))
+    valid = (
+        valid
+        .withColumn(out, gated(slope, F.col(cnt_c), n))
+        .drop(arr_c, cnt_c)
+    )
+    nulls = (
+        df.filter(c.isNull())
+        .withColumn(out, F.lit(None).cast("double"))
+    )
+    return valid.unionByName(nulls)
 
 
 def rolling_rank(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,

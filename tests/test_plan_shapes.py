@@ -237,3 +237,22 @@ def test_trimmed_mean_bounds_broadcast(spark):
     plan = plan_of(ts_trimmed_mean(s))
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_robust_family_single_exchange_no_python(spark):
+    """rolling_mad / rolling_theilsen / hampel: the frame array + window
+    median + count materialize over ONE per-key exchange (the null rows
+    union back exchange-free), and the deviation/pair-slope medians are
+    higher-order array expressions — no Python evaluator anywhere."""
+    from pyg_timeseries_spark.operators.clean import hampel
+    from pyg_timeseries_spark.operators.rolling import (
+        rolling_mad, rolling_theilsen,
+    )
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    for df in (rolling_mad(s, 5), rolling_theilsen(s, 5), hampel(s, 5)):
+        plan = plan_of(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan

@@ -221,3 +221,126 @@ def test_trimmed_and_winsorized_mean(spark):
 def test_trimmed_mean_validation(spark):
     with pytest.raises(ValueError):
         ts_trimmed_mean(_series(spark, [1.0]), 0.9, 0.1).collect()
+
+
+# ---- rolling_mad ------------------------------------------------------------
+
+def test_rolling_mad_matches_numpy(spark):
+    from pyg_timeseries_spark.operators.rolling import rolling_mad
+
+    rng = np.random.default_rng(42)
+    vals = list(rng.normal(0, 1, 120))
+    vals[17] = np.nan
+    n = 7
+    got = (rolling_mad(_series(spark, vals), n).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    a = np.array(vals, dtype=float)
+    valid_idx = [i for i in range(len(a)) if not np.isnan(a[i])]
+    exp_med = np.full(len(a), np.nan)
+    exp_mad = np.full(len(a), np.nan)
+    for j, i in enumerate(valid_idx):
+        if j + 1 >= n:
+            w = a[[valid_idx[t] for t in range(j - n + 1, j + 1)]]
+            m = np.quantile(w, 0.5)
+            exp_med[i] = m
+            exp_mad[i] = np.quantile(np.abs(w - m), 0.5)
+    np.testing.assert_allclose(
+        got["rolling_mad_med"].to_numpy(float), exp_med,
+        rtol=1e-12, atol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(
+        got["rolling_mad"].to_numpy(float), exp_mad,
+        rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_rolling_mad_robust_to_spike(spark):
+    """A single gross spike moves the trailing MAD far less than the
+    trailing std — the reason the robust variant exists."""
+    from pyg_timeseries_spark.operators.rolling import rolling_mad
+
+    base = [float(x) for x in np.sin(np.arange(30))]
+    spiked = list(base)
+    spiked[20] = 1e6
+    n = 9
+    clean = (rolling_mad(_series(spark, base), n).toPandas()
+             .sort_values("ts")["rolling_mad"].to_numpy(float))
+    dirty = (rolling_mad(_series(spark, spiked), n).toPandas()
+             .sort_values("ts")["rolling_mad"].to_numpy(float))
+    # at the row after the spike the MAD is still within 3x the clean MAD
+    assert dirty[21] < 3 * clean[21]
+
+
+# ---- rolling_theilsen -------------------------------------------------------
+
+def _theilsen_numpy(w):
+    slopes = [(w[j] - w[i]) / (j - i)
+              for j in range(len(w)) for i in range(j)]
+    return np.quantile(slopes, 0.5)
+
+
+def test_rolling_theilsen_matches_numpy(spark):
+    from pyg_timeseries_spark.operators.rolling import rolling_theilsen
+
+    rng = np.random.default_rng(7)
+    vals = list(0.3 * np.arange(80) + rng.normal(0, 1, 80))
+    vals[11] = np.nan
+    n = 6
+    got = (rolling_theilsen(_series(spark, vals), n).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    a = np.array(vals, dtype=float)
+    valid_idx = [i for i in range(len(a)) if not np.isnan(a[i])]
+    exp = np.full(len(a), np.nan)
+    for j, i in enumerate(valid_idx):
+        if j + 1 >= n:
+            w = a[[valid_idx[t] for t in range(j - n + 1, j + 1)]]
+            exp[i] = _theilsen_numpy(w)
+    np.testing.assert_allclose(
+        got["rolling_theilsen"].to_numpy(float), exp,
+        rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_rolling_theilsen_ignores_spike(spark):
+    """A gross spike leaves the pairwise-slope median of a clean linear
+    trend essentially unchanged — the operator's reason to exist."""
+    from pyg_timeseries_spark.operators.rolling import rolling_theilsen
+
+    base = [float(2.0 * i) for i in range(30)]
+    spiked = list(base)
+    spiked[20] = 1e5
+    n = 9
+    dirty = (rolling_theilsen(_series(spark, spiked), n).toPandas()
+             .sort_values("ts")["rolling_theilsen"].to_numpy(float))
+    # windows containing the spike still read the true slope 2.0
+    assert abs(dirty[24] - 2.0) < 1e-9
+
+
+# ---- hampel -----------------------------------------------------------------
+
+def test_hampel_matches_python(spark):
+    from pyg_timeseries_spark.operators.clean import hampel
+
+    rng = np.random.default_rng(3)
+    vals = list(rng.normal(10, 1, 100))
+    vals[40] = 60.0
+    vals[41] = -55.0
+    vals[15] = np.nan
+    n, z = 10, 3.0
+    got = (hampel(_series(spark, vals), n, z).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    a = np.array(vals, dtype=float)
+    valid_idx = [i for i in range(len(a)) if not np.isnan(a[i])]
+    exp = np.array(a)
+    exp_flag = [None if np.isnan(a[i]) else False for i in range(len(a))]
+    for j, i in enumerate(valid_idx):
+        if j >= n:
+            w = a[[valid_idx[t] for t in range(j - n, j)]]
+            med = np.quantile(w, 0.5)
+            mad = np.quantile(np.abs(w - med), 0.5)
+            if mad > 0 and abs(a[i] - med) > z * 1.4826 * mad:
+                exp[i] = med
+                exp_flag[i] = True
+    np.testing.assert_allclose(
+        got["hampel"].to_numpy(float), exp,
+        rtol=1e-12, atol=1e-12, equal_nan=True)
+    assert list(got["hampel_flag"]) == exp_flag
+    # the two planted spikes were caught and replaced with the median
+    assert got["hampel_flag"][40] and got["hampel_flag"][41]
