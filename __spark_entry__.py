@@ -59,6 +59,33 @@ _ROWS_N = f"ROWS BETWEEN {N - 1} PRECEDING AND CURRENT ROW"
 _ROWS_INF = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 _ROWS_EXCL = f"ROWS BETWEEN {N} PRECEDING AND 1 PRECEDING"
 
+# Shared raw-sum ACF skeleton for the ts_acf / ts_ar2 oracles: lag columns
+# over the valid series, then per-key raw sums, then the demeaned cross
+# terms — the exact arithmetic operators/ts.py:ts_acf expands to.
+_ACF_CTE = """
+lagged AS (
+  SELECT key, v,
+         lag(v, 1) OVER (PARTITION BY key ORDER BY ts) AS l1,
+         lag(v, 2) OVER (PARTITION BY key ORDER BY ts) AS l2,
+         lag(v, 5) OVER (PARTITION BY key ORDER BY ts) AS l5
+  FROM ({valid})
+),
+sums AS (
+  SELECT key, count(v)::DOUBLE AS n, sum(v) AS s1, sum(v*v) AS s2,
+         sum(v*l1) AS xy1, sum(CASE WHEN l1 IS NOT NULL THEN v END) AS sx1, sum(l1) AS sy1,
+         sum(v*l2) AS xy2, sum(CASE WHEN l2 IS NOT NULL THEN v END) AS sx2, sum(l2) AS sy2,
+         sum(v*l5) AS xy5, sum(CASE WHEN l5 IS NOT NULL THEN v END) AS sx5, sum(l5) AS sy5
+  FROM lagged GROUP BY 1
+),
+acf AS (
+  SELECT key,
+         (xy1 - m*sx1 - m*sy1 + (n - 1) * m * m) / den AS r1,
+         (xy2 - m*sx2 - m*sy2 + (n - 2) * m * m) / den AS r2,
+         (xy5 - m*sx5 - m*sy5 + (n - 5) * m * m) / den AS r5
+  FROM (SELECT *, s1 / n AS m, s2 - n * (s1/n) * (s1/n) AS den FROM sums)
+)
+"""
+
 
 
 def _trunc_ntz(c, unit):
@@ -1776,6 +1803,54 @@ def q_rolling_theilsen(spark, sf_dir):
     return _valid_only(out, "rolling_theilsen")
 
 
+def q_quality_gate(spark, sf_dir):
+    """Per-source quantile band filter (textops/corpus.py quality_gate):
+    keep docs inside their source's [p20, p90] n_chars band — one tiny
+    per-source percentile aggregate broadcast back, corpus never
+    shuffles.  quantile_cont == percentile interpolation, and both
+    engines compare against the UNQUANTIZED bounds."""
+    from pyg_timeseries_spark.textops.corpus import quality_gate
+
+    d = quality_gate(load(spark, sf_dir, "documents"), "n_chars", 0.2, 0.9)
+    return d.select(
+        "doc_id", "source",
+        R6(F.col("__lo")).alias("lo"),
+        R6(F.col("__hi")).alias("hi"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
+def q_ts_acf(spark, sf_dir):
+    """Per-key sample ACF at lags 1/2/5 (operators/ts.py ts_acf): one
+    Window pass for all lag columns + one hash aggregate of raw sums,
+    cross terms expanded so the oracle replicates the identical
+    arithmetic."""
+    from pyg_timeseries_spark.operators.ts import ts_acf
+
+    a = ts_acf(_series(spark, sf_dir), lags=(1, 2, 5))
+    return a.select(
+        "key",
+        R6(F.col("acf_1")).alias("acf_1"),
+        R6(F.col("acf_2")).alias("acf_2"),
+        R6(F.col("acf_5")).alias("acf_5"),
+    )
+
+
+def q_ts_ar2(spark, sf_dir):
+    """Yule-Walker AR(2) per key (operators/ts.py ts_ar2): closed form
+    from the lag-1/2 autocorrelations, inheriting ts_acf's one-Exchange
+    shape."""
+    from pyg_timeseries_spark.operators.ts import ts_ar2
+
+    a = ts_ar2(_series(spark, sf_dir))
+    return a.select(
+        "key",
+        R6(F.col("phi1")).alias("phi1"),
+        R6(F.col("phi2")).alias("phi2"),
+        R6(F.col("sigma2_ratio")).alias("sigma2_ratio"),
+    )
+
+
 def q_hampel(spark, sf_dir):
     """Hampel robust despike (operators/clean.py hampel): replace points
     > z robust sigmas (1.4826 * trailing MAD) from the trailing median
@@ -2179,10 +2254,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
     first 50 entries.  Round-5 rotation: ts_quantile + asof_fwd (the only
     2 of 137 r4-registered queries never driver-stamped, added past the
-    cap late in r4) and the thirteen NEW r5 queries (components_incremental,
+    cap late in r4) and the sixteen NEW r5 queries (components_incremental,
     chunk_dedup, cluster_canonical, holt, holt_winters, kalman, cusum,
     drawdown, deseasonal, robust_mean, rolling_mad, rolling_theilsen,
-    hampel) move INTO the top-50; r4-stamped
+    hampel, quality_gate, ts_acf, ts_ar2) move INTO the top-50; r4-stamped
     near-duplicates of still-present family reps rotate out past the cap
     (rolling/expanding pairwise variants, xsec_winsorize, expanding_rank,
     cumprod, fnna, na2v_v2na — all keep their oracles).  With r5 stamps
@@ -2206,6 +2281,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_mad": q_rolling_mad,
         "rolling_theilsen": q_rolling_theilsen,
         "hampel": q_hampel,
+        "quality_gate": q_quality_gate,
+        "ts_acf": q_ts_acf,
+        "ts_ar2": q_ts_ar2,
         "cms_tokens": q_cms_tokens,
         "sessionize": q_sessionize,
         "align_ffill": q_align_ffill,
@@ -4282,6 +4360,34 @@ FROM (
     )
   )
 )
+        """,
+        "quality_gate": """
+WITH b AS (
+  SELECT source, quantile_cont(n_chars, 0.2) AS lo, quantile_cont(n_chars, 0.9) AS hi
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(floor(b.lo * 1000000 + 0.4997) AS BIGINT) AS lo,
+       CAST(floor(b.hi * 1000000 + 0.4997) AS BIGINT) AS hi,
+       CAST(d.n_chars >= b.lo AND d.n_chars <= b.hi AS BIGINT) AS keep
+FROM documents d JOIN b USING (source)
+        """,
+        "ts_acf": f"""
+WITH {_ACF_CTE.format(valid=VALID_SQL)}
+SELECT key,
+       CAST(floor(r1 * 1000000 + 0.4997) AS BIGINT) AS acf_1,
+       CAST(floor(r2 * 1000000 + 0.4997) AS BIGINT) AS acf_2,
+       CAST(floor(r5 * 1000000 + 0.4997) AS BIGINT) AS acf_5
+FROM acf
+        """,
+        "ts_ar2": f"""
+WITH {_ACF_CTE.format(valid=VALID_SQL)}
+SELECT key,
+       CAST(floor((r1 * (1 - r2) / (1 - r1*r1)) * 1000000 + 0.4997) AS BIGINT) AS phi1,
+       CAST(floor(((r2 - r1*r1) / (1 - r1*r1)) * 1000000 + 0.4997) AS BIGINT) AS phi2,
+       CAST(floor((1 - (r1 * (1 - r2) / (1 - r1*r1)) * r1
+                     - ((r2 - r1*r1) / (1 - r1*r1)) * r2) * 1000000 + 0.4997) AS BIGINT) AS sigma2_ratio
+FROM acf
         """,
         "minhash_dedup": """
 WITH sh AS (

@@ -292,3 +292,76 @@ def ts_argmin(df: DataFrame, key: str = KEY, ts: str = TS, v: str = VAL,
         .groupBy(key)
         .agg(F.min(F.struct(c.alias("v"), F.col(ts).alias("t")))["t"].alias(out))
     )
+
+
+def ts_acf(df: DataFrame, lags=(1,), key: str = KEY, ts: str = TS,
+           v: str = VAL, prefix: str = "acf") -> DataFrame:
+    """Per-key sample autocorrelation at the requested positive lags over
+    the valid series (NULLs skipped, count-lag semantics like the rolling
+    family): r_k = sum_{t>k} (x_t - m)(x_{t-k} - m) / sum_t (x_t - m)^2
+    with the full-series mean ``m`` — the standard biased ACF estimator
+    (Box-Jenkins; statsmodels ``acf`` default).  One row per key with a
+    ``{prefix}_{k}`` column per lag.
+
+    The cross term expands to raw sums so everything reduces in a single
+    partial+final hash aggregate: sum(x_t x_{t-k}) - m*sum_{t>k}(x_t) -
+    m*sum_{t>k}(x_{t-k}) + (n-k) m^2.  One Window pass builds every lag
+    column, and the groupBy reuses the window's per-key hash
+    partitioning — the whole operator is ONE Exchange regardless of how
+    many lags are requested."""
+    from pyg_timeseries_spark.operators._core import wspec
+
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("lags must be positive integers")
+    c = F.col(v)
+    w = wspec(key, ts)
+    valid = df.filter(c.isNotNull()).select(
+        key, v, *[F.lag(c, k).over(w).alias(f"__l{k}") for k in lags]
+    )
+    aggs = [
+        F.count(c).cast("double").alias("__n"),
+        F.sum(c).alias("__s"),
+        F.sum(c * c).alias("__s2"),
+    ]
+    for k in lags:
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(c * lk).alias(f"__xy{k}"),
+            F.sum(F.when(lk.isNotNull(), c)).alias(f"__sx{k}"),
+            F.sum(lk).alias(f"__sy{k}"),
+        ]
+    m = valid.groupBy(key).agg(*aggs)
+    mean = F.col("__s") / F.col("__n")
+    den = F.col("__s2") - F.col("__n") * mean * mean
+    out = [F.col(key) if isinstance(key, str) else key]
+    for k in lags:
+        num = (
+            F.col(f"__xy{k}")
+            - mean * F.col(f"__sx{k}") - mean * F.col(f"__sy{k}")
+            + (F.col("__n") - F.lit(float(k))) * mean * mean
+        )
+        out.append(
+            F.when(den > 0, num / den).alias(f"{prefix}_{k}")
+        )
+    return m.select(*out)
+
+
+def ts_ar2(df: DataFrame, key: str = KEY, ts: str = TS, v: str = VAL) -> DataFrame:
+    """Per-key Yule-Walker AR(2) fit from the lag-1/lag-2 sample
+    autocorrelations (closed form — Box-Jenkins 3.2.5): phi1 =
+    r1(1 - r2) / (1 - r1^2), phi2 = (r2 - r1^2) / (1 - r1^2), plus the
+    innovation-variance ratio sigma2_ratio = 1 - phi1 r1 - phi2 r2
+    (innovation variance over series variance).  Builds on
+    :func:`ts_acf`, so it inherits the one-Exchange shape."""
+    a = ts_acf(df, lags=(1, 2), key=key, ts=ts, v=v, prefix="__r")
+    r1, r2 = F.col("__r_1"), F.col("__r_2")
+    det = F.lit(1.0) - r1 * r1
+    phi1 = F.when(det != 0, r1 * (F.lit(1.0) - r2) / det)
+    phi2 = F.when(det != 0, (r2 - r1 * r1) / det)
+    return a.select(
+        key,
+        phi1.alias("phi1"),
+        phi2.alias("phi2"),
+        (F.lit(1.0) - phi1 * r1 - phi2 * r2).alias("sigma2_ratio"),
+    )

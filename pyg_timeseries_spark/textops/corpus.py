@@ -224,3 +224,47 @@ def boilerplate_coverage(
         F.col("id").alias(id_col), "n_grams", "n_boiler",
         (F.col("n_boiler") / F.col("n_grams")).alias("boiler_frac"),
     )
+
+
+def quality_gate(
+    docs: DataFrame,
+    score_col: str,
+    q_lo: float = 0.2,
+    q_hi: float | None = None,
+    source: str = "source",
+) -> DataFrame:
+    """Per-SOURCE quantile band filter on a numeric quality signal: keep
+    documents whose ``score_col`` sits inside their source's
+    [q_lo, q_hi] quantile band (``q_hi=None`` = no upper cut).  The band
+    is per-source because score scales are not comparable across crawls
+    — a pooled p20 cutoff silently deletes entire low-scoring-but-clean
+    sources, the classic corpus-filtering footgun the per-source band
+    exists to avoid (Gopher/CCNet filter per slice for the same reason).
+
+    Appends ``__lo`` / ``__hi`` (the source's band bounds, exact
+    percentile interpolation) and boolean ``keep``; filter on ``keep``
+    for the surviving corpus, or audit the realized per-source drop
+    rates from the flags.
+
+    Scale shape: ONE tiny (source) aggregate — exact percentile, two
+    values per source — broadcast back onto the corpus, then a filter
+    map.  The corpus itself never shuffles, same contract as
+    :func:`mixture_sample`."""
+    if not 0.0 <= q_lo <= 1.0 or (q_hi is not None and not 0.0 <= q_hi <= 1.0):
+        raise ValueError("quantiles must be in [0, 1]")
+    if q_hi is not None and q_hi < q_lo:
+        raise ValueError("q_hi < q_lo")
+    c = F.col(score_col).cast("double")
+    bounds = docs.groupBy(source).agg(
+        F.expr(f"percentile({score_col}, {q_lo!r})").alias("__lo"),
+        (
+            F.expr(f"percentile({score_col}, {q_hi!r})")
+            if q_hi is not None else F.lit(None).cast("double")
+        ).alias("__hi"),
+    )
+    keep = (c >= F.col("__lo")) & (
+        F.lit(q_hi is None) | (c <= F.col("__hi"))
+    )
+    return docs.join(F.broadcast(bounds), source, "left").withColumn(
+        "keep", F.coalesce(keep, F.lit(False))
+    )

@@ -151,3 +151,56 @@ def test_boilerplate_coverage(spark):
     assert (out.loc[range(6), "n_boiler"] >= 2).all()
     assert out.loc[99, "n_boiler"] == 0 and out.loc[99, "boiler_frac"] == 0.0
     assert ((0 <= out["boiler_frac"]) & (out["boiler_frac"] <= 1)).all()
+
+
+def test_quality_gate_band_per_source(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pyg_timeseries_spark.textops.corpus import quality_gate
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for s, mu in (("a", 100.0), ("b", 10.0)):
+        for i in range(200):
+            rows.append((f"{s}{i}", s, float(mu + rng.normal(0, mu / 10))))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "score"])
+    )
+    out = quality_gate(docs, "score", 0.2, 0.9).toPandas()
+    assert len(out) == 400
+    for s in ("a", "b"):
+        grp = out[out.source == s]
+        lo = np.quantile(grp["score"], 0.2)
+        hi = np.quantile(grp["score"], 0.9)
+        np.testing.assert_allclose(grp["__lo"].iloc[0], lo, rtol=1e-12)
+        np.testing.assert_allclose(grp["__hi"].iloc[0], hi, rtol=1e-12)
+        exp = (grp["score"] >= lo) & (grp["score"] <= hi)
+        assert (grp["keep"] == exp).all()
+    # the band is per-source: source b's entire range sits far below
+    # source a's lower bound, yet b still keeps ~70% of its docs
+    kept_b = out[(out.source == "b") & out.keep]
+    assert len(kept_b) > 100
+
+
+def test_quality_gate_no_upper_and_validation(spark):
+    import pandas as pd
+    import pytest as _pt
+
+    from pyg_timeseries_spark.textops.corpus import quality_gate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": list(range(10)),
+            "source": ["s"] * 10,
+            "score": [float(i) for i in range(10)],
+        })
+    )
+    out = quality_gate(docs, "score", 0.5).toPandas()
+    assert out["__hi"].isna().all()
+    # p50 of 0..9 is 4.5 -> keep = {5..9}, no upper cut
+    assert set(out[out.keep]["score"]) == set(map(float, range(5, 10)))
+    with _pt.raises(ValueError):
+        quality_gate(docs, "score", 0.9, 0.1)
+    with _pt.raises(ValueError):
+        quality_gate(docs, "score", -0.1)

@@ -256,3 +256,26 @@ def test_robust_family_single_exchange_no_python(spark):
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_quality_gate_bounds_broadcast(spark):
+    """The per-source band bounds re-attach as a broadcast join — the
+    corpus scan never shuffles for the gate."""
+    from pyg_timeseries_spark.textops.corpus import quality_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(quality_gate(docs, "n_chars", 0.2, 0.9))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ts_acf_single_exchange(spark):
+    """All lag columns build in one Window pass and the groupBy reuses
+    its per-key partitioning — one Exchange no matter how many lags."""
+    from pyg_timeseries_spark.operators.ts import ts_acf
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    plan = plan_of(ts_acf(s, lags=(1, 2, 5)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

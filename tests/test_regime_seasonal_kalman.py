@@ -344,3 +344,61 @@ def test_hampel_matches_python(spark):
     assert list(got["hampel_flag"]) == exp_flag
     # the two planted spikes were caught and replaced with the median
     assert got["hampel_flag"][40] and got["hampel_flag"][41]
+
+
+# ---- ts_acf / ts_ar2 --------------------------------------------------------
+
+def _acf_numpy(x, k):
+    x = np.asarray(x, float)
+    m = x.mean()
+    d = x - m
+    return float((d[k:] * d[:-k]).sum() / (d * d).sum())
+
+
+def test_ts_acf_matches_numpy(spark):
+    from pyg_timeseries_spark.operators.ts import ts_acf
+
+    rng = np.random.default_rng(5)
+    # AR(1)-ish series so the ACF is nontrivial
+    x = [0.0]
+    for _ in range(300):
+        x.append(0.7 * x[-1] + rng.normal())
+    vals = list(x)
+    vals[50] = np.nan  # NaN-skip: valid sequence contracts
+    got = ts_acf(_series(spark, vals), lags=(1, 2, 5)).toPandas()
+    clean = [v for v in vals if not np.isnan(v)]
+    for k in (1, 2, 5):
+        np.testing.assert_allclose(
+            got[f"acf_{k}"].iloc[0], _acf_numpy(clean, k),
+            rtol=1e-9, atol=1e-12)
+
+
+def test_ts_acf_validation(spark):
+    from pyg_timeseries_spark.operators.ts import ts_acf
+
+    with pytest.raises(ValueError):
+        ts_acf(_series(spark, [1.0, 2.0]), lags=(0,))
+    with pytest.raises(ValueError):
+        ts_acf(_series(spark, [1.0, 2.0]), lags=())
+
+
+def test_ts_ar2_recovers_ar2_coefficients(spark):
+    from pyg_timeseries_spark.operators.ts import ts_ar2
+
+    rng = np.random.default_rng(9)
+    phi1, phi2 = 0.5, -0.3
+    x = [0.0, 0.0]
+    for _ in range(4000):
+        x.append(phi1 * x[-1] + phi2 * x[-2] + rng.normal())
+    got = ts_ar2(_series(spark, x)).toPandas()
+    # Yule-Walker on 4k samples lands within a few percent of truth
+    assert abs(got["phi1"].iloc[0] - phi1) < 0.05
+    assert abs(got["phi2"].iloc[0] - phi2) < 0.05
+    # closed form exactly reproduces the numpy ACF arithmetic
+    r1 = _acf_numpy(x, 1)
+    r2 = _acf_numpy(x, 2)
+    det = 1 - r1 * r1
+    np.testing.assert_allclose(
+        got["phi1"].iloc[0], r1 * (1 - r2) / det, rtol=1e-9)
+    np.testing.assert_allclose(
+        got["phi2"].iloc[0], (r2 - r1 * r1) / det, rtol=1e-9)
