@@ -1851,6 +1851,27 @@ def q_ts_ar2(spark, sf_dir):
     )
 
 
+def q_rolling_trimmed(spark, sf_dir):
+    """Windowed trimmed mean (operators/rolling.py rolling_trimmed_mean):
+    mean of the trailing window's values inside its own [p10, p90] band.
+    Both engines fold the kept array sequentially in frame order, so the
+    sum is bit-identical."""
+    from pyg_timeseries_spark.operators.rolling import rolling_trimmed_mean
+
+    out = rolling_trimmed_mean(_series(spark, sf_dir), N, 0.1, 0.9)
+    return _valid_only(out, "rolling_trimmed_mean")
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay overlapping variance ratio VR(5) per key
+    (operators/ts.py ts_variance_ratio): raw-sum variances with (n-1)
+    denominators, one Window pass + one hash aggregate."""
+    from pyg_timeseries_spark.operators.ts import ts_variance_ratio
+
+    a = ts_variance_ratio(_series(spark, sf_dir), q=5)
+    return a.select("key", R6(F.col("variance_ratio")).alias("variance_ratio"))
+
+
 def q_hampel(spark, sf_dir):
     """Hampel robust despike (operators/clean.py hampel): replace points
     > z robust sigmas (1.4826 * trailing MAD) from the trailing median
@@ -2254,10 +2275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
     first 50 entries.  Round-5 rotation: ts_quantile + asof_fwd (the only
     2 of 137 r4-registered queries never driver-stamped, added past the
-    cap late in r4) and the sixteen NEW r5 queries (components_incremental,
+    cap late in r4) and the eighteen NEW r5 queries (components_incremental,
     chunk_dedup, cluster_canonical, holt, holt_winters, kalman, cusum,
     drawdown, deseasonal, robust_mean, rolling_mad, rolling_theilsen,
-    hampel, quality_gate, ts_acf, ts_ar2) move INTO the top-50; r4-stamped
+    hampel, quality_gate, ts_acf, ts_ar2, rolling_trimmed,
+    variance_ratio) move INTO the top-50; r4-stamped
     near-duplicates of still-present family reps rotate out past the cap
     (rolling/expanding pairwise variants, xsec_winsorize, expanding_rank,
     cumprod, fnna, na2v_v2na — all keep their oracles).  With r5 stamps
@@ -2284,6 +2306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "ts_acf": q_ts_acf,
         "ts_ar2": q_ts_ar2,
+        "rolling_trimmed": q_rolling_trimmed,
+        "variance_ratio": q_variance_ratio,
         "cms_tokens": q_cms_tokens,
         "sessionize": q_sessionize,
         "align_ffill": q_align_ffill,
@@ -4371,6 +4395,38 @@ SELECT d.doc_id, d.source,
        CAST(floor(b.hi * 1000000 + 0.4997) AS BIGINT) AS hi,
        CAST(d.n_chars >= b.lo AND d.n_chars <= b.hi AS BIGINT) AS keep
 FROM documents d JOIN b USING (source)
+        """,
+        "rolling_trimmed": f"""
+SELECT key, ts,
+       CASE WHEN cnt >= {N} AND len(kept) > 0 THEN CAST(floor(
+            (list_aggregate(kept, 'sum') / len(kept)) * 1000000 + 0.4997) AS BIGINT) END
+       AS rolling_trimmed_mean
+FROM (
+  SELECT key, ts, cnt, list_filter(w, x -> x >= blo AND x <= bhi) AS kept
+  FROM (SELECT key, ts,
+               quantile_cont(v, 0.1) OVER ({_WIN} {_ROWS_N}) AS blo,
+               quantile_cont(v, 0.9) OVER ({_WIN} {_ROWS_N}) AS bhi,
+               list(v) OVER ({_WIN} {_ROWS_N}) AS w,
+               count(v) OVER ({_WIN} {_ROWS_N}) AS cnt
+        FROM ({VALID_SQL}))
+)
+        """,
+        "variance_ratio": f"""
+WITH lagd AS (
+  SELECT key,
+         v - lag(v, 1) OVER (PARTITION BY key ORDER BY ts) AS d1,
+         v - lag(v, 5) OVER (PARTITION BY key ORDER BY ts) AS dq
+  FROM ({VALID_SQL})
+),
+s AS (
+  SELECT key, count(d1)::DOUBLE AS n1, sum(d1) AS s1, sum(d1*d1) AS s11,
+         count(dq)::DOUBLE AS nq, sum(dq) AS sq, sum(dq*dq) AS sqq
+  FROM lagd GROUP BY 1
+)
+SELECT key, CAST(floor(
+       (((sqq - sq*sq/nq) / (nq - 1)) / (5.0 * ((s11 - s1*s1/n1) / (n1 - 1))))
+       * 1000000 + 0.4997) AS BIGINT) AS variance_ratio
+FROM s
         """,
         "ts_acf": f"""
 WITH {_ACF_CTE.format(valid=VALID_SQL)}

@@ -251,6 +251,9 @@ def run_headline(spark, em) -> dict:
         # r5 additions: sub-doc chunk dedup, window-expression CUSUM, the
         # kernel-boundary Kalman filter, broadcast-profile deseasonalize
         "chunk_dedup", "cusum", "kalman", "deseasonal",
+        # robust family rep (window median + MAD + replacement, all
+        # higher-order array expressions) and the per-source gate
+        "hampel", "quality_gate",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()

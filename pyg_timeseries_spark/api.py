@@ -21,7 +21,7 @@ from pyg_timeseries_spark.operators.shift import shift, diff, ratio  # native
 from pyg_timeseries_spark.operators.rolling import (  # native
     rolling_sum, rolling_mean, rolling_rms, rolling_std, rolling_skew,
     rolling_min, rolling_max, rolling_mad, rolling_median, rolling_quantile,
-    rolling_rank, rolling_theilsen,
+    rolling_rank, rolling_theilsen, rolling_trimmed_mean,
 )
 from pyg_timeseries_spark.operators.expanding import (  # native
     cumsum, cumprod, expanding_mean, expanding_rms, expanding_std,
@@ -31,6 +31,7 @@ from pyg_timeseries_spark.operators.expanding import (  # native
 from pyg_timeseries_spark.operators.ts import (  # native (partial+final agg)
     ts_count, ts_sum, ts_mean, ts_rms, ts_std, ts_skew, ts_min, ts_max,
     ts_median, ts_cor, ts_interval, ts_argmax, ts_argmin, ts_quantile,
+    ts_acf, ts_ar2, ts_variance_ratio,
 )
 from pyg_timeseries_spark.operators.ewm import (  # kernel
     ewma, ewmrms, ewmstd, ewmvar, ewmskew,
@@ -64,7 +65,7 @@ from pyg_timeseries_spark.textops.packing import (
     pack_concat, pack_greedy, pack_stats,
 )
 from pyg_timeseries_spark.textops.corpus import (
-    contaminated_docs, decontaminate, sample_corpus,
+    contaminated_docs, decontaminate, quality_gate, sample_corpus,
 )
 from pyg_timeseries_spark.textops.analysis import (
     repetition_stats,  # Gopher repetition filters, expression-only

@@ -242,6 +242,60 @@ def rolling_theilsen(df: DataFrame, n: int, key: str = KEY, ts: str = TS,
     return valid.unionByName(nulls)
 
 
+def rolling_trimmed_mean(df: DataFrame, n: int, lo: float = 0.1,
+                         hi: float = 0.9, key: str = KEY, ts: str = TS,
+                         v: str = VAL,
+                         out: str = "rolling_trimmed_mean") -> DataFrame:
+    """Trimmed mean over the trailing-``n`` valid window: mean of the
+    values inside the window's own [lo, hi] quantile band (exact
+    percentile interpolation for the band bounds, values ON the bound
+    included) — the windowed rendition of :func:`~.ts.ts_trimmed_mean`.
+    Cheaper-to-reason-about robust location than the window median when
+    you still want averaging inside the band.
+
+    One Window pass materializes the band bounds + frame array; the
+    trim is a JVM-side filter + aggregate over the array.  NULL until
+    ``n`` valid observations (the rolling family's emission gate)."""
+    if not 0.0 <= lo <= hi <= 1.0:
+        raise ValueError("need 0 <= lo <= hi <= 1")
+    c = F.col(v)
+    w = w_rows(n, key, ts)
+    lo_c, hi_c, arr_c, cnt_c = (
+        f"__{out}_lo", f"__{out}_hi", f"__{out}_arr", f"__{out}_cnt"
+    )
+    valid = (
+        df.filter(c.isNotNull())
+        .withColumn(lo_c, F.expr(f"percentile({v}, {lo!r})").over(w))
+        .withColumn(hi_c, F.expr(f"percentile({v}, {hi!r})").over(w))
+        .withColumn(arr_c, F.collect_list(c).over(w))
+        .withColumn(cnt_c, F.count(v).over(w))
+    )
+    blo, bhi = F.col(lo_c), F.col(hi_c)
+    from pyg_timeseries_spark.dedup.neardup import _let
+
+    def _band_mean(kept):
+        sz = F.size(kept)
+        return F.when(
+            sz > 0,
+            F.aggregate(kept, F.lit(0.0), lambda acc, x: acc + x) / sz,
+        )
+
+    tmean = _let(
+        F.filter(F.col(arr_c), lambda x: (x >= blo) & (x <= bhi)),
+        _band_mean,
+    )
+    valid = (
+        valid
+        .withColumn(out, gated(tmean, F.col(cnt_c), n))
+        .drop(lo_c, hi_c, arr_c, cnt_c)
+    )
+    nulls = (
+        df.filter(c.isNull())
+        .withColumn(out, F.lit(None).cast("double"))
+    )
+    return valid.unionByName(nulls)
+
+
 def rolling_rank(df: DataFrame, n: int, key: str = KEY, ts: str = TS, v: str = VAL,
                  out: str = "rolling_rank") -> DataFrame:
     """Rank of the latest value within the trailing n valid values, scaled to

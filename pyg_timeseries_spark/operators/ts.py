@@ -365,3 +365,49 @@ def ts_ar2(df: DataFrame, key: str = KEY, ts: str = TS, v: str = VAL) -> DataFra
         phi2.alias("phi2"),
         (F.lit(1.0) - phi1 * r1 - phi2 * r2).alias("sigma2_ratio"),
     )
+
+
+def ts_variance_ratio(df: DataFrame, q: int = 5, key: str = KEY,
+                      ts: str = TS, v: str = VAL,
+                      out: str = "variance_ratio") -> DataFrame:
+    """Per-key overlapping variance ratio VR(q) = Var(x_t - x_{t-q}) /
+    (q * Var(x_t - x_{t-1})) over the valid series — the Lo & MacKinlay
+    (1988) random-walk diagnostic in its plain sample-variance form (no
+    finite-sample bias correction): VR ~ 1 for a random walk, < 1 mean-
+    reverting, > 1 trending.  Variances expand from raw sums with the
+    (n-1) denominator so the arithmetic replicates exactly on any
+    engine.
+
+    One Window pass builds both lag columns; one hash aggregate reduces
+    — a single Exchange, same shape as :func:`ts_acf`."""
+    from pyg_timeseries_spark.operators._core import wspec
+
+    q = int(q)
+    if q < 2:
+        raise ValueError("q must be >= 2")
+    c = F.col(v)
+    w = wspec(key, ts)
+    d1 = (c - F.lag(c, 1).over(w)).alias("__d1")
+    dq = (c - F.lag(c, q).over(w)).alias("__dq")
+    valid = df.filter(c.isNotNull()).select(key, d1, dq)
+    m = valid.groupBy(key).agg(
+        F.count("__d1").cast("double").alias("__n1"),
+        F.sum("__d1").alias("__s1"),
+        F.sum(F.col("__d1") * F.col("__d1")).alias("__s11"),
+        F.count("__dq").cast("double").alias("__nq"),
+        F.sum("__dq").alias("__sq"),
+        F.sum(F.col("__dq") * F.col("__dq")).alias("__sqq"),
+    )
+    var1 = (F.col("__s11") - F.col("__s1") * F.col("__s1") / F.col("__n1")) / (
+        F.col("__n1") - 1
+    )
+    varq = (F.col("__sqq") - F.col("__sq") * F.col("__sq") / F.col("__nq")) / (
+        F.col("__nq") - 1
+    )
+    return m.select(
+        key,
+        F.when(
+            (F.col("__n1") > 1) & (F.col("__nq") > 1) & (var1 > 0),
+            varq / (F.lit(float(q)) * var1),
+        ).alias(out),
+    )

@@ -402,3 +402,75 @@ def test_ts_ar2_recovers_ar2_coefficients(spark):
         got["phi1"].iloc[0], r1 * (1 - r2) / det, rtol=1e-9)
     np.testing.assert_allclose(
         got["phi2"].iloc[0], (r2 - r1 * r1) / det, rtol=1e-9)
+
+
+# ---- rolling_trimmed_mean ---------------------------------------------------
+
+def test_rolling_trimmed_mean_matches_numpy(spark):
+    from pyg_timeseries_spark.operators.rolling import rolling_trimmed_mean
+
+    rng = np.random.default_rng(13)
+    vals = list(rng.normal(0, 1, 90))
+    vals[9] = np.nan
+    vals[30] = 50.0                      # spike lands outside the band
+    n, lo, hi = 8, 0.1, 0.9
+    got = (rolling_trimmed_mean(_series(spark, vals), n, lo, hi).toPandas()
+           .sort_values("ts").reset_index(drop=True))
+    a = np.array(vals, dtype=float)
+    valid_idx = [i for i in range(len(a)) if not np.isnan(a[i])]
+    exp = np.full(len(a), np.nan)
+    for j, i in enumerate(valid_idx):
+        if j + 1 >= n:
+            w = a[[valid_idx[t] for t in range(j - n + 1, j + 1)]]
+            b_lo, b_hi = np.quantile(w, lo), np.quantile(w, hi)
+            kept = w[(w >= b_lo) & (w <= b_hi)]
+            exp[i] = kept.mean()
+    np.testing.assert_allclose(
+        got["rolling_trimmed_mean"].to_numpy(float), exp,
+        rtol=1e-12, atol=1e-12, equal_nan=True)
+
+
+def test_rolling_trimmed_mean_validation(spark):
+    from pyg_timeseries_spark.operators.rolling import rolling_trimmed_mean
+
+    with pytest.raises(ValueError):
+        rolling_trimmed_mean(_series(spark, [1.0]), 5, 0.9, 0.1)
+
+
+# ---- ts_variance_ratio ------------------------------------------------------
+
+def _vr_numpy(x, q):
+    x = np.asarray(x, float)
+    d1 = np.diff(x)
+    dq = x[q:] - x[:-q]
+    return dq.var(ddof=1) / (q * d1.var(ddof=1))
+
+
+def test_variance_ratio_matches_numpy(spark):
+    from pyg_timeseries_spark.operators.ts import ts_variance_ratio
+
+    rng = np.random.default_rng(17)
+    x = list(np.cumsum(rng.normal(0, 1, 400)))
+    got = ts_variance_ratio(_series(spark, x), q=5).toPandas()
+    np.testing.assert_allclose(
+        got["variance_ratio"].iloc[0], _vr_numpy(x, 5), rtol=1e-9)
+
+
+def test_variance_ratio_regimes(spark):
+    from pyg_timeseries_spark.operators.ts import ts_variance_ratio
+
+    rng = np.random.default_rng(19)
+    # strongly mean-reverting AR(1): VR(q) well below 1
+    mr = [0.0]
+    for _ in range(600):
+        mr.append(-0.7 * mr[-1] + rng.normal())
+    vr_mr = ts_variance_ratio(_series(spark, mr), q=5).toPandas()
+    assert vr_mr["variance_ratio"].iloc[0] < 0.6
+    # trending series: VR(q) well above 1
+    tr = list(np.cumsum(0.5 + rng.normal(0, 0.1, 600)))
+    # a pure trend has ~zero diff variance; add persistent noise
+    tr = list(np.cumsum(np.cumsum(rng.normal(0, 0.05, 300)) + rng.normal(0, 0.2, 300)))
+    vr_tr = ts_variance_ratio(_series(spark, tr), q=5).toPandas()
+    assert vr_tr["variance_ratio"].iloc[0] > 1.4
+    with pytest.raises(ValueError):
+        ts_variance_ratio(_series(spark, mr), q=1)
