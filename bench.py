@@ -254,6 +254,10 @@ def run_headline(spark, em) -> dict:
         # robust family rep (window median + MAD + replacement, all
         # higher-order array expressions) and the per-source gate
         "hampel", "quality_gate",
+        # r5 batch 2: O(n)-per-row array-dot fracdiff, two-edge-window
+        # linear interpolation, bucketed realized-vol decomposition,
+        # shuffle-free PII regexp maps, per-source window-cumsum sharding
+        "fracdiff", "interp", "realized_vol", "pii_scan", "shard_tokens",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()

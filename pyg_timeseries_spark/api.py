@@ -118,6 +118,18 @@ from pyg_timeseries_spark.operators.seasonal import (  # r5
 from pyg_timeseries_spark.operators.ts import (  # r5
     ts_trimmed_mean, ts_winsorized_mean,
 )
+from pyg_timeseries_spark.operators.ts import (  # r5 batch 2
+    ts_halflife, ts_ljungbox,
+)
+from pyg_timeseries_spark.operators.shift import (  # r5 batch 2
+    fracdiff, fracdiff_weights,
+)
+from pyg_timeseries_spark.operators.fill import interp  # r5 batch 2
+from pyg_timeseries_spark.operators.resample import realized_vol  # r5 batch 2
+from pyg_timeseries_spark.textops.analysis import (  # r5 batch 2
+    pii_redact, pii_scan,
+)
+from pyg_timeseries_spark.textops.packing import shard_by_budget  # r5 batch 2
 from pyg_timeseries_spark.textops.lm import (  # r4
     char_bigram_counts, perplexity_score,
 )

@@ -197,3 +197,41 @@ def ewfill(
         return pdf
 
     return df.groupBy(key).applyInPandas(fn, schema=out_schema)
+
+
+def interp(
+    df: DataFrame,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str | None = None,
+) -> DataFrame:
+    """Linear time-weighted interpolation of interior NULL runs per key:
+    a missing row between valid neighbours (t0, x0) and (t1, x1) gets
+    x0 + (x1 - x0) · (t - t0)/(t1 - t0) with exact integer-µs time
+    arithmetic (functions/timeutil.py — NTZ-safe, DST-proof).  Leading
+    and trailing NULLs (no neighbour on one side) stay NULL — the
+    bounded analog of pandas ``interpolate(method='time')``.
+
+    Complements :func:`ffill`/:func:`bfill`/:func:`ewfill` (SURVEY.md
+    §2.1 gap-fill family).  Plan shape: two ignore-nulls running-edge
+    windows over the SAME (key, ts) ordering — one Exchange + two sorts
+    Catalyst merges into forward and reverse passes; no join, no
+    Python."""
+    from pyg_timeseries_spark.functions.timeutil import ts_us
+
+    out = out or v
+    us = ts_us(df, ts)
+    wb = wspec(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = wspec(key, ts).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    c = F.col(v)
+    vus = F.when(c.isNotNull(), us)
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pt = F.last(vus, ignorenulls=True).over(wb)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nt = F.first(vus, ignorenulls=True).over(wf)
+    frac = (us - pt).cast("double") / (nt - pt).cast("double")
+    filled = F.when(c.isNotNull(), c).otherwise(
+        F.when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
+    )
+    return df.withColumn(out, filled)

@@ -145,3 +145,53 @@ def twap_resample(
          / F.when(F.sum("__dt") > 0, F.sum("__dt"))).alias("twap"),
         F.sum("__dt").alias("held_us"),
     )
+
+
+def realized_vol(
+    df: DataFrame,
+    width_s: float,
+    key: str = "key",
+    ts: str = "ts",
+    v: str = "v",
+    origin: str = _EPOCH,
+) -> DataFrame:
+    """Per-(key, bucket) realized-volatility decomposition from the valid
+    series' one-step differences r_t = x_t - x_{t-1} (NaN-skip lag like
+    the shift family): ``rv`` = Σ r² (realized variance, Andersen &
+    Bollerslev 1998), ``bpv`` = (π/2) Σ |r_t||r_{t-1}| (bipower
+    variation, Barndorff-Nielsen & Shephard 2004 — jump-robust), and
+    ``jump`` = max(rv − bpv, 0), the jump component.  Differences are
+    taken over the whole per-key series and attributed to the bucket of
+    the CURRENT observation, so the first return of a bucket spans the
+    boundary (the standard convention; a bucket with no prior obs
+    contributes nothing).
+
+    Shape: one lag Window pass + one partial+final hash aggregate — one
+    Exchange on key, group keys (key, bucket) extend the window's
+    partitioning."""
+    from pyg_timeseries_spark.operators._core import wspec
+    import math
+
+    c = F.col(v)
+    w = wspec(key, ts)
+    valid = df.filter(c.isNotNull())
+    r = (c - F.lag(c, 1).over(w)).alias("__r")
+    rl = (F.lag(c, 1).over(w) - F.lag(c, 2).over(w)).alias("__rl")
+    stepped = valid.select(
+        key, F.col(ts),
+        time_bucket_col(valid, ts, width_s, origin).alias("bucket"),
+        r, rl,
+    )
+    rr, rrl = F.col("__r"), F.col("__rl")
+    return (
+        stepped.groupBy(key, "bucket")
+        .agg(
+            F.count("__r").alias("n_ret"),
+            F.coalesce(F.sum(rr * rr), F.lit(0.0)).alias("rv"),
+            F.coalesce(
+                F.sum(F.abs(rr) * F.abs(rrl)) * F.lit(math.pi / 2.0),
+                F.lit(0.0),
+            ).alias("bpv"),
+        )
+        .withColumn("jump", F.greatest(F.col("rv") - F.col("bpv"), F.lit(0.0)))
+    )

@@ -98,3 +98,55 @@ def ratio(
     lagv = F.lag(v, n).over(w) if n > 0 else F.lead(v, -n).over(w)
     expr = F.when(lagv != 0.0, F.col(v) / lagv)
     return apply_on_valid(df, out, expr, v=v)
+
+
+def fracdiff_weights(d: float, n: int) -> list[float]:
+    """Fixed-width fractional-differencing weights w_0..w_{n-1}:
+    w_0 = 1, w_k = -w_{k-1} (d - k + 1) / k — the binomial expansion of
+    (1 - B)^d truncated at n terms (Hosking 1981; the fixed-width FFD
+    rendition popularized by Lopez de Prado, Advances in Financial
+    Machine Learning ch. 5)."""
+    ws = [1.0]
+    for k in range(1, n):
+        ws.append(-ws[-1] * (d - k + 1) / k)
+    return ws
+
+
+def fracdiff(
+    df: DataFrame,
+    d: float,
+    n: int,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    out: str = "fracdiff",
+) -> DataFrame:
+    """Fixed-width fractional differencing over the last ``n`` valid
+    observations: out_t = Σ_{k=0}^{n-1} w_k x_{t-k}, gated NULL until the
+    window is full (same count-n semantics as the rolling family —
+    reference window gating _rolling.py:446-463; the d=1, n=2 case
+    degenerates to :func:`diff`).
+
+    Scale shape: ONE trailing collect_list window (oldest→newest) dotted
+    against a literal weight array with ``zip_with`` + ``aggregate`` —
+    O(n) per row entirely inside the JVM, one Exchange on key, no
+    per-lag window expression blowup for large n.  The fold adds terms
+    oldest→newest so an oracle summing lag terms in the same order is
+    bit-identical."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyg_timeseries_spark.operators._core import w_rows
+
+    ws = fracdiff_weights(float(d), n)
+    # collect_list over the frame is oldest→newest; w_0 belongs to the
+    # newest element, so align against the reversed weight array.
+    rev = F.array(*[F.lit(float(x)) for x in reversed(ws)])
+    w = w_rows(n, key, ts)
+    arr = F.collect_list(v).over(w)
+    cnt = F.count(v).over(w)
+    dot = F.aggregate(
+        F.zip_with(arr, rev, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return apply_on_valid(df, out, F.when(cnt >= n, dot), v=v)

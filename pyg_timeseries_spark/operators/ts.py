@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.functions.formulas import cor_calc, skew_calc, stdev_calc
-from pyg_timeseries_spark.operators._core import KEY, TS, VAL
+from pyg_timeseries_spark.operators._core import KEY, TS, VAL, wspec
 
 
 def _moments(df: DataFrame, key: str, v: str, upto: int = 3) -> DataFrame:
@@ -411,3 +411,139 @@ def ts_variance_ratio(df: DataFrame, q: int = 5, key: str = KEY,
             varq / (F.lit(float(q)) * var1),
         ).alias(out),
     )
+
+
+def ts_halflife(df: DataFrame, key: str = KEY, ts: str = TS,
+                v: str = VAL) -> DataFrame:
+    """Per-key Ornstein-Uhlenbeck / AR(1) mean-reversion diagnostics over
+    the valid series: regress Δx_t on x_{t-1} (Δx = a + b·x_{t-1} + ε);
+    ``mr_beta`` = b (negative ⇒ mean-reverting), ``halflife`` =
+    -ln 2 / ln(1 + b) — the expected number of observations for a
+    deviation to decay halfway back (standard OU discretization; see
+    e.g. Chan, Algorithmic Trading 2013 ch. 2).  halflife is NULL unless
+    0 < 1 + b < 1, i.e. the fit is actually mean-reverting.
+
+    Shape: one lag Window pass + one partial+final hash aggregate of raw
+    sums (the :func:`ts_acf` pattern) — ONE Exchange, no Python."""
+    c = F.col(v)
+    w = wspec(key, ts)
+    lagv = F.lag(c, 1).over(w)
+    valid = df.filter(c.isNotNull()).select(
+        key, (c - lagv).alias("__dy"), lagv.alias("__x")
+    ).filter(F.col("__x").isNotNull())
+    m = valid.groupBy(key).agg(
+        F.count("__x").cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum("__dy").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__dy")).alias("__sxy"),
+    )
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    b = F.when(
+        den != 0,
+        (F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
+    )
+    rho = F.lit(1.0) + b
+    return m.select(
+        key,
+        b.alias("mr_beta"),
+        F.when(
+            (rho > 0) & (rho < 1), -F.log(F.lit(2.0)) / F.log(rho)
+        ).alias("halflife"),
+    )
+
+
+def ts_ljungbox(df: DataFrame, lags=(1, 2, 5), key: str = KEY, ts: str = TS,
+                v: str = VAL, out: str = "lb_q") -> DataFrame:
+    """Per-key Ljung-Box portmanteau statistic Q(m) = n(n+2) Σ_{k∈lags}
+    ρ_k² / (n − k) over the valid series (Ljung & Box 1978) — the
+    standard whiteness test fed by :func:`ts_acf`'s sample
+    autocorrelations, so it inherits the one-Window-pass + one-Exchange
+    shape.  Emits Q plus the per-key sample size n."""
+    lags = [int(k) for k in lags]
+    c = F.col(v)
+    w = wspec(key, ts)
+    valid = df.filter(c.isNotNull()).select(
+        key, v, *[F.lag(c, k).over(w).alias(f"__l{k}") for k in lags]
+    )
+    aggs = [
+        F.count(c).cast("double").alias("__n"),
+        F.sum(c).alias("__s"),
+        F.sum(c * c).alias("__s2"),
+    ]
+    for k in lags:
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(c * lk).alias(f"__xy{k}"),
+            F.sum(F.when(lk.isNotNull(), c)).alias(f"__sx{k}"),
+            F.sum(lk).alias(f"__sy{k}"),
+        ]
+    m = valid.groupBy(key).agg(*aggs)
+    n = F.col("__n")
+    mean = F.col("__s") / n
+    den = F.col("__s2") - n * mean * mean
+    q = F.lit(0.0)
+    for k in lags:
+        num = (
+            F.col(f"__xy{k}")
+            - mean * F.col(f"__sx{k}") - mean * F.col(f"__sy{k}")
+            + (n - F.lit(float(k))) * mean * mean
+        )
+        rk = num / den
+        q = q + rk * rk / (n - F.lit(float(k)))
+    q = F.when(den > 0, n * (n + F.lit(2.0)) * q)
+    return m.select(key, n.cast("long").alias("n"), q.alias(out))
+
+
+def ts_hurst(df: DataFrame, scales=(1, 2, 4, 8, 16), key: str = KEY,
+             ts: str = TS, v: str = VAL, out: str = "hurst") -> DataFrame:
+    """Per-key Hurst exponent by the aggregated-variance method: for each
+    scale q, the sample variance of the overlapping q-step differences
+    x_t − x_{t−q}; under self-similarity Var(q) ∝ q^{2H}, so H is half
+    the OLS slope of ln Var(q) on ln q (Beran 1994; the variance-time
+    plot classic).  H ≈ 0.5 random walk, > 0.5 trending, < 0.5 mean
+    reverting.  NULL when any scale's variance is non-positive or has
+    < 2 observations.
+
+    Shape: ALL difference columns in one lag Window pass, raw-sum hash
+    aggregate, closed-form 5-point regression in plain expressions —
+    one Exchange (the :func:`ts_acf` pattern)."""
+    import math
+
+    scales = [int(q) for q in scales]
+    if len(scales) < 2 or any(q < 1 for q in scales):
+        raise ValueError("need >= 2 positive scales")
+    c = F.col(v)
+    w = wspec(key, ts)
+    valid = df.filter(c.isNotNull()).select(
+        key, *[(c - F.lag(c, q).over(w)).alias(f"__d{q}") for q in scales]
+    )
+    aggs = []
+    for q in scales:
+        dq = F.col(f"__d{q}")
+        aggs += [
+            F.count(dq).cast("double").alias(f"__n{q}"),
+            F.sum(dq).alias(f"__s{q}"),
+            F.sum(dq * dq).alias(f"__ss{q}"),
+        ]
+    m = valid.groupBy(key).agg(*aggs)
+    lnq = {q: math.log(float(q)) for q in scales}
+    S = float(len(scales))
+    sum_lq = sum(lnq.values())
+    sum_lq2 = sum(x * x for x in lnq.values())
+    var_ = {}
+    ok = F.lit(True)
+    for q in scales:
+        nq = F.col(f"__n{q}")
+        vq = (F.col(f"__ss{q}") - F.col(f"__s{q}") * F.col(f"__s{q}") / nq) / (nq - 1)
+        var_[q] = vq
+        ok = ok & (nq > 1) & (vq > 0)
+    # Σ ln q · ln Var(q), folded in scale order (oracle adds in the same
+    # order for bit parity)
+    s_xy = F.lit(0.0)
+    s_y = F.lit(0.0)
+    for q in scales:
+        s_xy = s_xy + F.lit(lnq[q]) * F.log(var_[q])
+        s_y = s_y + F.log(var_[q])
+    slope = (F.lit(S) * s_xy - F.lit(sum_lq) * s_y) / F.lit(S * sum_lq2 - sum_lq * sum_lq)
+    return m.select(key, F.when(ok, slope / 2).alias(out))

@@ -252,3 +252,37 @@ def fingerprint(df: DataFrame, text: str = "text", shingle: int = 8,
             F.sequence(F.lit(1), n), lambda i: F.xxhash64(t.substr(i, F.lit(shingle)))
         )
     return df.withColumn(out, F.array_min(hashes))
+
+
+# PII patterns chosen for cross-engine (Java regex / RE2) portability:
+# no lookarounds, no backreferences.  \b and character classes behave
+# identically in both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+LONG_DIGITS_RE = r"\b\d{6,}\b"
+
+
+def pii_scan(df: DataFrame, text: str = "text") -> DataFrame:
+    """Count PII-shaped spans per document — emails, IPv4 addresses and
+    long digit runs (account/phone-number shaped) — the cheap scrubbing
+    pre-pass every web-corpus pipeline runs before training-data export
+    (cf. the C4/Dolma processing descriptions; patterns are public
+    folklore, deliberately lookaround-free so Java regex and RE2 agree).
+    Pure ``regexp_count`` maps — shuffle-free, whole-stage codegen."""
+    t = F.col(text)
+    return df.withColumn("n_email", F.regexp_count(t, F.lit(EMAIL_RE))) \
+             .withColumn("n_ipv4", F.regexp_count(t, F.lit(IPV4_RE))) \
+             .withColumn("n_longnum", F.regexp_count(t, F.lit(LONG_DIGITS_RE)))
+
+
+def pii_redact(df: DataFrame, text: str = "text",
+               out: str = "redacted") -> DataFrame:
+    """Replace PII-shaped spans with fixed tags (email → ``<EMAIL>``,
+    IPv4 → ``<IP>``, long digit runs → ``<NUM>``).  Order matters:
+    emails first so their domain digits aren't pre-mangled, IPs before
+    bare digit runs.  Three JVM ``regexp_replace`` passes, shuffle-free."""
+    t = F.col(text)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, LONG_DIGITS_RE, "<NUM>")
+    return df.withColumn(out, red)

@@ -130,3 +130,37 @@ def pack_stats(packed: DataFrame, max_len: int, key: str = "source",
             "pad_frac"
         ),
     )
+
+
+def shard_by_budget(
+    df: DataFrame,
+    budget: int,
+    weight: str = "n_tokens",
+    key: str = "source",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to an export shard so every shard carries
+    ~``budget`` total ``weight`` (tokens, chars, bytes): per key, order
+    docs by the deterministic md5(doc_id) coin (the engine's corpus
+    sampling convention), take the EXCLUSIVE running sum of weights, and
+    shard_id = floor(cum / budget).  A document never splits; shards
+    overflow by at most one document — the standard contiguous-fill
+    layout for training-data export (cf. pack_concat's prefix-sum plan,
+    which this reuses at document granularity).
+
+    Scale shape: one per-key window cumsum — one Exchange, parallel
+    across keys (shard files of a 100 TB corpus export per source in
+    parallel; no global total order, which would serialize on one
+    partition).  Emits (key, doc_id, weight, shard_id, cum_before)."""
+    coin = F.md5(F.col(doc_id).cast("string"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy(coin, doc_id)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(weight).over(w), F.lit(0)).cast("long")
+    return df.select(
+        key, doc_id, F.col(weight).alias("weight"),
+        cum.alias("cum_before"),
+        F.floor(cum / F.lit(int(budget))).cast("long").alias("shard_id"),
+    )

@@ -142,3 +142,64 @@ def token_entropy(
             "entropy"
         ),
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    size: int = 1000,
+    text: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-global token vocabulary: the ``size`` most frequent tokens
+    with contiguous ids 1..size by rank (count DESC, token ASC tie-break
+    — deterministic on any engine); id 0 is reserved for unknown.
+    Returns (word, cnt, id)."""
+    counts = (
+        doc_terms(docs, text, id_col="doc_id", lowercase=lowercase)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject — distributed
+    # map-side partial top-k, never a full sort of the token universe;
+    # the global row_number then runs over only `size` rows.
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(size)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+    return top.withColumn("id", F.row_number().over(w))
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    out: str = "ids",
+) -> DataFrame:
+    """Tokenize-and-encode: map each document's whitespace tokens to
+    vocabulary ids (unknown → 0), preserving token order — the
+    text→training-ids step of an LLM data pipeline.
+
+    Scale shape: posexplode to slim (doc, pos, word) rows, BROADCAST
+    vocab join (the vocab is tiny by construction), then ONE shuffle of
+    (doc, pos, id) integer rows re-assembles per-doc arrays via
+    sort_array on the (pos, id) struct — the document TEXT never
+    shuffles, only integer ids do.  Emits (id_col, n_tok, ids)."""
+    t = F.trim(F.col(text))
+    if lowercase:
+        t = F.lower(t)
+    toks = docs.select(
+        id_col, F.posexplode(F.split(t, WS)).alias("pos", "word")
+    ).filter(F.length("word") > 0)
+    joined = toks.join(F.broadcast(vocab.select("word", "id")), "word", "left")
+    enc = joined.select(
+        id_col, F.struct(F.col("pos"), F.coalesce(F.col("id"), F.lit(0)).alias("tid")).alias("p")
+    )
+    return (
+        enc.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("p")).alias("__ps"))
+        .select(
+            id_col,
+            F.size("__ps").alias("n_tok"),
+            F.transform(F.col("__ps"), lambda s: s["tid"]).alias(out),
+        )
+    )

@@ -279,3 +279,43 @@ def test_ts_acf_single_exchange(spark):
     plan = plan_of(ts_acf(s, lags=(1, 2, 5)))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_r5b_series_ops_single_exchange_no_python(spark):
+    """fracdiff / interp / ts_halflife / ts_ljungbox / realized_vol: one
+    per-key hash Exchange (window → [agg] reuses the partitioning), all
+    arithmetic JVM-side — no Python evaluator, no join, no cartesian."""
+    from pyg_timeseries_spark.operators.fill import interp
+    from pyg_timeseries_spark.operators.resample import realized_vol
+    from pyg_timeseries_spark.operators.shift import fracdiff
+    from pyg_timeseries_spark.operators.ts import ts_halflife, ts_ljungbox
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    for df in (
+        fracdiff(s, 0.4, 10),
+        interp(s, out="iv"),
+        ts_halflife(s),
+        ts_ljungbox(s),
+        realized_vol(s, 300.0),
+    ):
+        plan = plan_of(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_pii_and_sharding_shapes(spark):
+    """pii_scan/pii_redact are shuffle-free regexp maps; shard_by_budget
+    is ONE per-source window cumsum — no global single-partition sort."""
+    from pyg_timeseries_spark.textops.analysis import pii_redact, pii_scan
+    from pyg_timeseries_spark.textops.packing import shard_by_budget
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(pii_redact(pii_scan(docs)))
+    assert "Exchange" not in plan, plan
+    sharded = shard_by_budget(docs, 10000, weight="n_chars", key="source")
+    plan = plan_of(sharded)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

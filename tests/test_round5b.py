@@ -1,0 +1,186 @@
+"""Round-5 second-batch operators: fracdiff, interp, ts_halflife,
+ts_ljungbox, realized_vol, pii_scan/redact, shard_by_budget.
+
+Pandas/numpy replicas are the ground truth (the engine's standard test
+strategy, SURVEY.md §5); the driver's DuckDB value oracles cover the same
+ops end-to-end at sf0.01."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _per_key(pdf):
+    for k, g in pdf.sort_values(["key", "ts"]).groupby("key"):
+        yield k, g.reset_index(drop=True)
+
+
+def test_fracdiff_matches_numpy(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.shift import fracdiff, fracdiff_weights
+
+    d, n = 0.4, 10
+    out = (
+        fracdiff(series_df, d, n)
+        .filter(F.col("v").isNotNull())
+        .toPandas()
+        .sort_values(["key", "ts"])
+    )
+    ws = np.array(fracdiff_weights(d, n))
+    for k, g in _per_key(series_pdf):
+        x = g["v"].dropna().to_numpy()
+        exp = np.full(len(x), np.nan)
+        for t in range(n - 1, len(x)):
+            exp[t] = float(np.dot(ws, x[t - n + 1 : t + 1][::-1]))
+        got = out[out.key == k]["fracdiff"].to_numpy()
+        assert np.allclose(got, exp, equal_nan=True, atol=1e-12)
+
+
+def test_fracdiff_d1_is_diff(spark, series_df):
+    """(1-B)^1 truncated at n=2 is the plain first difference."""
+    from pyg_timeseries_spark.operators.shift import diff, fracdiff
+
+    a = fracdiff(series_df, 1.0, 2).filter(F.col("v").isNotNull()).toPandas()
+    b = diff(series_df).filter(F.col("v").isNotNull()).toPandas()
+    m = a.merge(b, on=["key", "ts"])
+    valid = m.dropna(subset=["fracdiff"])
+    assert len(valid) > 0
+    assert np.allclose(valid["fracdiff"], valid["diff"], atol=1e-12)
+
+
+def test_interp_matches_pandas_time(spark, series_df, series_pdf):
+    """Interior gaps == pandas interpolate(method='time', limit_area=
+    'inside'); edges stay NaN."""
+    from pyg_timeseries_spark.operators.fill import interp
+
+    out = interp(series_df, out="iv").toPandas().sort_values(["key", "ts"])
+    for k, g in _per_key(series_pdf):
+        s = pd.Series(g["v"].to_numpy(), index=pd.DatetimeIndex(g["ts"]))
+        exp = s.interpolate(method="time", limit_area="inside").to_numpy()
+        got = out[out.key == k]["iv"].to_numpy()
+        assert np.allclose(got, exp, equal_nan=True, atol=1e-9)
+
+
+def test_interp_preserves_valid_rows(spark, series_df):
+    from pyg_timeseries_spark.operators.fill import interp
+
+    out = interp(series_df, out="iv")
+    bad = out.filter(
+        F.col("v").isNotNull() & (F.col("iv") != F.col("v"))
+    ).count()
+    assert bad == 0
+
+
+def test_ts_halflife_closed_form(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.ts import ts_halflife
+
+    got = ts_halflife(series_df).toPandas().set_index("key")
+    for k, g in _per_key(series_pdf):
+        x = g["v"].dropna().to_numpy()
+        xp, dy = x[:-1], np.diff(x)
+        b = np.polyfit(xp, dy, 1)[0]
+        assert got.loc[k, "mr_beta"] == pytest.approx(b, abs=1e-9)
+        rho = 1.0 + b
+        if 0 < rho < 1:
+            assert got.loc[k, "halflife"] == pytest.approx(
+                -math.log(2) / math.log(rho), abs=1e-9
+            )
+
+
+def test_ljungbox_matches_numpy(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.ts import ts_ljungbox
+
+    lags = (1, 2, 5)
+    got = ts_ljungbox(series_df, lags=lags).toPandas().set_index("key")
+    for k, g in _per_key(series_pdf):
+        x = g["v"].dropna().to_numpy()
+        n, m = len(x), x.mean()
+        den = ((x - m) ** 2).sum()
+        q = 0.0
+        for lag in lags:
+            r = ((x[lag:] - m) * (x[:-lag] - m)).sum() / den
+            q += r * r / (n - lag)
+        q *= n * (n + 2)
+        assert got.loc[k, "n"] == n
+        assert got.loc[k, "lb_q"] == pytest.approx(q, rel=1e-9)
+
+
+def test_realized_vol_decomposition(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.resample import realized_vol
+
+    out = realized_vol(series_df, 3600.0).toPandas()
+    for k, g in _per_key(series_pdf):
+        gv = g.dropna(subset=["v"])
+        r = gv["v"].diff().to_numpy()
+        bucket = gv["ts"].dt.floor("1h").to_numpy()
+        exp = pd.DataFrame({"bucket": bucket, "r": r, "rl": np.roll(r, 1)})
+        exp.loc[0, "rl"] = np.nan
+        grp = exp.groupby("bucket").agg(
+            n_ret=("r", "count"),
+            rv=("r", lambda s: np.nansum(s**2) if s.notna().any() else 0.0),
+        )
+        sub = out[out.key == k].set_index("bucket").sort_index()
+        assert (sub["n_ret"] == grp["n_ret"]).all()
+        assert np.allclose(sub["rv"], grp["rv"], atol=1e-12)
+        # bipower: jump-robust — rv and bpv agree in order of magnitude on
+        # a jump-free Gaussian series, and jump = max(rv - bpv, 0) exactly.
+        assert np.allclose(
+            sub["jump"], np.maximum(sub["rv"] - sub["bpv"], 0.0), atol=1e-12
+        )
+
+
+def test_pii_scan_and_redact(spark):
+    from pyg_timeseries_spark.textops.analysis import pii_redact, pii_scan
+
+    rows = [
+        (1, "contact bob@example.com or alice.smith@sub.domain.org today"),
+        (2, "server at 10.0.0.1 and 192.168.255.254 up"),
+        (3, "acct 12345678 ref 999999 but 12345 is short"),
+        (4, "clean text, nothing here"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pii_redact(pii_scan(df)).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_email"] == 2
+    assert out.loc[2, "n_ipv4"] == 2
+    assert out.loc[3, "n_longnum"] == 2
+    assert out.loc[4, ["n_email", "n_ipv4", "n_longnum"]].sum() == 0
+    assert out.loc[1, "redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[2, "redacted"] == "server at <IP> and <IP> up"
+    assert out.loc[3, "redacted"] == "acct <NUM> ref <NUM> but 12345 is short"
+    assert pd.isna(out.loc[5, "redacted"])
+
+
+def test_shard_by_budget_invariants(spark):
+    from pyg_timeseries_spark.textops.packing import shard_by_budget
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "source": ["s%d" % (i % 3) for i in range(200)],
+            "n_tokens": [((i * 37) % 500) + 1 for i in range(200)],
+        }
+    )
+    out = shard_by_budget(
+        spark.createDataFrame(pdf), 1000, weight="n_tokens", key="source"
+    ).toPandas()
+    assert len(out) == 200
+    # every doc assigned exactly once, shard ids contiguous from 0 per source
+    for s, g in out.groupby("source"):
+        g = g.sort_values("cum_before")
+        ids = g["shard_id"].unique()
+        assert ids.min() == 0 and set(ids) == set(range(ids.max() + 1))
+        # exclusive prefix sum: cum_before is the running total of weights
+        assert (g["cum_before"].to_numpy()
+                == np.concatenate([[0], g["weight"].cumsum().to_numpy()[:-1]])).all()
+        # shard never exceeds budget by more than one doc: a doc starts in
+        # shard floor(cum_before/budget)
+        assert (g["shard_id"] == g["cum_before"] // 1000).all()
+    # deterministic: same input → same assignment
+    out2 = shard_by_budget(
+        spark.createDataFrame(pdf), 1000, weight="n_tokens", key="source"
+    ).toPandas()
+    m = out.merge(out2, on=["source", "doc_id"])
+    assert (m["shard_id_x"] == m["shard_id_y"]).all()
