@@ -258,6 +258,9 @@ def run_headline(spark, em) -> dict:
         # linear interpolation, bucketed realized-vol decomposition,
         # shuffle-free PII regexp maps, per-source window-cumsum sharding
         "fracdiff", "interp", "realized_vol", "pii_scan", "shard_tokens",
+        # r5 batch 3: raw-sum Hurst regression, windowed RSI, flanking-max
+        # peak detection, broadcast-vocab token encoding
+        "ts_hurst", "rolling_rsi", "ts_peaks", "encode_tokens",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()

@@ -136,3 +136,32 @@ def max_drawdown(
         best.getField("pk").alias("peak_at_max"),
         best.getField("tr").alias("trough_at_max"),
     )
+
+
+def ts_peaks(df: DataFrame, w: int = 2, key: str = "key", ts: str = "ts",
+             v: str = "v") -> DataFrame:
+    """Local-maximum detection over the valid series: a row is a peak
+    when its value strictly exceeds every one of the ``w`` valid
+    neighbours on BOTH sides (plateaus never peak — deterministic), with
+    ``prominence`` = v − max(highest neighbour on either side).  Rows
+    without w neighbours on each side (series edges) never qualify.
+    The scipy.signal.find_peaks neighbourhood rendition as two trailing/
+    leading max windows — one Exchange, all JVM-side.
+
+    Emits only the peak rows: (key, ts, v, prominence)."""
+    from pyg_timeseries_spark.operators._core import wspec
+
+    c = F.col(v)
+    valid = df.filter(c.isNotNull())
+    wp = wspec(key, ts).rowsBetween(-w, -1)
+    wn = wspec(key, ts).rowsBetween(1, w)
+    maxp = F.max(v).over(wp)
+    maxn = F.max(v).over(wn)
+    cntp = F.count(v).over(wp)
+    cntn = F.count(v).over(wn)
+    flagged = valid.select(
+        key, ts, v,
+        ((cntp == w) & (cntn == w) & (c > maxp) & (c > maxn)).alias("__pk"),
+        (c - F.greatest(maxp, maxn)).alias("prominence"),
+    )
+    return flagged.filter(F.col("__pk")).drop("__pk")

@@ -349,3 +349,38 @@ def rolling_quantile_heap(df: DataFrame, n: int, q: float,
         return pdf
 
     return df.groupBy(key).applyInPandas(fn, schema=out_schema)
+
+
+def rolling_rsi(df: DataFrame, n: int = 14, key: str = KEY, ts: str = TS,
+                v: str = VAL, out: str = "rsi") -> DataFrame:
+    """Relative Strength Index over the last ``n`` valid one-step
+    differences (Cutler's simple-mean form — deterministic, unlike
+    Wilder's recursive smoothing): RSI = 100 − 100/(1 + avg gain / avg
+    loss); 100 when the window has no losses.  NaN-skip diffs like the
+    shift family; gated NULL until n diffs are in the window.
+
+    Shape: one lag pass + one trailing window over the same (key, ts)
+    ordering — one Exchange, all JVM-side.  Gain/loss use explicit CASE
+    (not greatest) so the NULL first-diff row is excluded from the
+    window average on any engine."""
+    from pyg_timeseries_spark.operators._core import w_rows, wspec
+
+    valid = df.filter(F.col(v).isNotNull())
+    d = F.col(v) - F.lag(v, 1).over(wspec(key, ts))
+    stepped = valid.withColumn("__d", d)
+    dd = F.col("__d")
+    wn = w_rows(n, key, ts)
+    gain = F.avg(F.when(dd.isNotNull(), F.when(dd > 0, dd).otherwise(F.lit(0.0)))).over(wn)
+    loss = F.avg(F.when(dd.isNotNull(), F.when(dd < 0, -dd).otherwise(F.lit(0.0)))).over(wn)
+    cnt = F.count("__d").over(wn)
+    rsi = F.when(
+        cnt >= n,
+        F.when(loss == 0.0, F.lit(100.0)).otherwise(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + gain / loss)
+        ),
+    )
+    res = stepped.withColumn(out, rsi).drop("__d")
+    nulls = df.filter(F.col(v).isNull()).withColumn(
+        out, F.lit(None).cast("double")
+    )
+    return res.unionByName(nulls)

@@ -319,3 +319,28 @@ def test_pii_and_sharding_shapes(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_r5c_shapes(spark):
+    """ts_hurst / rolling_rsi / ts_peaks: one per-key Exchange, JVM-only.
+    encode_tokens: vocab attaches as a BroadcastExchange and the only
+    hash Exchanges move slim exploded token rows (the aggregate), never
+    a cartesian; build_vocab's top-k is TakeOrderedAndProject, not a
+    global sort."""
+    from pyg_timeseries_spark.operators.regime import ts_peaks
+    from pyg_timeseries_spark.operators.rolling import rolling_rsi
+    from pyg_timeseries_spark.operators.ts import ts_hurst
+    from pyg_timeseries_spark.sources.tables import events_series
+    from pyg_timeseries_spark.textops.vocab import build_vocab, encode_tokens
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    for df in (ts_hurst(s), rolling_rsi(s, 5), ts_peaks(s, 2)):
+        plan = plan_of(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "TakeOrderedAndProject" in plan_of(build_vocab(docs, 100))
+    plan = plan_of(encode_tokens(docs, build_vocab(docs, 100)))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan

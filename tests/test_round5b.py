@@ -184,3 +184,94 @@ def test_shard_by_budget_invariants(spark):
     ).toPandas()
     m = out.merge(out2, on=["source", "doc_id"])
     assert (m["shard_id_x"] == m["shard_id_y"]).all()
+
+
+def test_ts_hurst_discriminates(spark):
+    """H ≈ 0.5 for a random walk, near 1 for a strong trend, < 0.5 for
+    strong mean reversion — the diagnostic must rank the three."""
+    from pyg_timeseries_spark.operators.ts import ts_hurst
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    walk = np.cumsum(rng.normal(0, 1, n))
+    smooth = np.cumsum(walk)  # integrated walk: strongly persistent
+    mr = np.zeros(n)
+    for t in range(1, n):  # strongly mean-reverting AR(1): diff variance
+        mr[t] = 0.05 * mr[t - 1] + rng.normal(0, 1)  # saturates → H ≈ 0
+    pdf = pd.concat(
+        pd.DataFrame({
+            "key": k,
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "v": x,
+        })
+        for k, x in [("walk", walk), ("smooth", smooth), ("mr", mr)]
+    )
+    got = ts_hurst(spark.createDataFrame(pdf)).toPandas().set_index("key")["hurst"]
+    assert 0.35 < got["walk"] < 0.65
+    assert got["smooth"] > 0.75
+    assert got["mr"] < 0.2 < got["walk"] < got["smooth"]
+
+
+def test_rolling_rsi_bounds_and_known_values(spark):
+    from pyg_timeseries_spark.operators.rolling import rolling_rsi
+
+    pdf = pd.DataFrame({
+        "key": "k",
+        "ts": pd.date_range("2024-01-01", periods=8, freq="1min"),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 4.0, 3.0, 2.0],
+    })
+    out = (
+        rolling_rsi(spark.createDataFrame(pdf), 3)
+        .toPandas().sort_values("ts")["rsi"].to_numpy()
+    )
+    # diffs: _, 1, 1, 1, 1, -1, -1, -1 ; n=3 gate → first 3 rows NULL
+    assert np.isnan(out[:3]).all()
+    assert out[3] == 100.0 and out[4] == 100.0        # all gains
+    assert out[5] == pytest.approx(100 - 100 / (1 + (2/3) / (1/3)))
+    assert out[7] == pytest.approx(0.0)               # all losses
+    # bounded on random data
+    from conftest import make_series
+    s = spark.createDataFrame(make_series()).withColumn(
+        "v", F.when(F.isnan("v"), F.lit(None)).otherwise(F.col("v")))
+    vals = rolling_rsi(s, 5).toPandas()["rsi"].dropna()
+    assert ((vals >= 0) & (vals <= 100)).all()
+
+
+def test_ts_peaks_planted(spark):
+    from pyg_timeseries_spark.operators.regime import ts_peaks
+
+    v = [0.0, 1.0, 0.5, 3.0, 0.2, 0.1, 0.0, 5.0, 0.0, 0.0]
+    pdf = pd.DataFrame({
+        "key": "k",
+        "ts": pd.date_range("2024-01-01", periods=len(v), freq="1min"),
+        "v": v,
+    })
+    got = ts_peaks(spark.createDataFrame(pdf), w=2).toPandas()
+    # index 3 (3.0 > {1.0,0.5} and > {0.2,0.1}) and index 7 (5.0) qualify;
+    # index 1 lacks two left neighbours
+    assert sorted(got["ts"].dt.minute.tolist()) == [3, 7]
+    p3 = got[got.ts.dt.minute == 3]["prominence"].iloc[0]
+    assert p3 == pytest.approx(3.0 - 1.0)
+
+
+def test_encode_tokens_roundtrip(spark):
+    from pyg_timeseries_spark.textops.vocab import build_vocab, encode_tokens
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zebra unknownword the"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = build_vocab(docs, 4).toPandas().set_index("word")["id"]
+    # counts: the=4, sat=2, then alphabetical singles; top-4 deterministic
+    assert vocab["the"] == 1 and vocab["sat"] == 2
+    enc = encode_tokens(docs, build_vocab(docs, 4)).toPandas().set_index("doc_id")
+    assert enc.loc[1, "n_tok"] == 6
+    ids1 = enc.loc[1, "ids"]
+    assert ids1[0] == 1 and ids1[4] == 1          # both "the"
+    assert ids1[2] == 2                            # "sat"
+    # unknowns map to 0
+    assert 0 in set(enc.loc[3, "ids"])
+    # order preserved: doc 2 = the(1) dog(?) sat(2)
+    assert enc.loc[2, "ids"][0] == 1 and enc.loc[2, "ids"][2] == 2
