@@ -261,6 +261,10 @@ def run_headline(spark, em) -> dict:
         # r5 batch 3: raw-sum Hurst regression, windowed RSI, flanking-max
         # peak detection, broadcast-vocab token encoding
         "ts_hurst", "rolling_rsi", "ts_peaks", "encode_tokens",
+        # r5 batch 4: RANGE-window time aggregates, multi-lag fan-out,
+        # histogram entropy; interp regression-guards the O(n) backward
+        # edge (the unbounded-following frame was O(n²): 143s → sub-second)
+        "rolling_time", "make_lags", "ts_entropy",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()

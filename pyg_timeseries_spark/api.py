@@ -122,7 +122,10 @@ from pyg_timeseries_spark.operators.ts import (  # r5 batch 2
     ts_halflife, ts_ljungbox,
 )
 from pyg_timeseries_spark.operators.ts import ts_hurst  # r5 batch 3
+from pyg_timeseries_spark.operators.ts import ts_entropy  # r5 batch 4
 from pyg_timeseries_spark.operators.rolling import rolling_rsi  # r5 batch 3
+from pyg_timeseries_spark.operators.rolling import rolling_time_agg  # r5 b4
+from pyg_timeseries_spark.operators.shift import make_lags  # r5 batch 4
 from pyg_timeseries_spark.operators.regime import ts_peaks  # r5 batch 3
 from pyg_timeseries_spark.textops.vocab import (  # r5 batch 3
     build_vocab, encode_tokens,

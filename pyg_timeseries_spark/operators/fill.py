@@ -53,10 +53,21 @@ def bfill(
     out: str | None = None,
 ) -> DataFrame:
     """Backward-fill NULLs per key (forward-looking — deliberately not
-    state-aware, matching the reference: _rolling.py:630-646)."""
+    state-aware, matching the reference: _rolling.py:630-646).
+
+    The "first valid at-or-after" edge runs as ``last(ignorenulls)`` over
+    a REVERSE-ordered running frame, not first() over [current, UNBOUNDED
+    FOLLOWING]: Spark's unbounded-following frame re-evaluates the
+    aggregate per row — O(n²) per key (measured 143 s on a 2M-row key at
+    sf0.1) — while the reverse running frame is the incremental O(n)
+    UnboundedPreceding path at the cost of one extra (descending) sort."""
     out = out or v
-    w = wspec(key, ts).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    filled = F.first(v, ignorenulls=True).over(w)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last(v, ignorenulls=True).over(w)
     if n <= 0:
         return df.withColumn(out, filled)
     grp = F.sum(F.col(v).isNotNull().cast("int")).over(w)
@@ -214,22 +225,27 @@ def interp(
     bounded analog of pandas ``interpolate(method='time')``.
 
     Complements :func:`ffill`/:func:`bfill`/:func:`ewfill` (SURVEY.md
-    §2.1 gap-fill family).  Plan shape: two ignore-nulls running-edge
-    windows over the SAME (key, ts) ordering — one Exchange + two sorts
-    Catalyst merges into forward and reverse passes; no join, no
-    Python."""
+    §2.1 gap-fill family).  Plan shape: forward running-edge window +
+    REVERSE-ordered running-edge window (never [current, UNBOUNDED
+    FOLLOWING] — Spark re-evaluates that frame per row, O(n²) per key;
+    measured 143 s vs <1 s at sf0.1) — one Exchange + two sorts; no
+    join, no Python."""
     from pyg_timeseries_spark.functions.timeutil import ts_us
 
     out = out or v
     us = ts_us(df, ts)
     wb = wspec(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = wspec(key, ts).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     c = F.col(v)
     vus = F.when(c.isNotNull(), us)
     pv = F.last(v, ignorenulls=True).over(wb)
     pt = F.last(vus, ignorenulls=True).over(wb)
-    nv = F.first(v, ignorenulls=True).over(wf)
-    nt = F.first(vus, ignorenulls=True).over(wf)
+    nv = F.last(v, ignorenulls=True).over(wf)
+    nt = F.last(vus, ignorenulls=True).over(wf)
     frac = (us - pt).cast("double") / (nt - pt).cast("double")
     filled = F.when(c.isNotNull(), c).otherwise(
         F.when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)

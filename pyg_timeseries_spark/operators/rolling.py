@@ -384,3 +384,56 @@ def rolling_rsi(df: DataFrame, n: int = 14, key: str = KEY, ts: str = TS,
         out, F.lit(None).cast("double")
     )
     return res.unionByName(nulls)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    window_s: float,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    prefix: str = "tw",
+) -> DataFrame:
+    """Trailing TIME-window aggregates over the valid series: count /
+    sum / mean / min / max of the observations in the half-open interval
+    (t − window, t] — the wall-clock counterpart of the count-n rolling
+    family, for irregular series where "last n rows" and "last n
+    seconds" differ.  Implemented as ONE RANGE window over exact
+    integer-µs event time (functions/timeutil.py — NTZ-safe), so Spark
+    evaluates all five aggregates in a single sliding-frame pass; null
+    rows ride along with NULL outputs (NaN-skip identity).
+
+    At scale this is the same one-Exchange shape as rolling_mean; the
+    RANGE frame is sort-based and spillable, never buffering more than
+    the densest window per key."""
+    from pyspark.sql import Window
+
+    from pyg_timeseries_spark.functions.timeutil import ts_us
+
+    w_us = int(round(window_s * 1_000_000))
+    if w_us < 1:
+        raise ValueError("window_s must be >= 1µs")
+    us = ts_us(df, ts)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(us)
+        .rangeBetween(-(w_us - 1), Window.currentRow)
+    )
+    outs = {
+        f"{prefix}_cnt": F.count(v).over(w).cast("long"),
+        f"{prefix}_sum": F.sum(v).over(w),
+        f"{prefix}_mean": F.avg(v).over(w),
+        f"{prefix}_min": F.min(v).over(w),
+        f"{prefix}_max": F.max(v).over(w),
+    }
+    valid = df.filter(F.col(v).isNotNull()).select(
+        *df.columns, *[c.alias(n) for n, c in outs.items()]
+    )
+    nulls = df.filter(F.col(v).isNull()).select(
+        *df.columns,
+        *[
+            F.lit(None).cast(valid.schema[n].dataType).alias(n)
+            for n in outs
+        ],
+    )
+    return valid.unionByName(nulls)

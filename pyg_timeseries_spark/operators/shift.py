@@ -150,3 +150,35 @@ def fracdiff(
         lambda acc, x: acc + x,
     )
     return apply_on_valid(df, out, F.when(cnt >= n, dot), v=v)
+
+
+def make_lags(
+    df: DataFrame,
+    lags=(1, 2, 5),
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    prefix: str = "lag",
+) -> DataFrame:
+    """Feature-engineering fan-out: every requested NaN-skip lag of ``v``
+    as its own column in ONE window pass (negative entries are leads).
+    The ML-pipeline companion of :func:`shift` — N separate shift()
+    calls would still fuse into one Window in Catalyst, but this keeps
+    the intent (and the null-row union) in one place.  Null rows get
+    NULL in every lag column."""
+    lags = [int(k) for k in lags]
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    w = wspec(key, ts)
+    cols = {
+        f"{prefix}_{k}": (F.lag(v, k).over(w) if k >= 0 else F.lead(v, -k).over(w))
+        for k in lags
+    }
+    valid = df.filter(F.col(v).isNotNull()).select(
+        *df.columns, *[c.alias(n) for n, c in cols.items()]
+    )
+    nulls = df.filter(F.col(v).isNull()).select(
+        *df.columns,
+        *[F.lit(None).cast(valid.schema[n].dataType).alias(n) for n in cols],
+    )
+    return valid.unionByName(nulls)

@@ -547,3 +547,47 @@ def ts_hurst(df: DataFrame, scales=(1, 2, 4, 8, 16), key: str = KEY,
         s_y = s_y + F.log(var_[q])
     slope = (F.lit(S) * s_xy - F.lit(sum_lq) * s_y) / F.lit(S * sum_lq2 - sum_lq * sum_lq)
     return m.select(key, F.when(ok, slope / 2).alias(out))
+
+
+def ts_entropy(df: DataFrame, bins: int = 10, key: str = KEY, v: str = VAL,
+               out: str = "entropy") -> DataFrame:
+    """Per-key Shannon entropy of the value distribution over an
+    equal-width histogram of ``bins`` cells spanning [min, max]:
+    H = −Σ (c_b/n) ln(c_b/n) — the classic dispersion/information
+    diagnostic (0 for a constant series, up to ln(bins) for uniform).
+    The top edge folds into the last bin; a degenerate key (max == min)
+    gets H = 0.
+
+    Shape: one (min, max) aggregate broadcast back (the quality_gate
+    bounds pattern — the data never re-shuffles for the attach), then
+    one (key, bin) count aggregate + one per-key reduce.  All raw-sum
+    JVM arithmetic."""
+    bins = int(bins)
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    c = F.col(v)
+    bounds = df.filter(c.isNotNull()).groupBy(key).agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+    j = df.filter(c.isNotNull()).join(F.broadcast(bounds), on=key)
+    width = F.col("__mx") - F.col("__mn")
+    b = F.when(
+        width > 0,
+        F.least(
+            F.floor((c - F.col("__mn")) / width * F.lit(float(bins))).cast("long"),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    per_bin = j.groupBy(key, b.alias("__b")).agg(
+        F.count(v).cast("double").alias("__c")
+    )
+    totals = per_bin.groupBy(key).agg(
+        F.sum("__c").alias("__n"),
+        F.sum(F.col("__c") * F.log(F.col("__c"))).alias("__clnc"),
+    )
+    # H = ln n − (Σ c ln c)/n  — algebraically −Σ (c/n) ln(c/n), but the
+    # raw-sum form reduces in one associative aggregate.
+    return totals.select(
+        key,
+        (F.log(F.col("__n")) - F.col("__clnc") / F.col("__n")).alias(out),
+    )

@@ -344,3 +344,37 @@ def test_r5c_shapes(spark):
     plan = plan_of(encode_tokens(docs, build_vocab(docs, 100)))
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_unbounded_following_frames(spark):
+    """bfill / interp backward edges must run as reverse-ordered RUNNING
+    frames: Spark's [current, UNBOUNDED FOLLOWING] frame re-evaluates the
+    aggregate per row — O(n²) per key (measured 143 s vs <1 s on a
+    2M-row sf0.1 key before the rewrite)."""
+    from pyg_timeseries_spark.operators.fill import bfill, interp
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    for df in (bfill(s, out="b"), interp(s, out="iv")):
+        plan = plan_of(df)
+        assert "unboundedfollowing$()" not in plan, plan
+
+
+def test_r5d_shapes(spark):
+    """rolling_time_agg: all five aggregates in ONE RANGE window pass,
+    one Exchange.  make_lags: one window pass for every lag.
+    ts_entropy: bounds broadcast back; two hash aggregates."""
+    from pyg_timeseries_spark.operators.rolling import rolling_time_agg
+    from pyg_timeseries_spark.operators.shift import make_lags
+    from pyg_timeseries_spark.operators.ts import ts_entropy
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    for df in (rolling_time_agg(s, 300.0), make_lags(s, (1, 2, 5))):
+        plan = plan_of(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Window") <= 2, plan  # valid branch + null branch
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    plan = plan_of(ts_entropy(s))
+    assert "BroadcastExchange" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -275,3 +275,67 @@ def test_encode_tokens_roundtrip(spark):
     assert 0 in set(enc.loc[3, "ids"])
     # order preserved: doc 2 = the(1) dog(?) sat(2)
     assert enc.loc[2, "ids"][0] == 1 and enc.loc[2, "ids"][2] == 2
+
+
+def test_rolling_time_agg_matches_pandas(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.rolling import rolling_time_agg
+
+    out = (
+        rolling_time_agg(series_df, 300.0)
+        .filter(F.col("v").isNotNull())
+        .toPandas()
+        .sort_values(["key", "ts"])
+    )
+    for k, g in _per_key(series_pdf):
+        gv = g.dropna(subset=["v"])
+        s = pd.Series(gv["v"].to_numpy(), index=pd.DatetimeIndex(gv["ts"]))
+        # half-open (t-300s, t] == pandas closed='right' rolling
+        r = s.rolling("300s", closed="right")
+        sub = out[out.key == k]
+        assert (sub["tw_cnt"].to_numpy() == r.count().to_numpy()).all()
+        assert np.allclose(sub["tw_sum"], r.sum().to_numpy(), atol=1e-9)
+        assert np.allclose(sub["tw_mean"], r.mean().to_numpy(), atol=1e-9)
+        assert np.allclose(sub["tw_min"], r.min().to_numpy(), atol=1e-12)
+        assert np.allclose(sub["tw_max"], r.max().to_numpy(), atol=1e-12)
+
+
+def test_make_lags_matches_shift(spark, series_df):
+    from pyg_timeseries_spark.operators.shift import make_lags, shift
+
+    a = make_lags(series_df, (1, 3)).filter(F.col("v").isNotNull()).toPandas()
+    b = shift(series_df, 1).filter(F.col("v").isNotNull()).toPandas()
+    c = shift(series_df, 3).filter(F.col("v").isNotNull()).toPandas()
+    m = a.merge(b, on=["key", "ts"]).merge(c, on=["key", "ts"],
+                                           suffixes=("_1s", "_3s"))
+    assert np.allclose(m["lag_1"], m["shift_1s"], equal_nan=True)
+    assert np.allclose(m["lag_3"], m["shift_3s"], equal_nan=True)
+    # negative lag = lead
+    lead = make_lags(series_df, (-1,)).filter(F.col("v").isNotNull()).toPandas()
+    assert "lag_-1" in lead.columns
+
+
+def test_ts_entropy_extremes(spark):
+    from pyg_timeseries_spark.operators.ts import ts_entropy
+
+    n = 1000
+    rng = np.random.default_rng(3)
+    uniform = rng.uniform(0, 1, n)
+    const = np.full(n, 2.5)
+    spike = np.where(rng.random(n) < 0.99, 0.0, 1.0)  # concentrated
+    pdf = pd.concat(
+        pd.DataFrame({
+            "key": k,
+            "ts": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "v": x,
+        })
+        for k, x in [("uni", uniform), ("const", const), ("spike", spike)]
+    )
+    got = ts_entropy(spark.createDataFrame(pdf), bins=10).toPandas().set_index("key")["entropy"]
+    assert got["const"] == 0.0
+    assert got["uni"] == pytest.approx(math.log(10), abs=0.02)
+    assert got["spike"] < 0.1 < got["uni"]
+    # replica check on the uniform key
+    c, _ = np.histogram(uniform, bins=10,
+                        range=(uniform.min(), uniform.max()))
+    p = c[c > 0] / n
+    assert got["uni"] == pytest.approx(-(p * np.log(p)).sum(), rel=1e-9)
