@@ -265,6 +265,8 @@ def run_headline(spark, em) -> dict:
         # histogram entropy; interp regression-guards the O(n) backward
         # edge (the unbounded-following frame was O(n²): 143s → sub-second)
         "rolling_time", "make_lags", "ts_entropy",
+        # r5 batch 5: 4th-moment family + grid upsample over the as-of join
+        "ts_kurt", "jarque_bera", "to_grid",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()

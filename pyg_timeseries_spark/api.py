@@ -123,6 +123,10 @@ from pyg_timeseries_spark.operators.ts import (  # r5 batch 2
 )
 from pyg_timeseries_spark.operators.ts import ts_hurst  # r5 batch 3
 from pyg_timeseries_spark.operators.ts import ts_entropy  # r5 batch 4
+from pyg_timeseries_spark.operators.ts import (  # r5 batch 5
+    ts_jarque_bera, ts_kurtosis,
+)
+from pyg_timeseries_spark.operators.fill import to_grid  # r5 batch 5
 from pyg_timeseries_spark.operators.rolling import rolling_rsi  # r5 batch 3
 from pyg_timeseries_spark.operators.rolling import rolling_time_agg  # r5 b4
 from pyg_timeseries_spark.operators.shift import make_lags  # r5 batch 4

@@ -251,3 +251,65 @@ def interp(
         F.when(pv.isNotNull() & nv.isNotNull(), pv + (nv - pv) * frac)
     )
     return df.withColumn(out, filled)
+
+
+def to_grid(
+    df: DataFrame,
+    step_s: float,
+    key: str = KEY,
+    ts: str = TS,
+    v: str = VAL,
+    obs_ts: str = "obs_ts",
+) -> DataFrame:
+    """Regular-grid upsample: per key, emit one row every ``step_s``
+    seconds on the epoch-anchored grid, from the first grid line AT OR
+    AFTER the first valid observation through the last observation, each
+    carrying the as-of (latest at-or-before) value and its observation
+    timestamp — the long-format rendition of "resample to a regular
+    index then ffill" for irregular feeds.
+
+    Scale shape: the grid generates from a tiny per-key (min, max)
+    aggregate via sequence+explode (rows ∝ output, never a driver loop),
+    and values attach with :func:`operators.align.asof_join` — the
+    union + single-window as-of, one Exchange, no range join.  Exact
+    integer-µs arithmetic throughout; grid timestamps come back via
+    timestamp_add on the key's own first timestamp (NTZ-safe, the
+    time_bucket_col convention)."""
+    from pyg_timeseries_spark.functions.timeutil import us_expr_for_type
+    from pyg_timeseries_spark.operators.align import asof_join
+
+    step_us = int(round(step_s * 1_000_000))
+    if step_us < 1:
+        raise ValueError("step_s must be >= 1µs")
+    valid = df.filter(F.col(v).isNotNull())
+    b = valid.groupBy(key).agg(
+        F.min(ts).alias("__t0"), F.max(ts).alias("__t1")
+    )
+    us_of = us_expr_for_type(df.schema[ts].dataType)
+    u0, u1 = us_of(F.col("__t0")), us_of(F.col("__t1"))
+    start_off = F.pmod(F.lit(step_us) - F.pmod(u0, F.lit(step_us)), F.lit(step_us))
+    nsteps = F.floor((u1 - (u0 + start_off)) / F.lit(step_us)).cast("long")
+    grid = (
+        b.select(key, "__t0", start_off.alias("__so"), nsteps.alias("__n"))
+        # sequence(0, n) with n < 0 would generate a DESCENDING sequence —
+        # a key whose span holds no grid line emits nothing instead
+        .filter(F.col("__n") >= 0)
+        .select(
+            key, "__t0", "__so",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("__n"))).alias("__k"),
+        )
+        .select(
+            key,
+            F.timestamp_add(
+                "MICROSECOND",
+                (F.col("__k") * F.lit(step_us) + F.col("__so")).cast("long"),
+                F.col("__t0"),
+            ).alias(ts),
+        )
+    )
+    out = asof_join(grid, valid.select(key, ts, v), key=key, ts=ts,
+                    right_cols=[v])
+    return (
+        out.withColumnRenamed(f"{v}_r", v)
+        .withColumnRenamed("__asof_ts", obs_ts)
+    )

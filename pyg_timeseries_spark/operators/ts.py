@@ -591,3 +591,68 @@ def ts_entropy(df: DataFrame, bins: int = 10, key: str = KEY, v: str = VAL,
         key,
         (F.log(F.col("__n")) - F.col("__clnc") / F.col("__n")).alias(out),
     )
+
+
+def _moments4(df: DataFrame, key: str, v: str) -> DataFrame:
+    """Per-key raw power sums Σ1..Σx⁴ in one partial+final hash aggregate
+    — the 4th-order extension of _moments (the reference's resumable
+    moment vector, _ts.py:26-37)."""
+    c = F.col(v)
+    return df.groupBy(key).agg(
+        F.count(c).cast("double").alias("m0"),
+        F.sum(c).alias("m1"),
+        F.sum(c * c).alias("m2"),
+        F.sum(c * c * c).alias("m3"),
+        F.sum(c * c * c * c).alias("m4"),
+    )
+
+
+def _central_moments(prefix="m"):
+    """Central-moment expressions from raw sums: Σ(x−m)ᵏ expanded via the
+    binomial theorem (k = 2, 3, 4)."""
+    n, s1, s2, s3, s4 = (F.col(f"{prefix}{i}") for i in range(5))
+    mu = s1 / n
+    c2 = s2 - n * mu * mu
+    c3 = s3 - 3 * mu * s2 + 2 * n * mu * mu * mu
+    c4 = s4 - 4 * mu * s3 + 6 * mu * mu * s2 - 3 * n * mu * mu * mu * mu
+    return n, c2, c3, c4
+
+
+def ts_kurtosis(df: DataFrame, key: str = KEY, v: str = VAL, bias: bool = True,
+                out: str = "ts_kurt") -> DataFrame:
+    """Per-key excess kurtosis.  ``bias=True`` (default): the plain
+    moment estimator g2 = n·Σ(x−m)⁴ / (Σ(x−m)²)² − 3.  ``bias=False``:
+    the unbiased G2 correction (the pandas/SciPy ``kurt`` convention):
+    G2 = ((n+1)·g2 + 6) · (n−1)/((n−2)(n−3)).  NULL below 4 obs or on a
+    degenerate (zero-variance) key.  One hash aggregate."""
+    m = _moments4(df.filter(F.col(v).isNotNull()), key, v)
+    n, c2, c3, c4 = _central_moments()
+    g2 = n * c4 / (c2 * c2) - F.lit(3.0)
+    if not bias:
+        g2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return m.select(
+        key, F.when((n > 3) & (c2 > 0), g2).alias(out)
+    )
+
+
+def ts_jarque_bera(df: DataFrame, key: str = KEY, v: str = VAL) -> DataFrame:
+    """Per-key Jarque-Bera normality statistic JB = n/6 · (g1² + g2²/4)
+    from the biased moment skewness g1 = c3/c2^1.5·√n and excess
+    kurtosis g2 (Jarque & Bera 1980) — the standard residual-normality
+    screen, χ²(2) under the null.  Shares ts_kurtosis's single
+    fourth-moment aggregate; emits (skew_b, kurt_b, jb)."""
+    m = _moments4(df.filter(F.col(v).isNotNull()), key, v)
+    n, c2, c3, c4 = _central_moments()
+    # biased central-moment forms: m_k = c_k / n, g1 = m3/m2^1.5,
+    # g2 = m4/m2² − 3
+    m2 = c2 / n
+    g1 = (c3 / n) / F.pow(m2, F.lit(1.5))
+    g2 = (c4 / n) / (m2 * m2) - F.lit(3.0)
+    jb = n / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4.0))
+    ok = (n > 3) & (c2 > 0)
+    return m.select(
+        key,
+        F.when(ok, g1).alias("skew_b"),
+        F.when(ok, g2).alias("kurt_b"),
+        F.when(ok, jb).alias("jb"),
+    )

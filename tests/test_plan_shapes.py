@@ -378,3 +378,22 @@ def test_r5d_shapes(spark):
     plan = plan_of(ts_entropy(s))
     assert "BroadcastExchange" in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_r5e_shapes(spark):
+    """ts_kurtosis / ts_jarque_bera: ONE partial+final hash aggregate.
+    to_grid: grid explode + the union-window as-of — no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    from pyg_timeseries_spark.operators.fill import to_grid
+    from pyg_timeseries_spark.operators.ts import ts_jarque_bera, ts_kurtosis
+    from pyg_timeseries_spark.sources.tables import events_series
+
+    s = events_series(spark, "/root/testdata/sf0.001")
+    for df in (ts_kurtosis(s), ts_jarque_bera(s)):
+        plan = plan_of(df)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    plan = plan_of(to_grid(s, 300.0))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

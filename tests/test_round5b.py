@@ -339,3 +339,43 @@ def test_ts_entropy_extremes(spark):
                         range=(uniform.min(), uniform.max()))
     p = c[c > 0] / n
     assert got["uni"] == pytest.approx(-(p * np.log(p)).sum(), rel=1e-9)
+
+
+def test_kurtosis_and_jb_match_pandas_scipy(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.ts import ts_jarque_bera, ts_kurtosis
+
+    ku = ts_kurtosis(series_df, bias=False).toPandas().set_index("key")
+    jb = ts_jarque_bera(series_df).toPandas().set_index("key")
+    for k, g in _per_key(series_pdf):
+        x = pd.Series(g["v"].dropna().to_numpy())
+        n = len(x)
+        assert ku.loc[k, "ts_kurt"] == pytest.approx(x.kurt(), rel=1e-7)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        g1 = ((x - m) ** 3).mean() / m2 ** 1.5
+        g2 = ((x - m) ** 4).mean() / m2 ** 2 - 3
+        assert jb.loc[k, "skew_b"] == pytest.approx(g1, rel=1e-7)
+        assert jb.loc[k, "kurt_b"] == pytest.approx(g2, rel=1e-7)
+        assert jb.loc[k, "jb"] == pytest.approx(
+            n / 6 * (g1**2 + g2**2 / 4), rel=1e-7
+        )
+
+
+def test_to_grid_regular_and_asof(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.fill import to_grid
+
+    out = to_grid(series_df, 600.0).toPandas().sort_values(["key", "ts"])
+    for k, g in _per_key(series_pdf):
+        gv = g.dropna(subset=["v"]).set_index("ts")["v"]
+        sub = out[out.key == k]
+        # grid: every 600s, strictly regular, inside [first, last] obs
+        tus = sub["ts"].astype("int64").to_numpy()
+        assert (np.diff(tus) == 600 * 10**9).all()
+        assert (tus % (600 * 10**9) == 0).all()
+        assert sub["ts"].iloc[0] >= gv.index[0]
+        assert sub["ts"].iloc[-1] <= gv.index[-1]
+        # value at each grid point == pandas as-of
+        exp = gv.reindex(sub["ts"], method="ffill").to_numpy()
+        assert np.allclose(sub["v"].to_numpy(), exp, equal_nan=True)
+        # obs_ts is the matched observation's timestamp
+        assert (sub["obs_ts"] <= sub["ts"]).all()
