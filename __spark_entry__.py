@@ -2506,6 +2506,140 @@ def q_to_grid(spark, sf_dir):
     )
 
 
+def _token_id_docs(spark, sf_dir):
+    """documents → (doc_id, source, tokens) with the same md5-derived
+    32-token sequences as _md5_token_docs, keyed by doc_id — the input
+    shape for the per-sequence token analytics (diversity / bigram LM)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "source",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda j: F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit(","), j.cast("string"))),
+                        1, 8,
+                    ), 16, 10,
+                ).cast("long"),
+                F.lit(50257),
+            ).cast("int"),
+        ).alias("tokens"),
+    )
+
+
+def q_periodogram(spark, sf_dir):
+    """Per-key Schuster periodogram power at periods 4/8/16 observations
+    (operators/ts.py ts_periodogram): demeaned cos/sin projections as raw
+    sums — one row_number window + ONE hash aggregate for all periods."""
+    from pyg_timeseries_spark.operators.ts import ts_periodogram
+
+    a = ts_periodogram(_series(spark, sf_dir), periods=(4, 8, 16))
+    return a.select(
+        "key",
+        R6(F.col("pgram_4")).alias("p4"),
+        R6(F.col("pgram_8")).alias("p8"),
+        R6(F.col("pgram_16")).alias("p16"),
+    )
+
+
+def q_spearman(spark, sf_dir):
+    """Per-key Spearman rank correlation of (x, y) over jointly-valid
+    rows (operators/ts.py ts_spearman): fractional average-tie ranks in
+    window passes, Pearson of ranks via raw sums — one Exchange."""
+    from pyg_timeseries_spark.operators.ts import ts_spearman
+
+    a = ts_spearman(_pair_frame(spark, sf_dir))
+    return a.select("key", R6(F.col("spearman")).alias("spearman"))
+
+
+def q_ts_runs(spark, sf_dir):
+    """Per-key runs-up-and-down statistics (operators/ts.py ts_runs):
+    move directions from raw-double comparisons, gaps-and-islands run
+    ids, two aggregates riding the window's partitioning — one Exchange,
+    all-integer output (exact oracle, no rounding)."""
+    from pyg_timeseries_spark.operators.ts import ts_runs
+
+    return ts_runs(_series(spark, sf_dir))
+
+
+def q_token_diversity(spark, sf_dir):
+    """Per-sequence token-id diversity screen (textops/tokenstats.py
+    token_diversity): shuffle-free sorted-run-length fold over the raw
+    token arrays — n_tok / n_distinct exact, ratios and entropy R6."""
+    from pyg_timeseries_spark.textops.tokenstats import token_diversity
+
+    a = token_diversity(_token_id_docs(spark, sf_dir))
+    return a.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        R6(F.col("distinct_ratio")).alias("distinct_ratio"),
+        R6(F.col("top_share")).alias("top_share"),
+        R6(F.col("tok_entropy")).alias("tok_entropy"),
+    )
+
+
+def q_token_lm(spark, sf_dir):
+    """Token-id bigram LM scoring (textops/tokenstats.py): train
+    add-0.5-smoothed bigram model on the corpus itself, score every
+    sequence's cross-entropy — pre-aggregated per-doc pair counts join
+    the broadcast model; the token arrays never shuffle."""
+    from pyg_timeseries_spark.textops.tokenstats import (
+        token_bigram_counts, token_xent)
+
+    seqs = _token_id_docs(spark, sf_dir)
+    a = token_xent(seqs, token_bigram_counts(seqs))
+    return a.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        R6(F.col("tok_xent")).alias("tok_xent"),
+    )
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 of the corpus against the query {data, vector, merge}
+    (textops/bm25.py bm25_score): tf/df restrict to the query terms
+    before any aggregate, N and avgdl broadcast — text never shuffles."""
+    from pyg_timeseries_spark.textops.bm25 import bm25_score
+
+    a = bm25_score(load(spark, sf_dir, "documents"),
+                   ["data", "vector", "merge"])
+    return a.select(
+        "doc_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        R6(F.col("bm25")).alias("bm25"),
+    )
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-dimension embedding profile (similarity/embstats.py):
+    posexplode + map-side-combined moment aggregate on 64 keys."""
+    from pyg_timeseries_spark.similarity.embstats import embedding_stats
+
+    a = embedding_stats(load(spark, sf_dir, "embeddings"))
+    return a.select(
+        "dim",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        R6(F.col("mean")).alias("mean"),
+        R6(F.col("std")).alias("std"),
+        R6(F.col("min")).alias("mn"),
+        R6(F.col("max")).alias("mx"),
+    )
+
+
+def q_kmeans(spark, sf_dir):
+    """One deterministic Lloyd round over quantized embeddings
+    (similarity/ivf.py kmeans_profile): md5-seeded centroids, integer-
+    exact distances, per-cluster (n, inertia) — all-integer output."""
+    from pyg_timeseries_spark.similarity.ivf import kmeans_profile
+
+    return kmeans_profile(load(spark, sf_dir, "embeddings"),
+                          n_clusters=8, kmeans_iters=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
     first 50 entries.  Round-5 rotation: ts_quantile + asof_fwd (the only
@@ -2566,14 +2700,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_kurt": q_ts_kurt,
         "jarque_bera": q_jarque_bera,
         "to_grid": q_to_grid,
-        "cms_tokens": q_cms_tokens,
-        "sessionize": q_sessionize,
-        "align_ffill": q_align_ffill,
-        "despike": q_despike,
-        "token_entropy": q_token_entropy,
-        "corpus_split": q_corpus_split,
-        "series_pipeline": q_series_pipeline,
-        "stream_sessions": q_stream_sessions,
+        # sixth r5 batch: spectral / rank / runs diagnostics + the
+        # tokens-native and embedding-native pipeline ops
+        "periodogram": q_periodogram,
+        "spearman": q_spearman,
+        "ts_runs": q_ts_runs,
+        "token_diversity": q_token_diversity,
+        "token_lm": q_token_lm,
+        "bm25": q_bm25,
+        "embedding_stats": q_embedding_stats,
+        "kmeans": q_kmeans,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "tfidf_topk": q_tfidf_topk,
@@ -2606,7 +2742,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: all value-oracled; every entry driver-stamped green in
         # one of r2-r4 (r5 rotated the last two never-stamped into the
-        # top-50 above) ---------------------------------------------------
+        # top-50 above; the sixth r5 batch displaced these eight
+        # r4-stamped rows past the cap) ------------------------------------
+        "cms_tokens": q_cms_tokens,
+        "sessionize": q_sessionize,
+        "align_ffill": q_align_ffill,
+        "despike": q_despike,
+        "token_entropy": q_token_entropy,
+        "corpus_split": q_corpus_split,
+        "series_pipeline": q_series_pipeline,
+        "stream_sessions": q_stream_sessions,
         "asof_join": q_asof_join,
         "xsec_winsorize": q_xsec_winsorize,
         "expanding_median": q_expanding_median,
@@ -6010,6 +6155,233 @@ SELECT key, ts, CASE WHEN t0 <> 0
        THEN CAST(floor((t1/t0) * 1000000 + 0.4997) AS BIGINT) END AS ewma
 FROM rec
         """.replace("{SERIES}", SERIES_SQL),
+        # -- sixth r5 batch ------------------------------------------------
+        "periodogram": f"""
+            WITH v AS (
+              SELECT key, v,
+                     (row_number() OVER ({_WIN}) - 1)::DOUBLE AS t
+              FROM ({VALID_SQL})
+            ), a AS (
+              SELECT key, count(*)::DOUBLE AS n, sum(v) AS sx,
+                sum(v*cos(2*pi()/4*t))  AS xc4,  sum(v*sin(2*pi()/4*t))  AS xs4,
+                sum(cos(2*pi()/4*t))    AS sc4,  sum(sin(2*pi()/4*t))    AS ss4,
+                sum(v*cos(2*pi()/8*t))  AS xc8,  sum(v*sin(2*pi()/8*t))  AS xs8,
+                sum(cos(2*pi()/8*t))    AS sc8,  sum(sin(2*pi()/8*t))    AS ss8,
+                sum(v*cos(2*pi()/16*t)) AS xc16, sum(v*sin(2*pi()/16*t)) AS xs16,
+                sum(cos(2*pi()/16*t))   AS sc16, sum(sin(2*pi()/16*t))   AS ss16
+              FROM v GROUP BY key
+            )
+            SELECT key,
+              CAST(floor(((xc4 - sx/n*sc4)^2 + (xs4 - sx/n*ss4)^2)/n
+                         * 1000000 + 0.4997) AS BIGINT) AS p4,
+              CAST(floor(((xc8 - sx/n*sc8)^2 + (xs8 - sx/n*ss8)^2)/n
+                         * 1000000 + 0.4997) AS BIGINT) AS p8,
+              CAST(floor(((xc16 - sx/n*sc16)^2 + (xs16 - sx/n*ss16)^2)/n
+                         * 1000000 + 0.4997) AS BIGINT) AS p16
+            FROM a WHERE n > 1
+        """,
+        "spearman": """
+            WITH p AS (
+              SELECT event_type AS key,
+                     CASE WHEN value - floor(value) < 0.3
+                          THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT * FROM p WHERE x IS NOT NULL AND y IS NOT NULL
+            ), r AS (
+              SELECT key,
+                rank() OVER (PARTITION BY key ORDER BY x)
+                  + (count(*) OVER (PARTITION BY key, x) - 1)/2.0 AS rx,
+                rank() OVER (PARTITION BY key ORDER BY y)
+                  + (count(*) OVER (PARTITION BY key, y) - 1)/2.0 AS ry
+              FROM v
+            ), a AS (
+              SELECT key, count(*)::DOUBLE AS n, sum(rx) AS sx, sum(ry) AS sy,
+                     sum(rx*rx) AS sxx, sum(ry*ry) AS syy, sum(rx*ry) AS sxy
+              FROM r GROUP BY key
+            )
+            SELECT key, CASE WHEN n > 1 AND sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
+              THEN CAST(floor((sxy - sx*sy/n)
+                / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))
+                * 1000000 + 0.4997) AS BIGINT) END AS spearman
+            FROM a
+        """,
+        "ts_runs": f"""
+            WITH v AS ({VALID_SQL}),
+            st AS (
+              SELECT key, ts,
+                     (v > lag(v) OVER ({_WIN}))::INT AS up,
+                     lag(v) OVER ({_WIN}) AS pv
+              FROM v
+            ), s2 AS (
+              SELECT key, ts, up,
+                     CASE WHEN lag(up) OVER ({_WIN}) IS NULL
+                          OR up <> lag(up) OVER ({_WIN})
+                          THEN 1 ELSE 0 END AS chg
+              FROM st WHERE pv IS NOT NULL
+            ), rr AS (
+              SELECT key, up, sum(chg) OVER ({_WIN}) AS run FROM s2
+            ), pr AS (
+              SELECT key, run, count(*) AS len, min(up) AS dir
+              FROM rr GROUP BY 1, 2
+            )
+            SELECT key, sum(len) AS n_moves,
+                   sum(CASE WHEN dir = 1 THEN len ELSE 0 END) AS n_up,
+                   count(*) AS n_runs,
+                   max(CASE WHEN dir = 1 THEN len END) AS longest_up,
+                   max(CASE WHEN dir = 0 THEN len END) AS longest_down,
+                   count(*) - 1 AS n_reversals
+            FROM pr GROUP BY key
+        """,
+        "token_diversity": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(range(0, 32), j ->
+                         CAST(('0x' || substr(md5(doc_id || ',' || j), 1, 8))::BIGINT
+                              % 50257 AS INTEGER)) AS tokens
+              FROM documents
+            ), u AS (
+              SELECT doc_id, unnest(tokens) AS tok FROM t
+            ), c AS (
+              SELECT doc_id, tok, count(*)::DOUBLE AS c FROM u GROUP BY 1, 2
+            ), a AS (
+              SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS mx,
+                     sum(c * ln(c)) AS clnc
+              FROM c GROUP BY 1
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tok, nd AS n_distinct,
+              CAST(floor(nd/n * 1000000 + 0.4997) AS BIGINT) AS distinct_ratio,
+              CAST(floor(mx/n * 1000000 + 0.4997) AS BIGINT) AS top_share,
+              CAST(floor((ln(n) - clnc/n) * 1000000 + 0.4997) AS BIGINT) AS tok_entropy
+            FROM a
+        """,
+        "token_lm": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform(range(0, 32), j ->
+                         CAST(('0x' || substr(md5(doc_id || ',' || j), 1, 8))::BIGINT
+                              % 50257 AS INTEGER)) AS tokens
+              FROM documents
+            ), bg AS (
+              SELECT doc_id, tokens[i] AS prev, tokens[i+1] AS cur
+              FROM t, unnest(range(1, 32)) AS r(i)
+            ), m AS (
+              SELECT prev, cur, count(*) AS n FROM bg GROUP BY 1, 2
+            ), vv AS (
+              SELECT count(DISTINCT cur)::DOUBLE AS v FROM m
+            ), ctx AS (
+              SELECT prev, sum(n) AS n_prev FROM m GROUP BY 1
+            ), probs AS (
+              SELECT m.prev, m.cur,
+                     (m.n + 0.5) / (ctx.n_prev + 0.5 * vv.v) AS p
+              FROM m, vv JOIN ctx ON m.prev = ctx.prev
+            ), dbg AS (
+              SELECT doc_id, prev, cur, count(*)::DOUBLE AS c
+              FROM bg GROUP BY 1, 2, 3
+            ), sc AS (
+              SELECT dbg.doc_id, dbg.c, p.p
+              FROM dbg LEFT JOIN probs p
+                ON dbg.prev = p.prev AND dbg.cur = p.cur
+            )
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              CAST(floor(-(sum(c * ln(p)) / sum(c)) * 1000000 + 0.4997) AS BIGINT)
+                  AS tok_xent
+            FROM sc GROUP BY 1
+        """,
+        "bm25": r"""
+            WITH dd AS (
+              SELECT doc_id, lower(trim(text)) AS t FROM documents
+            ), dl AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(t, '\s+'),
+                                     w -> len(w) > 0))::DOUBLE AS dl
+              FROM dd
+            ), consts AS (
+              SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+            ), w AS (
+              SELECT doc_id, unnest(regexp_split_to_array(t, '\s+')) AS word
+              FROM dd
+            ), h AS (
+              SELECT doc_id, word FROM w
+              WHERE len(word) > 0 AND word IN ('data', 'vector', 'merge')
+            ), tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM h GROUP BY 1, 2
+            ), dfr AS (
+              SELECT word, count(DISTINCT doc_id)::DOUBLE AS df FROM h GROUP BY 1
+            )
+            SELECT tf.doc_id, count(*) AS n_hits,
+              CAST(floor(sum(
+                ln((c.n - dfr.df + 0.5)/(dfr.df + 0.5) + 1.0)
+                * tf.tf * 2.2 / (tf.tf + 1.2*(0.25 + 0.75*dl.dl/c.avgdl))
+              ) * 1000000 + 0.4997) AS BIGINT) AS bm25
+            FROM tf JOIN dfr USING (word)
+                 JOIN dl ON tf.doc_id = dl.doc_id, consts c
+            GROUP BY 1
+        """,
+        "embedding_stats": """
+            WITH u AS (
+              SELECT i - 1 AS dim, e.embedding[i]::DOUBLE AS x
+              FROM embeddings e, unnest(range(1, 65)) AS r(i)
+              WHERE e.embedding IS NOT NULL
+            ), f AS (
+              SELECT dim,
+                     CASE WHEN x IS NULL OR isnan(x) OR isinf(x)
+                          THEN NULL ELSE x END AS good,
+                     (x IS NULL OR isnan(x) OR isinf(x))::BIGINT AS bad
+              FROM u
+            )
+            SELECT dim, count(good) AS n, sum(bad) AS n_bad,
+              CAST(floor(avg(good) * 1000000 + 0.4997) AS BIGINT) AS mean,
+              CAST(floor(stddev_samp(good) * 1000000 + 0.4997) AS BIGINT) AS std,
+              CAST(floor(min(good) * 1000000 + 0.4997) AS BIGINT) AS mn,
+              CAST(floor(max(good) * 1000000 + 0.4997) AS BIGINT) AS mx
+            FROM f GROUP BY dim
+        """,
+        "kmeans": """
+            WITH e AS (
+              SELECT vec_id AS id,
+                     list_transform(embedding::DOUBLE[],
+                                    x -> CAST(floor(x*1000) AS BIGINT)) AS iv
+              FROM embeddings
+            ), cent AS (
+              SELECT iv AS cv,
+                     row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1 AS cid
+              FROM e ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT 8
+            ), d0 AS (
+              SELECT e.id, e.iv, c.cid,
+                     list_sum(list_transform(generate_series(1, 64),
+                         j -> (e.iv[j]-c.cv[j])*(e.iv[j]-c.cv[j]))) AS d
+              FROM e, cent c
+            ), a0 AS (
+              SELECT id, iv, cid FROM (
+                SELECT id, iv, cid,
+                       row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+                FROM d0
+              ) WHERE rn = 1
+            ), dims AS (
+              SELECT cid, g.j, CAST(trunc(avg(iv[g.j])) AS BIGINT) AS m
+              FROM a0, generate_series(1, 64) AS g(j) GROUP BY cid, g.j
+            ), refined AS (
+              SELECT cid, list(m ORDER BY j) AS cv FROM dims GROUP BY cid
+            ), cents1 AS (
+              SELECT c.cid, coalesce(r.cv, c.cv) AS cv
+              FROM cent c LEFT JOIN refined r ON c.cid = r.cid
+            ), d1 AS (
+              SELECT e.id, c.cid,
+                     list_sum(list_transform(generate_series(1, 64),
+                         j -> (e.iv[j]-c.cv[j])*(e.iv[j]-c.cv[j]))) AS d
+              FROM e, cents1 c
+            ), a1 AS (
+              SELECT id, cid, d FROM (
+                SELECT id, cid, d,
+                       row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+                FROM d1
+              ) WHERE rn = 1
+            )
+            SELECT cid AS cluster, count(*) AS n, sum(d) AS inertia
+            FROM a1 GROUP BY 1
+        """,
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.
     }

@@ -9,7 +9,7 @@ partitions.  All formulas come from functions/formulas.py for parity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyg_timeseries_spark.functions.formulas import cor_calc, skew_calc, stdev_calc
@@ -655,4 +655,147 @@ def ts_jarque_bera(df: DataFrame, key: str = KEY, v: str = VAL) -> DataFrame:
         F.when(ok, g1).alias("skew_b"),
         F.when(ok, g2).alias("kurt_b"),
         F.when(ok, jb).alias("jb"),
+    )
+
+
+def ts_periodogram(df: DataFrame, periods=(4, 8, 16), key: str = KEY,
+                   ts: str = TS, v: str = VAL,
+                   prefix: str = "pgram") -> DataFrame:
+    """Per-key Schuster periodogram power at the requested integer
+    periods over the valid series indexed by observation rank
+    t = 0..n−1 (NULLs skipped): for ω = 2π/p,
+    I(p) = (C² + S²) / n with C = Σ (x_t − m) cos ωt and
+    S = Σ (x_t − m) sin ωt — the classic hidden-periodicity detector
+    (Schuster 1898; Percival & Walden ch. 6).  Demeaning folds into raw
+    sums (C = Σ x cos − m Σ cos), so the whole operator is ONE
+    row_number window pass + ONE partial+final hash aggregate — one
+    Exchange regardless of how many periods are probed, the
+    :func:`ts_acf` shape.  A key with n < 2 emits NULLs.
+
+    At 100 TB this beats any FFT-shaped rendition: no per-key gather of
+    the series into one task, no Python — each period is three extra
+    double sums riding the same map-side partial aggregate."""
+    import math
+
+    periods = [int(p) for p in periods]
+    if not periods or any(p < 2 for p in periods):
+        raise ValueError("periods must be integers >= 2")
+    c = F.col(v)
+    w = wspec(key, ts)
+    t = (F.row_number().over(w) - 1).cast("double")
+    cols = [F.col(key) if isinstance(key, str) else key, c.alias("__x")]
+    for p in periods:
+        om = 2.0 * math.pi / float(p)
+        cols.append(F.cos(F.lit(om) * t).alias(f"__c{p}"))
+        cols.append(F.sin(F.lit(om) * t).alias(f"__s{p}"))
+    valid = df.filter(c.isNotNull()).select(*cols)
+    x = F.col("__x")
+    aggs = [F.count(x).cast("double").alias("__n"), F.sum(x).alias("__sx")]
+    for p in periods:
+        cp, sp = F.col(f"__c{p}"), F.col(f"__s{p}")
+        aggs += [
+            F.sum(x * cp).alias(f"__xc{p}"),
+            F.sum(x * sp).alias(f"__xs{p}"),
+            F.sum(cp).alias(f"__sc{p}"),
+            F.sum(sp).alias(f"__ss{p}"),
+        ]
+    m = valid.groupBy(key).agg(*aggs)
+    n = F.col("__n")
+    mean = F.col("__sx") / n
+    out = [F.col(key) if isinstance(key, str) else key]
+    for p in periods:
+        C = F.col(f"__xc{p}") - mean * F.col(f"__sc{p}")
+        S = F.col(f"__xs{p}") - mean * F.col(f"__ss{p}")
+        out.append(F.when(n > 1, (C * C + S * S) / n).alias(f"{prefix}_{p}"))
+    return m.select(*out)
+
+
+def ts_spearman(df: DataFrame, x: str = "x", y: str = "y", key: str = KEY,
+                out: str = "spearman") -> DataFrame:
+    """Per-key Spearman rank correlation between columns ``x`` and ``y``
+    over jointly-valid rows: fractional (average-tie) ranks — the
+    scipy.stats.spearmanr convention, rank = RANK() + (ties − 1)/2 —
+    then the Pearson correlation of the two rank columns via raw sums.
+    The robust monotone-dependence companion to :func:`ts_cor`.
+
+    Shape: ONE Exchange on key.  Both rank columns are window functions
+    partitioned by key (the tie count is a whole-frame count over
+    (key, value), which hash-partitioning on key already satisfies), and
+    the final groupBy(key) reuses the same partitioning — rank passes
+    add sorts, never shuffles."""
+    cx, cy = F.col(x), F.col(y)
+    valid = df.filter(cx.isNotNull() & cy.isNotNull())
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def frank(col_name):
+        wr = Window.partitionBy(*keys).orderBy(col_name)
+        wt = Window.partitionBy(*keys, col_name)
+        return (F.rank().over(wr)
+                + (F.count(F.lit(1)).over(wt) - 1) / 2.0).cast("double")
+
+    ranked = valid.select(*keys, frank(x).alias("__rx"), frank(y).alias("__ry"))
+    rx, ry = F.col("__rx"), F.col("__ry")
+    m = ranked.groupBy(*keys).agg(
+        F.count(rx).cast("double").alias("__n"),
+        F.sum(rx).alias("__sx"), F.sum(ry).alias("__sy"),
+        F.sum(rx * rx).alias("__sxx"), F.sum(ry * ry).alias("__syy"),
+        F.sum(rx * ry).alias("__sxy"),
+    )
+    n = F.col("__n")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    return m.select(
+        *keys,
+        F.when((n > 1) & (vx > 0) & (vy > 0),
+               cov / F.sqrt(vx * vy)).alias(out),
+    )
+
+
+def ts_runs(df: DataFrame, key: str = KEY, ts: str = TS,
+            v: str = VAL) -> DataFrame:
+    """Per-key run statistics of the series' MOVE directions: each
+    valid-to-valid step is up (v_t > v_{t−1}) or not, maximal blocks of
+    equal direction are runs, and the operator emits n_moves, n_up,
+    n_runs, the longest up-run and longest down-run, plus
+    n_reversals = n_runs − 1 (the turning-point count — the classic
+    runs-up-and-down randomness diagnostic, Wald & Wolfowitz 1940).
+    Direction comes from comparing raw doubles, so the oracle agrees
+    bit-for-bit — no derived threshold (mean/median) whose last-ULP
+    placement could flip a comparison between engines.
+
+    Shape: gaps-and-islands in one window pass — run id = running sum of
+    direction changes — then groupBy(key, run) and groupBy(key).  Both
+    aggregates cluster on a superset of {key}, so the window's hash
+    partitioning satisfies them: ONE Exchange total."""
+    c = F.col(v)
+    w = wspec(key, ts)
+    keys = [key] if isinstance(key, str) else list(key)
+    stepped = (
+        df.filter(c.isNotNull())
+        .select(*keys, ts, c.alias("__v"),
+                F.lag(c).over(w).alias("__pv"))
+        .filter(F.col("__pv").isNotNull())
+        .select(*keys, ts, (F.col("__v") > F.col("__pv")).cast("int").alias("__up"))
+    )
+    chg = F.when(
+        F.lag("__up").over(w).isNull()
+        | (F.col("__up") != F.lag("__up").over(w)), 1
+    ).otherwise(0)
+    runs = stepped.select(
+        *keys, "__up",
+        F.sum(chg).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__run"),
+    )
+    per_run = runs.groupBy(*keys, "__run").agg(
+        F.count(F.lit(1)).alias("__len"), F.first("__up").alias("__dir")
+    )
+    return per_run.groupBy(*keys).agg(
+        F.sum("__len").alias("n_moves"),
+        F.sum(F.when(F.col("__dir") == 1, F.col("__len")).otherwise(0)).alias("n_up"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.max(F.when(F.col("__dir") == 1, F.col("__len"))).alias("longest_up"),
+        F.max(F.when(F.col("__dir") == 0, F.col("__len"))).alias("longest_down"),
+        (F.count(F.lit(1)) - 1).alias("n_reversals"),
     )

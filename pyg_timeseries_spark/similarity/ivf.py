@@ -184,3 +184,38 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_profile(corpus: DataFrame, n_clusters: int = 8,
+                   kmeans_iters: int = 1, id_col: str = "vec_id",
+                   vec: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd k-means over the quantized vectors, profiled:
+    seed with the md5-smallest rows (:func:`seed_centroids`), run
+    ``kmeans_iters`` reassign/recenter rounds (:func:`refine_centroids`
+    — integer-quantized means, so distances stay exact integers), then
+    emit one row per cluster: (cluster, n, inertia) with inertia the
+    SUM of integer L2 distances to the final centroid — the elbow-curve
+    statistic, exactly reproducible in any engine.
+
+    Scale shape: each Lloyd round is one map-only assignment plus one
+    k×dim-row aggregate (the centroid matrix is a driver-side dimension
+    table, ``n_clusters × dim`` ints); the final profile is a map-only
+    assignment + distance fold feeding one hash aggregate on ≤ k keys.
+    The corpus never shuffles."""
+    cents = seed_centroids(corpus, n_clusters, id_col=id_col, vec=vec)
+    if kmeans_iters:
+        cents = refine_centroids(corpus, cents, kmeans_iters,
+                                 id_col=id_col, vec=vec)
+    assigned = (
+        corpus.withColumn("_iv", _ivec(F.col(vec)))
+        .withColumn("_ds", _dists_arr(F.col("_iv"), cents))
+        .select(
+            (F.array_position(F.col("_ds"), F.array_min("_ds")) - 1)
+            .cast("int").alias("cluster"),
+            F.array_min("_ds").alias("_d"),
+        )
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_d").alias("inertia"),
+    )
