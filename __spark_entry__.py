@@ -2640,6 +2640,95 @@ def q_kmeans(spark, sf_dir):
                           n_clusters=8, kmeans_iters=1)
 
 
+def q_ts_xcf(spark, sf_dir):
+    """Per-key cross-correlation of (x, y) at lags 0/1/2 (operators/ts.py
+    ts_xcf, statsmodels ccf convention) — all lag columns in one Window
+    pass, all cross sums in ONE hash aggregate; lag 0 is exact Pearson."""
+    from pyg_timeseries_spark.operators.ts import ts_xcf
+
+    a = ts_xcf(_pair_frame(spark, sf_dir), lags=(0, 1, 2))
+    return a.select(
+        "key",
+        R6(F.col("xcf_0")).alias("r0"),
+        R6(F.col("xcf_1")).alias("r1"),
+        R6(F.col("xcf_2")).alias("r2"),
+    )
+
+
+def q_ts_hill(spark, sf_dir):
+    """Per-key Hill tail-index over the 20 largest positive values
+    (operators/ts.py ts_hill): row_number DESC ≤ k+1 plants a
+    WindowGroupLimit top-k heap before the exchange — the shuffle never
+    carries the series."""
+    from pyg_timeseries_spark.operators.ts import ts_hill
+
+    a = ts_hill(_series(spark, sf_dir), k=20)
+    return a.select(
+        "key",
+        R6(F.col("hill_gamma")).alias("hill_gamma"),
+        R6(F.col("hill_alpha")).alias("hill_alpha"),
+    )
+
+
+def q_quantile_bucket(spark, sf_dir):
+    """Per-key decile assignment (operators/ts.py quantile_bucket):
+    NTILE(10) in (value, ts) order — one ranking window, integer-exact
+    output; NULL rows pass through with a NULL bucket."""
+    from pyg_timeseries_spark.operators.ts import quantile_bucket
+
+    a = quantile_bucket(_series(spark, sf_dir), 10)
+    return a.select("key", "ts", R6(F.col("v")).alias("v"), "bucket")
+
+
+def q_source_similarity(spark, sf_dir):
+    """Pairwise exact Jaccard between per-source word-3-gram sets
+    (textops/corpus.py source_similarity): distinct (source, shingle)
+    rows self-join on the shingle; text never shuffles."""
+    from pyg_timeseries_spark.textops.corpus import source_similarity
+
+    a = source_similarity(load(spark, sf_dir, "documents"))
+    return a.select(
+        "src_a", "src_b", "inter",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        R6(F.col("jaccard")).alias("jaccard"),
+    )
+
+
+def q_psi_timeline(spark, sf_dir):
+    """Day-over-day PSI drift series (functions/drift.py psi_timeline):
+    one (key, bucket, bin) aggregate, histograms densify to a 10-cell
+    array per (key, day), consecutive days pair with one slim equi-join;
+    the PSI folds JVM-side over the zipped arrays."""
+    from pyg_timeseries_spark.functions.drift import psi_timeline
+
+    a = psi_timeline(_series(spark, sf_dir), width_s=86400.0,
+                     lo=0.0, hi=500.0, bins=10)
+    return a.select(
+        "key", "bucket", R6(F.col("psi")).alias("psi"), "n_ref", "n_cur"
+    )
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric per-row int8 quantization + reconstruction error
+    (similarity/embstats.py embedding_quantize) — map-only array
+    expressions; the qvec reduces to exact integer sum/min/max for the
+    cross-engine hash."""
+    from pyg_timeseries_spark.similarity.embstats import embedding_quantize
+
+    a = embedding_quantize(load(spark, sf_dir, "embeddings"))
+    q = F.col("qvec")
+    return a.select(
+        "vec_id",
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min(q).cast("long").alias("q_min"),
+        F.array_max(q).cast("long").alias("q_max"),
+        R6(F.col("scale") * 1000).alias("scale_x1k"),
+        R6(F.col("recon_mse") * 1000).alias("mse_x1k"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order is CURATED: the driver's CORRECTNESS gate evaluates the
     first 50 entries.  Round-5 rotation: ts_quantile + asof_fwd (the only
@@ -2657,10 +2746,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (rolling/expanding pairwise variants, xsec_winsorize, expanding_rank,
     cumprod, fnna, na2v_v2na, and for the second batch tokens_chunked,
     stream_ewma_replay, dedup_incremental, lm_xent, ewma_segmented,
-    ingest_lineage, interval_join — all keep their oracles).  With r5
-    stamps this closes full coverage: every registered query green in at
-    least one of r2–r5.  Everything past the cap stays value-oracled and
-    judge-checkable."""
+    ingest_lineage, interval_join — all keep their oracles).  The sixth/
+    seventh/eighth r5 batches (periodogram … embedding_quantize) fill the
+    remaining filler slots, displacing r4-stamped rows.  With r5 stamps
+    this leaves exactly ONE registered query without a driver stamp in
+    any round — jarque_bera, which ceded its slot to psi_timeline because
+    its single-moment-aggregate family stays stamped via ts_kurt and it
+    remains value-oracled at 51+ (MATCH in tools/oracle_check.json).
+    Every other entry past the cap is r2-r4 driver-stamped and stays
+    value-oracled and judge-checkable."""
     return {
         # -- 1-50: r5 rotation ins first, then the r4 window ---------------
         "ts_quantile": q_ts_quantile,
@@ -2698,7 +2792,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "make_lags": q_make_lags,
         "ts_entropy": q_ts_entropy,
         "ts_kurt": q_ts_kurt,
-        "jarque_bera": q_jarque_bera,
         "to_grid": q_to_grid,
         # sixth r5 batch: spectral / rank / runs diagnostics + the
         # tokens-native and embedding-native pipeline ops
@@ -2710,11 +2803,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "embedding_stats": q_embedding_stats,
         "kmeans": q_kmeans,
-        "psi_drift": q_psi_drift,
-        "ks_drift": q_ks_drift,
-        "tfidf_topk": q_tfidf_topk,
-        "sample_topn": q_sample_topn,
-        "rolling_rank": q_rolling_rank,
+        # seventh r5 batch: lead-lag, tail-index, discretization, and the
+        # exact corpus-overlap matrix
+        "ts_xcf": q_ts_xcf,
+        "ts_hill": q_ts_hill,
+        "quantile_bucket": q_quantile_bucket,
+        "source_similarity": q_source_similarity,
+        # eighth r5 batch: the rolling drift monitor + int8 embedding
+        # compression.  jarque_bera cedes its slot (its one-moment
+        # aggregate family stays stamped via ts_kurt, and the q itself
+        # stays value-oracled at 51+), as does the r4-stamped
+        # rolling_rank.
+        "psi_timeline": q_psi_timeline,
+        "embedding_quantize": q_embedding_quantize,
         "expanding_cor": q_expanding_cor,
         "ts_argminmax": q_ts_argminmax,
         "gap_stats": q_gap_stats,
@@ -2742,8 +2843,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_gsets": q_rollup_gsets,
         # -- 51+: all value-oracled; every entry driver-stamped green in
         # one of r2-r4 (r5 rotated the last two never-stamped into the
-        # top-50 above; the sixth r5 batch displaced these eight
-        # r4-stamped rows past the cap) ------------------------------------
+        # top-50 above; the sixth/seventh r5 batches displaced these
+        # twelve r4-stamped rows past the cap) -------------------------------
+        "jarque_bera": q_jarque_bera,
+        "rolling_rank": q_rolling_rank,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "tfidf_topk": q_tfidf_topk,
+        "sample_topn": q_sample_topn,
         "cms_tokens": q_cms_tokens,
         "sessionize": q_sessionize,
         "align_ffill": q_align_ffill,
@@ -6226,8 +6333,9 @@ FROM rec
               SELECT key, run, count(*) AS len, min(up) AS dir
               FROM rr GROUP BY 1, 2
             )
-            SELECT key, sum(len) AS n_moves,
-                   sum(CASE WHEN dir = 1 THEN len ELSE 0 END) AS n_up,
+            SELECT key, CAST(sum(len) AS BIGINT) AS n_moves,
+                   CAST(sum(CASE WHEN dir = 1 THEN len ELSE 0 END)
+                        AS BIGINT) AS n_up,
                    count(*) AS n_runs,
                    max(CASE WHEN dir = 1 THEN len END) AS longest_up,
                    max(CASE WHEN dir = 0 THEN len END) AS longest_down,
@@ -6331,7 +6439,7 @@ FROM rec
                      (x IS NULL OR isnan(x) OR isinf(x))::BIGINT AS bad
               FROM u
             )
-            SELECT dim, count(good) AS n, sum(bad) AS n_bad,
+            SELECT dim, count(good) AS n, CAST(sum(bad) AS BIGINT) AS n_bad,
               CAST(floor(avg(good) * 1000000 + 0.4997) AS BIGINT) AS mean,
               CAST(floor(stddev_samp(good) * 1000000 + 0.4997) AS BIGINT) AS std,
               CAST(floor(min(good) * 1000000 + 0.4997) AS BIGINT) AS mn,
@@ -6379,8 +6487,159 @@ FROM rec
                 FROM d1
               ) WHERE rn = 1
             )
-            SELECT cid AS cluster, count(*) AS n, sum(d) AS inertia
+            SELECT cid AS cluster, count(*) AS n,
+                   CAST(sum(d) AS BIGINT) AS inertia
             FROM a1 GROUP BY 1
+        """,
+        # -- seventh r5 batch ------------------------------------------------
+        "ts_xcf": f"""
+            WITH p AS (
+              SELECT event_type AS key, ts,
+                     CASE WHEN value - floor(value) < 0.3
+                          THEN NULL ELSE value END AS x,
+                     user_id::DOUBLE AS y
+              FROM events
+            ), v AS (
+              SELECT key, ts, x, y,
+                     lag(y, 1) OVER ({_WIN}) AS yl1,
+                     lag(y, 2) OVER ({_WIN}) AS yl2
+              FROM (SELECT * FROM p WHERE x IS NOT NULL AND y IS NOT NULL)
+            ), a AS (
+              SELECT key, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                sum(x*x) AS sxx, sum(y*y) AS syy,
+                sum(x*y) AS xy0,
+                sum(x*yl1) AS xy1,
+                sum(CASE WHEN yl1 IS NOT NULL THEN x END) AS cx1, sum(yl1) AS cy1,
+                sum(x*yl2) AS xy2,
+                sum(CASE WHEN yl2 IS NOT NULL THEN x END) AS cx2, sum(yl2) AS cy2
+              FROM v GROUP BY key
+            )
+            SELECT key,
+              CAST(floor((xy0 - sy/n*sx - sx/n*sy + n*sx/n*sy/n)
+                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))
+                * 1000000 + 0.4997) AS BIGINT) AS r0,
+              CAST(floor((xy1 - sy/n*cx1 - sx/n*cy1 + (n-1)*sx/n*sy/n)
+                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))
+                * 1000000 + 0.4997) AS BIGINT) AS r1,
+              CAST(floor((xy2 - sy/n*cx2 - sx/n*cy2 + (n-2)*sx/n*sy/n)
+                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))
+                * 1000000 + 0.4997) AS BIGINT) AS r2
+            FROM a WHERE sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
+        """,
+        "ts_hill": f"""
+            WITH v AS (SELECT * FROM ({VALID_SQL}) WHERE v > 0),
+            r AS (
+              SELECT key, v,
+                     row_number() OVER (PARTITION BY key
+                                        ORDER BY v DESC, ts ASC) AS rn
+              FROM v
+            ), t AS (
+              SELECT key, count(*) AS cnt,
+                     sum(CASE WHEN rn <= 20 THEN ln(v) END) AS sl,
+                     min(v) AS xk1
+              FROM r WHERE rn <= 21 GROUP BY key
+            )
+            SELECT key,
+              CAST(floor((CASE WHEN cnt = 21 THEN sl/20.0 - ln(xk1) END)
+                   * 1000000 + 0.4997) AS BIGINT) AS hill_gamma,
+              CAST(floor((CASE WHEN cnt = 21 AND sl/20.0 - ln(xk1) > 0
+                          THEN 1.0/(sl/20.0 - ln(xk1)) END)
+                   * 1000000 + 0.4997) AS BIGINT) AS hill_alpha
+            FROM t
+        """,
+        "quantile_bucket": f"""
+            SELECT key, ts,
+                   CAST(floor(v * 1000000 + 0.4997) AS BIGINT) AS v,
+                   CASE WHEN v IS NOT NULL THEN b END AS bucket
+            FROM (
+              SELECT key, ts, v,
+                     ntile(10) OVER (PARTITION BY key, (v IS NULL)
+                                     ORDER BY v ASC, ts ASC) AS b
+              FROM ({SERIES_SQL})
+            )
+        """,
+        "source_similarity": r"""
+            WITH w AS (
+              SELECT source,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT source AS g,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, greatest(len(w)-2, 1)),
+                         i -> array_to_string(w[i:i+2], ' ')))) AS s
+              FROM w
+            ), sz AS (
+              SELECT g, count(*) AS n FROM sh GROUP BY 1
+            ), iv AS (
+              SELECT a.g AS src_a, b.g AS src_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g GROUP BY 1, 2
+            )
+            SELECT src_a, src_b, inter, x.n AS n_a, y.n AS n_b,
+              CAST(floor(inter::DOUBLE/(x.n + y.n - inter)
+                   * 1000000 + 0.4997) AS BIGINT) AS jaccard
+            FROM iv JOIN sz x ON iv.src_a = x.g JOIN sz y ON iv.src_b = y.g
+        """,
+        # -- eighth r5 batch --------------------------------------------------
+        "psi_timeline": f"""
+            WITH v AS ({VALID_SQL}),
+            b AS (
+              SELECT key,
+                     make_timestamp(epoch_us(ts) - epoch_us(ts) % 86400000000)
+                         AS bucket,
+                     least(9, greatest(0, CAST(floor(v / 50.0) AS INT))) AS bin
+              FROM v
+            ), pb AS (
+              SELECT key, bucket, bin, count(*)::DOUBLE AS n
+              FROM b GROUP BY 1, 2, 3
+            ), tt AS (
+              SELECT key, bucket, sum(n) AS nt FROM pb GROUP BY 1, 2
+            ), grid AS (
+              SELECT t.key, t.bucket, g.b AS bin, coalesce(pb.n, 0) AS n, t.nt
+              FROM tt t CROSS JOIN generate_series(0, 9) AS g(b)
+              LEFT JOIN pb ON pb.key = t.key AND pb.bucket = t.bucket
+                          AND pb.bin = g.b
+            ), pairs AS (
+              SELECT c.key, c.bucket, c.bin, c.n AS nc, c.nt AS ntc,
+                     p.n AS nr, p.nt AS ntp
+              FROM grid c JOIN grid p
+                ON c.key = p.key AND c.bin = p.bin
+               AND c.bucket = p.bucket + INTERVAL 86400 SECOND
+            )
+            SELECT key, bucket,
+              CAST(floor(sum(
+                ((nc+0.5)/(ntc+5.0) - (nr+0.5)/(ntp+5.0))
+                * ln(((nc+0.5)/(ntc+5.0)) / ((nr+0.5)/(ntp+5.0)))
+              ) * 1000000 + 0.4997) AS BIGINT) AS psi,
+              CAST(min(ntp) AS BIGINT) AS n_ref,
+              CAST(min(ntc) AS BIGINT) AS n_cur
+            FROM pairs GROUP BY 1, 2
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+            ), s AS (
+              SELECT vec_id, x,
+                     list_max(list_transform(x, v -> abs(v)))/127.0 AS sc
+              FROM e
+            ), q AS (
+              SELECT vec_id, sc, x,
+                     CASE WHEN sc > 0
+                          THEN list_transform(x, v -> CAST(floor(v/sc + 0.5) AS BIGINT))
+                          ELSE list_transform(x, v -> CAST(0 AS BIGINT)) END AS qv
+              FROM s
+            )
+            SELECT vec_id,
+              CAST(list_sum(qv) AS BIGINT) AS q_sum,
+              list_min(qv) AS q_min,
+              list_max(qv) AS q_max,
+              CAST(floor(sc * 1000 * 1000000 + 0.4997) AS BIGINT) AS scale_x1k,
+              CAST(floor(CASE WHEN sc > 0 THEN
+                   list_sum(list_transform(generate_series(1, len(x)),
+                       i -> (x[i] - qv[i]*sc)^2)) / len(x)
+                   ELSE list_sum(list_transform(x, v -> v*v)) / len(x) END
+                   * 1000 * 1000000 + 0.4997) AS BIGINT) AS mse_x1k
+            FROM q
         """,
         # ts_interval/lang_id/fingerprint/minhash/simhash/lsh/embedding
         # (engine-hash dependent) -- rows-only checks.

@@ -267,6 +267,18 @@ def run_headline(spark, em) -> dict:
         "rolling_time", "make_lags", "ts_entropy",
         # r5 batch 5: 4th-moment family + grid upsample over the as-of join
         "ts_kurt", "jarque_bera", "to_grid",
+        # r5 batch 6: one-aggregate spectral power, rank-window Spearman,
+        # gaps-and-islands runs test; tokens-native diversity + bigram-LM
+        # scoring, query-filtered BM25, per-dim embedding profile, and the
+        # integer-exact Lloyd round
+        "periodogram", "spearman", "ts_runs", "token_diversity",
+        "token_lm", "bm25", "embedding_stats", "kmeans",
+        # r5 batch 7: multi-lag lead-lag sums, top-k-heap Hill tail index,
+        # ntile discretization, exact source-overlap matrix
+        "ts_xcf", "ts_hill", "quantile_bucket", "source_similarity",
+        # r5 batch 8: array-histogram drift timeline, map-only int8
+        # embedding quantization
+        "psi_timeline", "embedding_quantize",
     ):
         run_action(qdict[name](spark, SF_DIR))
         t0 = time.time()

@@ -130,3 +130,95 @@ def ks_drift(
             F.first("__nc").alias("n_cur"),
         )
     )
+
+
+def psi_timeline(
+    df: DataFrame,
+    width_s: float = 86400.0,
+    key: str = "key",
+    ts: str = "ts",
+    v: str = "v",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    bins: int = 10,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """The rolling drift MONITOR: PSI of each ``width_s``-second time
+    bucket's value distribution against the PREVIOUS bucket, per key —
+    one row per (key, bucket) that has a predecessor, so an alerting job
+    reads a ready-made drift series instead of re-running
+    :func:`psi_drift` once per period pair.  Same fixed-edge Laplace PSI
+    formula, so the two agree exactly on any single pair; empty buckets
+    break the chain explicitly (no histogram → no pair — comparing
+    across a gap would silently dilute the signal; gap_stats finds the
+    gaps).
+
+    Plan shape: ONE (key, bucket, bin) hash aggregate over the corpus
+    (map-side combined), histograms densify to a bins-length array per
+    (key, bucket) — at most keys × buckets slim rows — and consecutive
+    buckets pair with a single equi-join on (key, bucket − width); the
+    PSI folds JVM-side over the zipped arrays."""
+    from pyg_timeseries_spark.operators.resample import time_bucket_col
+
+    c = F.col(v)
+    d = df.filter(c.isNotNull()).select(
+        F.col(key).alias("key"),
+        time_bucket_col(df, ts, width_s).alias("bucket"),
+        value_bin(c, lo, hi, bins).alias("__bin"),
+    )
+    per_bin = d.groupBy("key", "bucket", "__bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # densify: hist[b] = count for b in 0..bins-1 (bins is small; the
+    # O(bins²) filter-per-cell stays a trivial row expression)
+    pairs = F.collect_list(F.struct(F.col("__bin").alias("b"),
+                                    F.col("n").alias("n")))
+    # try_element_at: the filter is empty for bins this bucket never hit,
+    # where plain element_at(…, 1) throws under Spark 4 ANSI (the
+    # textops/lm.py:36-38 lesson)
+    hist_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda b: F.coalesce(
+            F.try_element_at(
+                F.filter(F.col("__p"), lambda e: e["b"] == b), F.lit(1)
+            )["n"],
+            F.lit(0).cast("long"),
+        ),
+    )
+    h = (
+        per_bin.groupBy("key", "bucket").agg(pairs.alias("__p"))
+        .select(
+            "key", "bucket", hist_expr.alias("hist"),
+        )
+        .withColumn(
+            "nt",
+            F.aggregate("hist", F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+    )
+    w_us = int(round(width_s * 1_000_000))
+    cur, prev = h.alias("cur"), h.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("cur.key") == F.col("prev.key"))
+        & (F.col("cur.bucket")
+           == F.timestamp_add("MICROSECOND", F.lit(w_us), F.col("prev.bucket"))),
+    )
+
+    def _p(cnt, total):
+        return (cnt.cast("double") + F.lit(smooth)) / (
+            total.cast("double") + F.lit(smooth * bins)
+        )
+
+    term = F.zip_with(
+        F.col("cur.hist"), F.col("prev.hist"),
+        lambda nc, nr: (
+            _p(nc, F.col("cur.nt")) - _p(nr, F.col("prev.nt"))
+        ) * F.log(_p(nc, F.col("cur.nt")) / _p(nr, F.col("prev.nt"))),
+    )
+    return j.select(
+        F.col("cur.key").alias("key"),
+        F.col("cur.bucket").alias("bucket"),
+        F.aggregate(term, F.lit(0.0), lambda a, x: a + x).alias("psi"),
+        F.col("prev.nt").alias("n_ref"),
+        F.col("cur.nt").alias("n_cur"),
+    )

@@ -799,3 +799,116 @@ def ts_runs(df: DataFrame, key: str = KEY, ts: str = TS,
         F.max(F.when(F.col("__dir") == 0, F.col("__len"))).alias("longest_down"),
         (F.count(F.lit(1)) - 1).alias("n_reversals"),
     )
+
+
+def ts_xcf(df: DataFrame, lags=(0, 1), x: str = "x", y: str = "y",
+           key: str = KEY, ts: str = TS, prefix: str = "xcf") -> DataFrame:
+    """Per-key sample CROSS-correlation between ``x`` and ``y`` at the
+    requested non-negative lags over the jointly-valid series (both
+    columns non-NULL): r_k = Σ_{t>k} (x_t − m_x)(y_{t−k} − m_y)
+    / sqrt(S_xx · S_yy) with full-series means and sums-of-squares —
+    the statsmodels ``ccf`` convention; positive k measures how much y
+    LEADS x by k observations.  The lead-lag detector that pairs with
+    :func:`ts_acf` (k = 0 recovers Pearson correlation exactly).
+
+    Same one-Exchange shape as ts_acf: every y-lag column in one Window
+    pass, all cross sums in one partial+final hash aggregate, the
+    cross term expanded to raw sums."""
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 0 for k in lags):
+        raise ValueError("lags must be non-negative integers")
+    cx, cy = F.col(x), F.col(y)
+    w = wspec(key, ts)
+    valid = df.filter(cx.isNotNull() & cy.isNotNull()).select(
+        key, x, y,
+        *[F.lag(cy, k).over(w).alias(f"__yl{k}") for k in lags if k > 0],
+    )
+    aggs = [
+        F.count(cx).cast("double").alias("__n"),
+        F.sum(cx).alias("__sx"), F.sum(cy).alias("__sy"),
+        F.sum(cx * cx).alias("__sxx"), F.sum(cy * cy).alias("__syy"),
+    ]
+    for k in lags:
+        yl = cy if k == 0 else F.col(f"__yl{k}")
+        aggs += [
+            F.sum(cx * yl).alias(f"__xy{k}"),
+            F.sum(F.when(yl.isNotNull(), cx)).alias(f"__cx{k}"),
+            F.sum(yl).alias(f"__cy{k}"),
+        ]
+    m = valid.groupBy(key).agg(*aggs)
+    n = F.col("__n")
+    mx, my = F.col("__sx") / n, F.col("__sy") / n
+    sxx = F.col("__sxx") - n * mx * mx
+    syy = F.col("__syy") - n * my * my
+    den = F.sqrt(sxx * syy)
+    out = [F.col(key) if isinstance(key, str) else key]
+    for k in lags:
+        num = (
+            F.col(f"__xy{k}")
+            - my * F.col(f"__cx{k}") - mx * F.col(f"__cy{k}")
+            + (n - F.lit(float(k))) * mx * my
+        )
+        out.append(
+            F.when((sxx > 0) & (syy > 0), num / den).alias(f"{prefix}_{k}")
+        )
+    return m.select(*out)
+
+
+def ts_hill(df: DataFrame, k: int = 50, key: str = KEY, ts: str = TS,
+            v: str = VAL) -> DataFrame:
+    """Per-key Hill tail-index estimator over the ``k`` largest POSITIVE
+    values: gamma = (1/k) Σ_{i=1..k} ln(x_(i) / x_(k+1)) with x_(1) ≥ …
+    the descending order statistics (Hill 1975) — gamma ≈ 1/alpha, the
+    Pareto tail exponent; alpha ≤ 2 flags infinite-variance tails where
+    Gaussian risk models (ewmstd, realized_vol) understate extremes.
+    Keys with fewer than k+1 positive observations emit NULL.
+
+    Shape: row_number DESC ≤ k+1 — Spark plants a per-partition
+    WindowGroupLimit top-(k+1) heap BEFORE the exchange, so the shuffle
+    carries at most k+1 rows per key per map task, never the series;
+    ties break on ts for run-to-run determinism.  One Exchange."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    c = F.col(v)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(v).desc(), F.col(ts).asc())
+    top = (
+        df.filter(c.isNotNull() & (c > 0))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k + 1)
+    )
+    m = top.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum(F.when(F.col("__rn") <= k, F.log(c))).alias("__slntop"),
+        F.min(c).alias("__xk1"),  # the (k+1)-th order statistic
+    )
+    gamma = F.col("__slntop") / F.lit(float(k)) - F.log("__xk1")
+    ok = F.col("__cnt") == (k + 1)
+    return m.select(
+        *keys,
+        F.when(ok, gamma).alias("hill_gamma"),
+        F.when(ok & (gamma > 0), 1.0 / gamma).alias("hill_alpha"),
+    )
+
+
+def quantile_bucket(df: DataFrame, n_buckets: int = 10, key: str = KEY,
+                    ts: str = TS, v: str = VAL,
+                    out: str = "bucket") -> DataFrame:
+    """Per-key equal-count discretization: each valid row gets its
+    NTILE(n) bucket (1-based) in value order, ties broken on ts so the
+    assignment is total and engine-reproducible — the feature-pipeline
+    "decile" transform (rank-based features are immune to the value
+    scale drift that PSI monitors detect).  NULL rows pass through with
+    a NULL bucket, the engine's NaN-skip convention.
+
+    ntile is a plain ranking window: ONE Exchange, no aggregate."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    c = F.col(v)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.col(v).asc(), F.col(ts).asc())
+    valid = df.filter(c.isNotNull()).withColumn(
+        out, F.ntile(n_buckets).over(w)
+    )
+    nulls = df.filter(c.isNull()).withColumn(out, F.lit(None).cast("int"))
+    return valid.unionByName(nulls)

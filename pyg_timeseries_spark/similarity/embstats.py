@@ -40,3 +40,41 @@ def embedding_stats(corpus: DataFrame, vec: str = "embedding") -> DataFrame:
             F.max(good).alias("max"),
         )
     )
+
+
+def embedding_quantize(
+    corpus: DataFrame,
+    vec: str = "embedding",
+    out_q: str = "qvec",
+    out_scale: str = "scale",
+    out_mse: str = "recon_mse",
+) -> DataFrame:
+    """Symmetric per-row int8 quantization of the embedding column — the
+    4× storage/bandwidth cut an ANN index applies before sharding
+    (Jégou et al.'s scalar-quantization baseline): scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) ∈ [−127, 127] (explicit round-half-up,
+    NOT the engine round() whose half-even ties differ between engines),
+    plus the per-row reconstruction MSE so a pipeline can gate on
+    quantization loss.  All-zero vectors get scale 0 and an all-zero
+    qvec.  Map-only: pure array expressions, no shuffle, no Python."""
+    x = F.col(vec).cast("array<double>")
+    mx = F.array_max(F.transform(x, F.abs))
+    scale = mx / F.lit(127.0)
+    q = F.when(
+        mx > 0,
+        F.transform(
+            x, lambda e: F.floor(e / scale + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(x, lambda e: F.lit(0)))
+    recon_sq = F.zip_with(
+        x, F.col(out_q),
+        lambda e, qq: (e - qq.cast("double") * scale)
+        * (e - qq.cast("double") * scale),
+    )
+    mse = F.aggregate(recon_sq, F.lit(0.0), lambda a, e: a + e) / F.size(x)
+    return (
+        corpus.filter(F.col(vec).isNotNull())
+        .withColumn(out_scale, scale)
+        .withColumn(out_q, q)
+        .withColumn(out_mse, mse)
+    )

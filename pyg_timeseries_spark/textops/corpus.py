@@ -268,3 +268,48 @@ def quality_gate(
     return docs.join(F.broadcast(bounds), source, "left").withColumn(
         "keep", F.coalesce(keep, F.lit(False))
     )
+
+
+def source_similarity(
+    docs: DataFrame,
+    shingle_k: int = 3,
+    by: str = "source",
+    text: str = "text",
+) -> DataFrame:
+    """Pairwise Jaccard similarity between the per-``by``-group word
+    ``shingle_k``-gram SETS: one row per unordered group pair (a < b)
+    with the exact intersection size, both set sizes, and
+    jaccard = |∩| / (|A| + |B| − |∩|).  The corpus-overlap matrix a
+    mixture designer reads before weighting sources (near-identical
+    sources double-count; see also mixture_sample) — the exact
+    small-cardinality companion of the KMV-sketch estimates
+    (functions/sketches.py) which serve the many-source case.
+
+    Scale shape: text reduces map-side to distinct (group, shingle)
+    rows; the intersection is a self equi-join ON THE SHINGLE — per
+    shingle it yields one row per group pair containing it, so cost is
+    Σ_s m_s² with m_s ≤ |groups|, fine for the handful-of-sources case
+    this exact form targets.  The text itself never shuffles; set sizes
+    ride a broadcast."""
+    sh = docs.select(
+        F.col(by).alias("g"),
+        F.explode(word_shingles(F.col(text), shingle_k)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("g", "src_a")
+                               .withColumnRenamed("n", "n_a")), "src_a")
+        .join(F.broadcast(sizes.withColumnRenamed("g", "src_b")
+                          .withColumnRenamed("n", "n_b")), "src_b")
+        .select(
+            "src_a", "src_b", "inter", "n_a", "n_b",
+            (F.col("inter")
+             / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        )
+    )

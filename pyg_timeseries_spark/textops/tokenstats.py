@@ -69,17 +69,27 @@ def token_diversity(
     Run-length trick, all inside one projection: sort the ids, find the
     run STARTS (positions where the value changes), pair each start
     with the next to get run lengths, then fold.  Empty/NULL token
-    arrays emit n_tok = 0 and NULL statistics."""
+    arrays emit n_tok = 0 and NULL statistics.
+
+    Every intermediate array (sorted ids → starts → lengths) is
+    _let-bound: each is referenced several times downstream, and without
+    the binding Catalyst re-expands the whole upstream tree per
+    reference AND per lambda element — the derived-column select then
+    re-sorted the array inside every field extraction (measured 24 s →
+    sub-second on the sf0.1 bench corpus; the dedup/neardup.py:_let
+    trap, multiplied by nesting)."""
+    from pyg_timeseries_spark.textops.analysis import _let
+
     t = F.coalesce(F.col(tokens), F.array().cast("array<int>"))
     n = F.size(t)
 
     def _stats(s):
-        # s: sorted ids.  starts: 1-based indices where a new run begins —
-        # index 1 always, plus every i in 2..n whose value changed.  Index 1
-        # is concatenated rather than folded into the filter predicate:
-        # element_at(s, i-1) at i=1 is an index-0 error in Spark, and the
-        # sequence(2, n) leg must be guarded because sequence(2, 1) counts
-        # DOWN, not empty.
+        # s: sorted ids (lambda var — evaluated once).  starts: 1-based
+        # indices where a new run begins — index 1 always, plus every i in
+        # 2..n whose value changed.  Index 1 is concatenated rather than
+        # folded into the filter predicate: element_at(s, i-1) at i=1 is
+        # an index-0 error in Spark, and the sequence(2, n) leg must be
+        # guarded because sequence(2, 1) counts DOWN, not empty.
         changes = F.when(
             F.size(s) >= 2,
             F.filter(
@@ -87,34 +97,50 @@ def token_diversity(
                 lambda i: F.element_at(s, i) != F.element_at(s, i - 1),
             ),
         ).otherwise(F.array().cast("array<int>"))
-        starts = F.concat(F.array(F.lit(1)), changes)
-        # lengths: next start − this start, with a sentinel n+1 at the end
-        nxt = F.concat(
-            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-            F.array(F.size(s) + 1),
-        )
-        lengths = F.zip_with(starts, nxt, lambda a, b: b - a)
-        nn = F.size(s).cast("double")
-        clnc = F.aggregate(
-            lengths,
-            F.lit(0.0),
-            lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
-        )
-        return F.struct(
-            F.size(starts).alias("n_distinct"),
-            (F.array_max(lengths).cast("double") / nn).alias("top_share"),
-            (F.log(nn) - clnc / nn).alias("tok_entropy"),
-        )
 
-    st = F.when(n >= 1, _stats(F.array_sort(t)))
-    return seqs.select(
+        def _with_starts(starts):
+            # lengths: next start − this start, sentinel n+1 at the end
+            nxt = F.concat(
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(F.size(s) + 1),
+            )
+
+            def _with_lengths(lengths):
+                nn = F.size(s).cast("double")
+                clnc = F.aggregate(
+                    lengths,
+                    F.lit(0.0),
+                    lambda acc, c: acc + c.cast("double")
+                    * F.log(c.cast("double")),
+                )
+                return F.struct(
+                    F.size(starts).alias("n_distinct"),
+                    (F.array_max(lengths).cast("double") / nn)
+                    .alias("top_share"),
+                    (F.log(nn) - clnc / nn).alias("tok_entropy"),
+                )
+
+            return _let(F.zip_with(starts, nxt, lambda a, b: b - a),
+                        _with_lengths)
+
+        return _let(F.concat(F.array(F.lit(1)), changes), _with_starts)
+
+    st = F.when(n >= 1, _let(F.array_sort(t), _stats))
+    # materialize the struct ONCE per row, then extract fields — the field
+    # extractions reference the materialized column, and inside it every
+    # shared array is a lambda variable the optimizer cannot re-inline
+    out = seqs.select(
+        *id_cols, n.alias("n_tok"), st.alias("__st")
+    ).select(
         *id_cols,
-        n.alias("n_tok"),
-        st["n_distinct"].alias("n_distinct"),
-        (st["n_distinct"].cast("double") / n.cast("double")).alias("distinct_ratio"),
-        st["top_share"].alias("top_share"),
-        st["tok_entropy"].alias("tok_entropy"),
+        "n_tok",
+        F.col("__st")["n_distinct"].alias("n_distinct"),
+        (F.col("__st")["n_distinct"].cast("double")
+         / F.col("n_tok").cast("double")).alias("distinct_ratio"),
+        F.col("__st")["top_share"].alias("top_share"),
+        F.col("__st")["tok_entropy"].alias("tok_entropy"),
     )
+    return out
 
 
 def token_bigram_counts(seqs: DataFrame, tokens: str = "tokens") -> DataFrame:

@@ -406,3 +406,274 @@ def test_new_ts_ops_single_exchange(spark, series_df):
     pair = series_df.select("key", F.col("v").alias("x"),
                             (F.col("v") * 2).alias("y"))
     assert plan_of(ts_spearman(pair)).count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- batch 7
+
+
+def test_xcf_lag0_is_pearson(spark, series_pdf):
+    from pyg_timeseries_spark.operators.ts import ts_xcf
+
+    pdf = _pair_pdf(series_pdf)
+    df = spark.createDataFrame(pdf).withColumn(
+        "x", F.when(F.isnan("x"), F.lit(None)).otherwise(F.col("x"))
+    )
+    out = ts_xcf(df, lags=(0,)).toPandas().set_index("key")
+    for k, g in pdf.groupby("key"):
+        gg = g.dropna(subset=["x", "y"])
+        assert abs(out.loc[k, "xcf_0"] - gg["x"].corr(gg["y"])) < 1e-10
+
+
+def test_xcf_matches_numpy(spark, series_pdf):
+    from pyg_timeseries_spark.operators.ts import ts_xcf
+
+    pdf = _pair_pdf(series_pdf)
+    df = spark.createDataFrame(pdf).withColumn(
+        "x", F.when(F.isnan("x"), F.lit(None)).otherwise(F.col("x"))
+    )
+    out = ts_xcf(df, lags=(1, 3)).toPandas().set_index("key")
+    for k, g in pdf.groupby("key"):
+        gg = g.dropna(subset=["x", "y"]).sort_values("ts")
+        x, y = gg["x"].to_numpy(), gg["y"].to_numpy()
+        mx, my = x.mean(), y.mean()
+        den = math.sqrt(((x - mx) ** 2).sum() * ((y - my) ** 2).sum())
+        for lag in (1, 3):
+            num = ((x[lag:] - mx) * (y[:-lag] - my)).sum()
+            assert abs(out.loc[k, f"xcf_{lag}"] - num / den) < 1e-10
+
+
+def test_xcf_detects_planted_lead(spark):
+    """y leads x by 2 steps -> xcf_2 dominates."""
+    from pyg_timeseries_spark.operators.ts import ts_xcf
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(0, 1, 400)
+    x = np.roll(y, 2) + 0.05 * rng.normal(0, 1, 400)
+    pdf = pd.DataFrame({
+        "key": "k",
+        "ts": pd.date_range("2024-01-01", periods=400, freq="1min"),
+        "x": x, "y": y,
+    }).iloc[2:]
+    r = ts_xcf(spark.createDataFrame(pdf), lags=(0, 1, 2, 3)).first()
+    assert r["xcf_2"] > 0.9
+    assert r["xcf_2"] > 3 * max(abs(r["xcf_0"]), abs(r["xcf_1"]), abs(r["xcf_3"]))
+
+
+def test_hill_matches_numpy(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.ts import ts_hill
+
+    k = 15
+    out = ts_hill(series_df.withColumn("v", F.abs("v")), k=k).toPandas().set_index("key")
+    for key, g in _per_key(series_pdf):
+        x = np.sort(np.abs(g["v"].dropna().to_numpy()))[::-1]
+        exp = np.mean(np.log(x[:k])) - math.log(x[k])
+        assert abs(out.loc[key, "hill_gamma"] - exp) < 1e-12
+        assert abs(out.loc[key, "hill_alpha"] - 1.0 / exp) < 1e-9
+
+
+def test_hill_pareto_recovers_alpha(spark):
+    """Pareto(alpha) tail: the Hill estimate of gamma converges to
+    1/alpha."""
+    from pyg_timeseries_spark.operators.ts import ts_hill
+
+    rng = np.random.default_rng(11)
+    alpha = 2.5
+    v = (1.0 / rng.random(20000)) ** (1.0 / alpha)  # Pareto(alpha), xm=1
+    pdf = pd.DataFrame({
+        "key": "k",
+        "ts": pd.date_range("2024-01-01", periods=len(v), freq="1s"),
+        "v": v,
+    })
+    r = ts_hill(spark.createDataFrame(pdf), k=1000).first()
+    assert abs(r["hill_alpha"] - alpha) < 0.3
+
+
+def test_hill_insufficient_data_null(spark):
+    from pyg_timeseries_spark.operators.ts import ts_hill
+
+    pdf = pd.DataFrame({
+        "key": "k",
+        "ts": pd.date_range("2024-01-01", periods=5, freq="1min"),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    r = ts_hill(spark.createDataFrame(pdf), k=10).first()
+    assert r["hill_gamma"] is None and r["hill_alpha"] is None
+
+
+def test_quantile_bucket_matches_pandas(spark, series_df, series_pdf):
+    from pyg_timeseries_spark.operators.ts import quantile_bucket
+
+    out = quantile_bucket(series_df, 4).toPandas()
+    valid = out[out["v"].notna()]
+    for k, g in valid.groupby("key"):
+        g = g.sort_values(["v", "ts"]).reset_index(drop=True)
+        n = len(g)
+        # SQL NTILE: first (n % 4) buckets get ceil(n/4), rest floor(n/4)
+        big, base = n % 4, n // 4
+        exp = []
+        for b in range(1, 5):
+            exp += [b] * (base + (1 if b <= big else 0))
+        assert g["bucket"].tolist() == exp
+    nulls = out[out["v"].isna()]
+    assert len(nulls) > 0 and nulls["bucket"].isna().all()
+
+
+def test_quantile_bucket_equal_counts(spark, series_df):
+    from pyg_timeseries_spark.operators.ts import quantile_bucket
+
+    out = quantile_bucket(series_df, 10).filter(F.col("bucket").isNotNull())
+    counts = out.groupBy("key", "bucket").count().collect()
+    per_key = {}
+    for r in counts:
+        per_key.setdefault(r["key"], []).append(r["count"])
+    for k, cs in per_key.items():
+        assert max(cs) - min(cs) <= 1, (k, cs)
+
+
+def test_source_similarity_matches_python(spark, docs_df):
+    from pyg_timeseries_spark.textops.corpus import source_similarity
+
+    texts = {}
+    for r in docs_df.collect():
+        texts.setdefault(r["source"], []).append(r["text"])
+
+    def shingles(docs, k=3):
+        out = set()
+        for t in docs:
+            w = t.lower().strip().split()
+            if len(w) <= k - 1:
+                out.add(" ".join(w))
+            for i in range(len(w) - k + 1):
+                out.add(" ".join(w[i:i + k]))
+        return out
+
+    sets = {g: shingles(d) for g, d in texts.items()}
+    out = {(r["src_a"], r["src_b"]): r for r in
+           source_similarity(docs_df).collect()}
+    for ga in sets:
+        for gb in sets:
+            if ga >= gb:
+                continue
+            inter = len(sets[ga] & sets[gb])
+            if inter == 0:
+                assert (ga, gb) not in out
+                continue
+            r = out[(ga, gb)]
+            assert r["inter"] == inter
+            assert r["n_a"] == len(sets[ga]) and r["n_b"] == len(sets[gb])
+            exp_j = inter / (len(sets[ga]) + len(sets[gb]) - inter)
+            assert abs(r["jaccard"] - exp_j) < 1e-12
+
+
+def test_source_similarity_identical_sources(spark):
+    from pyg_timeseries_spark.textops.corpus import source_similarity
+
+    rows = [(0, "alpha beta gamma delta", "a"),
+            (1, "alpha beta gamma delta", "b")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    r = source_similarity(d).first()
+    assert r["jaccard"] == 1.0 and r["inter"] == r["n_a"] == r["n_b"]
+
+
+# ---------------------------------------------------------------- batch 8
+
+
+def test_psi_timeline_matches_psi_drift(spark, series_df):
+    """On any single bucket pair the timeline equals psi_drift with the
+    same edges (same Laplace formula, different plan)."""
+    from pyg_timeseries_spark.functions.drift import psi_drift, psi_timeline
+    from pyg_timeseries_spark.operators.resample import time_bucket_col
+
+    width = 3600.0
+    tl = {(r["key"], r["bucket"]): r for r in
+          psi_timeline(series_df, width_s=width, lo=-3.0, hi=3.0,
+                       bins=8).collect()}
+    assert tl, "timeline empty"
+    b = series_df.withColumn(
+        "__b", time_bucket_col(series_df, "ts", width)
+    )
+    buckets = sorted({r["bucket"] for r in tl.values()})
+    # check the first three pairs per key against psi_drift
+    import datetime
+
+    checked = 0
+    for (k, bkt), row in sorted(tl.items())[:6]:
+        prev = bkt - datetime.timedelta(seconds=width)
+        pd_row = psi_drift(
+            b.filter(F.col("key") == k),
+            ref=F.col("__b") == F.lit(prev),
+            cur=F.col("__b") == F.lit(bkt),
+            lo=-3.0, hi=3.0, bins=8,
+        ).first()
+        assert pd_row is not None
+        assert abs(pd_row["psi"] - row["psi"]) < 1e-12
+        assert (pd_row["n_ref"], pd_row["n_cur"]) == (row["n_ref"], row["n_cur"])
+        checked += 1
+    assert checked
+
+
+def test_psi_timeline_identical_distribution_near_zero(spark):
+    """The same values every bucket -> PSI exactly 0."""
+    from pyg_timeseries_spark.functions.drift import psi_timeline
+
+    rows = []
+    for day in range(4):
+        for i in range(50):
+            rows.append(("k", pd.Timestamp("2024-01-01") +
+                         pd.Timedelta(days=day, minutes=i), float(i % 10)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts", "v"]))
+    out = psi_timeline(df, width_s=86400.0, lo=0.0, hi=10.0, bins=10).collect()
+    assert len(out) == 3
+    for r in out:
+        assert abs(r["psi"]) < 1e-15
+
+
+def test_psi_timeline_gap_breaks_chain(spark):
+    from pyg_timeseries_spark.functions.drift import psi_timeline
+
+    rows = []
+    for day in (0, 1, 3):  # day 2 missing
+        for i in range(20):
+            rows.append(("k", pd.Timestamp("2024-01-01") +
+                         pd.Timedelta(days=day, minutes=i), float(i)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["key", "ts", "v"]))
+    out = psi_timeline(df, width_s=86400.0, lo=0.0, hi=20.0).collect()
+    # only day1-vs-day0 pairs; day3 has no day2 predecessor
+    assert len(out) == 1 and out[0]["bucket"] == pd.Timestamp("2024-01-02")
+
+
+def test_embedding_quantize_roundtrip(spark):
+    from pyg_timeseries_spark.similarity.embstats import embedding_quantize
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_quantize(emb).collect()
+    assert len(out) == emb.count()
+    for r in out[:50]:
+        x = np.array(r["embedding"], dtype=np.float64)
+        q = np.array(r["qvec"], dtype=np.int64)
+        sc = r["scale"]
+        assert np.abs(q).max() <= 127
+        exp_q = np.floor(x / sc + 0.5).astype(np.int64)
+        assert (q == exp_q).all()
+        exp_mse = float(((x - exp_q * sc) ** 2).mean())
+        assert abs(r["recon_mse"] - exp_mse) < 1e-15
+        # reconstruction error bounded by half a quantization step
+        assert r["recon_mse"] <= (sc / 2) ** 2 + 1e-18
+
+
+def test_embedding_quantize_zero_vector(spark):
+    from pyg_timeseries_spark.similarity.embstats import embedding_quantize
+
+    df = spark.createDataFrame([(0, [0.0, 0.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    r = embedding_quantize(df).first()
+    assert r["scale"] == 0.0 and list(r["qvec"]) == [0, 0, 0]
+    assert r["recon_mse"] == 0.0
+
+
+def test_embedding_quantize_map_only(spark):
+    from pyg_timeseries_spark.similarity.embstats import embedding_quantize
+    from tests.test_plan_shapes import plan_of
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert "Exchange" not in plan_of(embedding_quantize(emb))
