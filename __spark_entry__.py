@@ -587,6 +587,28 @@ def q_media_features(spark, sf_dir):
 
 
 
+def _md5_tokens_col():
+    """The deterministic 32-token sequence column derived from doc_id —
+    md5(doc_id, j) % 50257 — shared by every token-payload query and
+    replicated bit-for-bit by the DuckDB oracles' list_transform
+    rendition.  ONE definition so the substring offsets / radix / vocab
+    modulus can never drift between the (source, ts, tokens) and
+    (doc_id, tokens) framings."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda j: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"),
+                                   F.lit(","), j.cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(50257),
+        ).cast("int"),
+    ).alias("tokens")
+
+
 def _md5_token_docs(spark, sf_dir):
     """documents → (source, ts, tokens) with md5-derived token ints on an
     NTZ 7s-cadence time axis — reproducible bit-for-bit in DuckDB, so the
@@ -598,19 +620,7 @@ def _md5_token_docs(spark, sf_dir):
             F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
             + F.expr("make_interval(0, 0, 0, 0, 0, 0, doc_id * 7)")
         ).alias("ts"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda j: F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("doc_id").cast("string"),
-                                       F.lit(","), j.cast("string"))),
-                        1, 8,
-                    ), 16, 10,
-                ).cast("long"),
-                F.lit(50257),
-            ).cast("int"),
-        ).alias("tokens"),
+        _md5_tokens_col(),
     )
 
 
@@ -2513,19 +2523,7 @@ def _token_id_docs(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id", "source",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(31)),
-            lambda j: F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.col("doc_id").cast("string"),
-                                       F.lit(","), j.cast("string"))),
-                        1, 8,
-                    ), 16, 10,
-                ).cast("long"),
-                F.lit(50257),
-            ).cast("int"),
-        ).alias("tokens"),
+        _md5_tokens_col(),
     )
 
 
@@ -6279,13 +6277,16 @@ FROM rec
               FROM v GROUP BY key
             )
             SELECT key,
-              CAST(floor(((xc4 - sx/n*sc4)^2 + (xs4 - sx/n*ss4)^2)/n
+              CAST(floor((CASE WHEN n > 1 THEN
+                   ((xc4 - sx/n*sc4)^2 + (xs4 - sx/n*ss4)^2)/n END)
                          * 1000000 + 0.4997) AS BIGINT) AS p4,
-              CAST(floor(((xc8 - sx/n*sc8)^2 + (xs8 - sx/n*ss8)^2)/n
+              CAST(floor((CASE WHEN n > 1 THEN
+                   ((xc8 - sx/n*sc8)^2 + (xs8 - sx/n*ss8)^2)/n END)
                          * 1000000 + 0.4997) AS BIGINT) AS p8,
-              CAST(floor(((xc16 - sx/n*sc16)^2 + (xs16 - sx/n*ss16)^2)/n
+              CAST(floor((CASE WHEN n > 1 THEN
+                   ((xc16 - sx/n*sc16)^2 + (xs16 - sx/n*ss16)^2)/n END)
                          * 1000000 + 0.4997) AS BIGINT) AS p16
-            FROM a WHERE n > 1
+            FROM a
         """,
         "spearman": """
             WITH p AS (
@@ -6515,16 +6516,19 @@ FROM rec
               FROM v GROUP BY key
             )
             SELECT key,
-              CAST(floor((xy0 - sy/n*sx - sx/n*sy + n*sx/n*sy/n)
-                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))
+              CAST(floor((CASE WHEN sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
+                THEN (xy0 - sy/n*sx - sx/n*sy + n*sx/n*sy/n)
+                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)) END)
                 * 1000000 + 0.4997) AS BIGINT) AS r0,
-              CAST(floor((xy1 - sy/n*cx1 - sx/n*cy1 + (n-1)*sx/n*sy/n)
-                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))
+              CAST(floor((CASE WHEN sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
+                THEN (xy1 - sy/n*cx1 - sx/n*cy1 + (n-1)*sx/n*sy/n)
+                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)) END)
                 * 1000000 + 0.4997) AS BIGINT) AS r1,
-              CAST(floor((xy2 - sy/n*cx2 - sx/n*cy2 + (n-2)*sx/n*sy/n)
-                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n))
+              CAST(floor((CASE WHEN sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
+                THEN (xy2 - sy/n*cx2 - sx/n*cy2 + (n-2)*sx/n*sy/n)
+                / sqrt((sxx - sx*sx/n)*(syy - sy*sy/n)) END)
                 * 1000000 + 0.4997) AS BIGINT) AS r2
-            FROM a WHERE sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
+            FROM a
         """,
         "ts_hill": f"""
             WITH v AS (SELECT * FROM ({VALID_SQL}) WHERE v > 0),
@@ -6618,6 +6622,7 @@ FROM rec
         "embedding_quantize": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+              WHERE embedding IS NOT NULL
             ), s AS (
               SELECT vec_id, x,
                      list_max(list_transform(x, v -> abs(v)))/127.0 AS sc

@@ -681,9 +681,10 @@ def ts_periodogram(df: DataFrame, periods=(4, 8, 16), key: str = KEY,
     if not periods or any(p < 2 for p in periods):
         raise ValueError("periods must be integers >= 2")
     c = F.col(v)
+    keys = [key] if isinstance(key, str) else list(key)
     w = wspec(key, ts)
     t = (F.row_number().over(w) - 1).cast("double")
-    cols = [F.col(key) if isinstance(key, str) else key, c.alias("__x")]
+    cols = [*keys, c.alias("__x")]
     for p in periods:
         om = 2.0 * math.pi / float(p)
         cols.append(F.cos(F.lit(om) * t).alias(f"__c{p}"))
@@ -699,10 +700,10 @@ def ts_periodogram(df: DataFrame, periods=(4, 8, 16), key: str = KEY,
             F.sum(cp).alias(f"__sc{p}"),
             F.sum(sp).alias(f"__ss{p}"),
         ]
-    m = valid.groupBy(key).agg(*aggs)
+    m = valid.groupBy(*keys).agg(*aggs)
     n = F.col("__n")
     mean = F.col("__sx") / n
-    out = [F.col(key) if isinstance(key, str) else key]
+    out = [*keys]
     for p in periods:
         C = F.col(f"__xc{p}") - mean * F.col(f"__sc{p}")
         S = F.col(f"__xs{p}") - mean * F.col(f"__ss{p}")
@@ -818,9 +819,10 @@ def ts_xcf(df: DataFrame, lags=(0, 1), x: str = "x", y: str = "y",
     if not lags or any(k < 0 for k in lags):
         raise ValueError("lags must be non-negative integers")
     cx, cy = F.col(x), F.col(y)
+    keys = [key] if isinstance(key, str) else list(key)
     w = wspec(key, ts)
     valid = df.filter(cx.isNotNull() & cy.isNotNull()).select(
-        key, x, y,
+        *keys, x, y,
         *[F.lag(cy, k).over(w).alias(f"__yl{k}") for k in lags if k > 0],
     )
     aggs = [
@@ -835,13 +837,13 @@ def ts_xcf(df: DataFrame, lags=(0, 1), x: str = "x", y: str = "y",
             F.sum(F.when(yl.isNotNull(), cx)).alias(f"__cx{k}"),
             F.sum(yl).alias(f"__cy{k}"),
         ]
-    m = valid.groupBy(key).agg(*aggs)
+    m = valid.groupBy(*keys).agg(*aggs)
     n = F.col("__n")
     mx, my = F.col("__sx") / n, F.col("__sy") / n
     sxx = F.col("__sxx") - n * mx * mx
     syy = F.col("__syy") - n * my * my
     den = F.sqrt(sxx * syy)
-    out = [F.col(key) if isinstance(key, str) else key]
+    out = [*keys]
     for k in lags:
         num = (
             F.col(f"__xy{k}")

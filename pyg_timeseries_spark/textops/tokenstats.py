@@ -80,7 +80,15 @@ def token_diversity(
     trap, multiplied by nesting)."""
     from pyg_timeseries_spark.textops.analysis import _let
 
-    t = F.coalesce(F.col(tokens), F.array().cast("array<int>"))
+    # NULL ids are dropped up front (the engine's missing=NULL-skip
+    # convention): array_sort places NULLs last, where the run-boundary
+    # comparison `s[i] != s[i-1]` would evaluate to NULL and silently
+    # MERGE the null tail into the preceding run, corrupting every
+    # statistic.  n_tok therefore counts valid ids only.
+    t = F.filter(
+        F.coalesce(F.col(tokens), F.array().cast("array<int>")),
+        lambda x: x.isNotNull(),
+    )
     n = F.size(t)
 
     def _stats(s):

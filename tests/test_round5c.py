@@ -677,3 +677,31 @@ def test_embedding_quantize_map_only(spark):
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     assert "Exchange" not in plan_of(embedding_quantize(emb))
+
+
+def test_token_diversity_null_ids_skipped(spark):
+    """NULL ids sort last, where the run-boundary comparison would
+    return NULL and silently merge them into the previous run — they
+    must be dropped up front (missing = NULL-skip convention)."""
+    from pyg_timeseries_spark.textops.tokenstats import token_diversity
+
+    rows = [(0, [1, None, None]), (1, [None]), (2, [2, 2, None, 3])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    out = {r["doc_id"]: r for r in token_diversity(df).collect()}
+    assert (out[0]["n_tok"], out[0]["n_distinct"]) == (1, 1)
+    assert out[1]["n_tok"] == 0 and out[1]["n_distinct"] is None
+    assert (out[2]["n_tok"], out[2]["n_distinct"]) == (3, 2)
+    assert abs(out[2]["top_share"] - 2 / 3) < 1e-12
+
+
+def test_ts_ops_multi_key(spark, series_df):
+    """ts_periodogram / ts_xcf accept a key LIST like their siblings."""
+    from pyg_timeseries_spark.operators.ts import ts_periodogram, ts_xcf
+
+    df2 = series_df.withColumn("k2", F.lit("a"))
+    a = ts_periodogram(df2, periods=(4,), key=["key", "k2"])
+    assert set(a.columns) == {"key", "k2", "pgram_4"} and a.count() > 0
+    pair = df2.select("key", "k2", "ts", F.col("v").alias("x"),
+                      (F.col("v") * 2).alias("y"))
+    b = ts_xcf(pair, lags=(0,), key=["key", "k2"])
+    assert set(b.columns) == {"key", "k2", "xcf_0"} and b.count() > 0
