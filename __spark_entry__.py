@@ -1919,14 +1919,14 @@ def q_lm_xent(spark, sf_dir):
     analog of CCNet's KenLM perplexity filter): train add-0.5-smoothed
     bigram counts on the corpus, score every document's cross-entropy
     -mean ln P(cur|prev).  Model table broadcasts; corpus text never
-    shuffles."""
-    from pyg_timeseries_spark.textops.lm import (
-        char_bigram_counts, perplexity_score,
-    )
+    shuffles.  Self-trained composition shares ONE bigram pass
+    (perplexity_score_self == perplexity_score(docs,
+    char_bigram_counts(docs)) value-for-value; the naive composition
+    re-explodes the corpus ~5x — see textops/lm.py)."""
+    from pyg_timeseries_spark.textops.lm import perplexity_score_self
 
     docs = load(spark, sf_dir, "documents")
-    model = char_bigram_counts(docs)
-    out = perplexity_score(docs, model, k=0.5)
+    out = perplexity_score_self(docs, k=0.5)
     return out.select(
         "doc_id", "n_bigrams", R6(F.col("xent")).alias("xent")
     )
@@ -2583,12 +2583,13 @@ def q_token_lm(spark, sf_dir):
     """Token-id bigram LM scoring (textops/tokenstats.py): train
     add-0.5-smoothed bigram model on the corpus itself, score every
     sequence's cross-entropy — pre-aggregated per-doc pair counts join
-    the broadcast model; the token arrays never shuffle."""
-    from pyg_timeseries_spark.textops.tokenstats import (
-        token_bigram_counts, token_xent)
+    the broadcast model; the token arrays never shuffle.  Self-trained
+    composition shares ONE adjacent-pair pass (token_xent_self ==
+    token_xent(seqs, token_bigram_counts(seqs)) value-for-value)."""
+    from pyg_timeseries_spark.textops.tokenstats import token_xent_self
 
     seqs = _token_id_docs(spark, sf_dir)
-    a = token_xent(seqs, token_bigram_counts(seqs))
+    a = token_xent_self(seqs)
     return a.select(
         "doc_id",
         F.col("n_bigrams").cast("long").alias("n_bigrams"),

@@ -1,0 +1,120 @@
+"""Extra benchmarks for the optimization round (bench.py is FROZEN for
+driver measurement; everything exploratory lives here).
+
+Modes:
+  python bench_extra.py q <name> [name...]   time individual queries()
+      entries (one warm + N timed noop-sink runs, guide §1.4) at
+      $SPARK_GRAFT_SF_DIR; prints one JSON line {name: [secs...]}.
+  python bench_extra.py cc_incremental       the incremental ComponentStore
+      merge vs the full dedup_components recompute (VERDICT r5 next-round
+      #3): build a store from 99% of the verified edges, then time merging
+      the remaining 1% batch vs re-running the full clustering.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
+(default 32), BENCH_EXTRA_REPS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("BENCH_EXTRA_REPS", "3"))
+
+
+def run_action(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _spark():
+    from pyg_timeseries_spark.session import get_spark
+
+    return get_spark("bench_extra", master=f"local[{CPUS}]",
+                     shuffle_partitions=CPUS)
+
+
+def time_queries(names):
+    spark = _spark()
+    import __spark_entry__ as em
+
+    qdict = em.queries()
+    out = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"bench_extra: {name}")
+        run_action(qdict[name](spark, SF_DIR))  # warm (codegen/JIT)
+        samples = []
+        for _ in range(REPS):
+            t0 = time.time()
+            run_action(qdict[name](spark, SF_DIR))
+            samples.append(round(time.time() - t0, 3))
+        out[name] = samples
+        spark.sparkContext.setJobDescription(None)
+    print(json.dumps({"sf_dir": SF_DIR, "cpus": CPUS, "queries": out}))
+
+
+def cc_incremental():
+    """Incremental ComponentStore merge vs full recompute (same edges as
+    dedup_components: md5 MinHash candidates at jaccard >= 0.3)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyg_timeseries_spark.dedup import neardup as nd
+    from pyg_timeseries_spark.dedup.components import connected_components
+    from pyg_timeseries_spark.dedup.components_store import ComponentStore
+    from pyg_timeseries_spark.sources.tables import load
+
+    spark = _spark()
+    docs = load(spark, SF_DIR, "documents")
+    cand = nd.minhash_candidates(docs, n_hashes=16, bands=8, hash_fn="md5")
+    edges = (
+        cand.filter(F.col("jaccard") >= 0.3).select("id_a", "id_b").persist()
+    )
+    n_docs = docs.count()
+    cut = int(n_docs * 0.99)
+    base_edges = edges.filter((F.col("id_a") < cut) & (F.col("id_b") < cut))
+    delta_edges = edges.filter((F.col("id_a") >= cut) | (F.col("id_b") >= cut))
+    n_delta = delta_edges.count()
+
+    base = tempfile.mkdtemp(prefix="ccbench_")
+    st = ComponentStore(base, spark, n_parts=256)
+    spark.sparkContext.setJobDescription("cc_incremental: seed store (untimed)")
+    st.add_batch(base_edges,
+                 nodes=docs.filter(F.col("doc_id") < cut).select("doc_id"))
+
+    spark.sparkContext.setJobDescription("cc_incremental: merge 1% batch")
+    t0 = time.time()
+    st.add_batch(delta_edges,
+                 nodes=docs.filter(F.col("doc_id") >= cut).select("doc_id"))
+    merge_sec = round(time.time() - t0, 3)
+
+    spark.sparkContext.setJobDescription("cc_incremental: full recompute")
+    t0 = time.time()
+    run_action(connected_components(edges, nodes=docs.select("doc_id")))
+    full_sec = round(time.time() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
+
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({
+        "sf_dir": SF_DIR, "n_docs": n_docs, "n_delta_edges": n_delta,
+        "incremental_merge_sec": merge_sec, "full_recompute_sec": full_sec,
+        "speedup": round(full_sec / max(merge_sec, 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 2 and sys.argv[1] == "q":
+        time_queries(sys.argv[2:])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "cc_incremental":
+        cc_incremental()
+    else:
+        print(__doc__)

@@ -61,10 +61,16 @@ from pyg_timeseries_spark.dedup.components import connected_components
 
 
 class ComponentStore:
-    def __init__(self, path: str, spark: SparkSession, n_parts: int = 256):
+    def __init__(self, path: str, spark: SparkSession, n_parts: int = 256,
+                 gc_keep: int | None = 8):
+        """``gc_keep``: snapshot versions retained; every ``add_batch``
+        auto-gc's older version dirs (hard-linked files shared with
+        retained versions survive — unlink only drops directory refs).
+        ``None`` disables auto-gc for callers that pin old snapshots."""
         self.path = path
         self.spark = spark
         self.n_parts = n_parts
+        self.gc_keep = gc_keep
         os.makedirs(path, exist_ok=True)
         self._manifest = os.path.join(path, "manifest.json")
 
@@ -283,6 +289,8 @@ class ComponentStore:
         batch = batch.localCheckpoint()
         for df in (ep, ep_lab):
             df.unpersist()
+        if self.gc_keep is not None:
+            self.gc(keep=self.gc_keep)
         return batch
 
     def gc(self, keep: int = 2) -> None:

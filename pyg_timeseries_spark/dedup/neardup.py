@@ -130,10 +130,15 @@ def minhash_candidates(
     hash_fn='md5' gives cross-engine-reproducible signatures (see
     minhash_signature) at ~2-3x the hash cost of xxhash64."""
     rows = n_hashes // bands
+    # sh is referenced three times (signature branch + both exact-verify
+    # re-attach sides) — persist the per-doc shingle arrays once instead
+    # of re-running the shingling expression per plan reference (the
+    # candidate pairs that re-attach are a tiny fraction of the corpus,
+    # but Spark recomputes the WHOLE shingle map for each join side)
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text), shingle_k).alias("sh"),
-    )
+    ).persist()
     shingle_rows = sh.select("id", F.explode("sh").alias("s"))
     if hash_fn == "md5":
         sig = shingle_rows.groupBy("id").agg(

@@ -62,44 +62,58 @@ def chunk_dedup(
     document at this position.  A document made entirely of previously
     seen chunks comes back with empty text (n_kept = 0) — candidates for
     dropping wholesale."""
-    ch = doc_chunks(df, w, text, id_col).withColumn(
-        "h", F.md5(F.col("chunk"))
+    # The min(struct(id, pos)) winner per hash IS the kept occurrence —
+    # no join back onto the chunk rows is needed (the old rendition
+    # re-exploded the corpus a second time and shuffled every chunk's
+    # TEXT through that join).  Chunk text now never rides any exchange:
+    # the explode hashes each chunk map-side and ships (h, id, pos) only;
+    # the kept set reduces to per-doc sorted POSITION arrays (ints); and
+    # the surviving text rebuilds from the document's own words at those
+    # positions after one equi-join of the docs table by id — the single
+    # shuffle the payload pays (guide §8: decide on small rows, move the
+    # heavy bytes once).
+    ch = doc_chunks(df, w, text, id_col).select(
+        F.md5(F.col("chunk")).alias("h"), "id", "pos"
     )
     firsts = ch.groupBy("h").agg(
         F.min(F.struct("id", "pos")).alias("__first")
     )
-    kept = (
-        ch.join(firsts, "h")
-        .filter(
-            (F.col("__first.id") == F.col("id"))
-            & (F.col("__first.pos") == F.col("pos"))
-        )
-        .select("id", "pos", "chunk")
+    kept = firsts.select(
+        F.col("__first.id").alias("id"), F.col("__first.pos").alias("pos")
     )
     per_doc = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                lambda s: s.getField("chunk"),
-            ),
-            " ",
-        ).alias(out),
+        F.sort_array(F.collect_list("pos")).alias("__poss"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    # chunk totals from a narrow map over the original docs — cheaper than
-    # re-exploding the corpus a second time
+    # totals + rebuild inputs from a narrow map over the original docs
     words = F.split(F.trim(F.col(text)), r"\s+")
     totals = df.select(
         F.col(id_col).alias("id"),
+        F.col(text).alias("__t"),
         F.when(
             F.coalesce(F.length(F.trim(F.col(text))), F.lit(0)) == 0, F.lit(0)
         ).otherwise(F.ceil(F.size(words) / F.lit(w))).cast("long").alias("n_chunks"),
+    )
+    # the words array is _let-bound: the per-position lambda below slices
+    # an EVALUATED array instead of re-running split per kept position
+    from pyg_timeseries_spark.dedup.neardup import _let
+
+    rebuilt = _let(
+        F.split(F.trim(F.col("__t")), r"\s+"),
+        lambda wa: F.array_join(
+            F.transform(
+                F.col("__poss"),
+                lambda p: F.array_join(F.slice(wa, p * w + 1, w), " "),
+            ),
+            " ",
+        ),
     )
     return (
         totals.join(per_doc, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.coalesce(F.col(out), F.lit("")).alias(out),
+            F.when(F.col("__poss").isNotNull(), rebuilt)
+            .otherwise(F.lit("")).alias(out),
             "n_chunks",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )

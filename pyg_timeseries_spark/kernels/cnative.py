@@ -268,6 +268,35 @@ void xsweep(const double *a, const double *b, long n, double w,
     s[8] = n0; s[9] = n1; s[10] = pa; s[11] = pb;
 }
 
+/* Local-level Kalman filtered sweep — C twin of
+   operators/kalman.py:kalman_kernel.  s: [seen, level, P], mutated;
+   res pre-filled with NaN by the caller.  Identical IEEE-754 op order
+   to the Python loop (no FMA, no reassociation). */
+void kalman_sweep(const double *a, long n, double q, double r,
+                  double *s, double *res)
+{
+    double seen = s[0], lvl = s[1], p = s[2];
+    for (long i = 0; i < n; i++) {
+        double x = a[i];
+        if (x != x)
+            continue;
+        if (seen == 0.0) {
+            lvl = x;
+            p = r;
+            seen = 1.0;
+        } else {
+            double p_pred = p + q;
+            double k = p_pred / (p_pred + r);
+            lvl = lvl + k * (x - lvl);
+            p = (1.0 - k) * p_pred;
+        }
+        res[i] = lvl;
+    }
+    s[0] = seen;
+    s[1] = lvl;
+    s[2] = p;
+}
+
 static double sgn(double x)
 {
     if (x != x)
@@ -365,6 +394,8 @@ _SIGNATURES = {
                ctypes.c_int, _D, _D],
     "buffer_sweep": [_D, _D, ctypes.c_long, ctypes.c_double,
                      ctypes.c_double, _D, _D],
+    "kalman_sweep": [_D, ctypes.c_long, ctypes.c_double, ctypes.c_double,
+                     _D, _D],
 }
 
 _lib = None
@@ -469,6 +500,14 @@ def buffer_arrays(a, band, unit, rounding_band, s, res) -> None:
     lib = _load()
     lib.buffer_sweep(_ptr(a), _ptr(band), a.shape[0], float(unit),
                      float(rounding_band), _ptr(s), _ptr(res))
+
+
+def kalman_arrays(a, q, r, s, res) -> None:
+    """ctypes shim with operators/kalman.py:kalman_kernel's loop contract
+    (a contiguous float64; s = [seen, level, P] and res mutated)."""
+    lib = _load()
+    lib.kalman_sweep(_ptr(a), a.shape[0], float(q), float(r),
+                     _ptr(s), _ptr(res))
 
 
 class disabled:

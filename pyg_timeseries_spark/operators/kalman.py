@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyg_timeseries_spark.kernels import cnative as _cnative
 from pyg_timeseries_spark.operators._core import KEY, TS, VAL
 
 _STATE_COL = "__state"
@@ -50,13 +51,23 @@ def kalman_kernel(
     r: float,
     state: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Sequential filtered-level sweep over one key's values."""
+    """Sequential filtered-level sweep over one key's values.  Dispatches
+    to the ctypes-compiled C twin (kernels/cnative.py:kalman_sweep —
+    identical IEEE-754 op sequence, bit-equality asserted in
+    tests/test_cnative.py) when a system compiler exists; the Python
+    loop below is the always-available reference twin."""
     if not (q >= 0.0 and r > 0.0):
         raise ValueError("need q >= 0 and r > 0")
     if state is None:
         seen, lvl, p = 0.0, np.nan, np.nan
     else:
         seen, lvl, p = float(state[0]), float(state[1]), float(state[2])
+    if _cnative.available():
+        s = np.array([seen, lvl, p], dtype=np.float64)
+        out = np.full(len(a), np.nan)
+        av = np.ascontiguousarray(a, dtype=np.float64)
+        _cnative.kalman_arrays(av, q, r, s, out)
+        return out, s
     out = np.full(len(a), np.nan)
     for i in range(len(a)):
         x = a[i]

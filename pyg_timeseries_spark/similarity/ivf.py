@@ -69,10 +69,15 @@ def refine_centroids(corpus: DataFrame, centroids: list[list[int]],
     integers (and ties deterministic) after refinement."""
     for _ in range(kmeans_iters):
         assigned = assign_clusters(corpus, centroids, id_col=id_col, vec=vec)
+        # materialize the quantized vector ONCE per row before the per-dim
+        # aggregates — avg(element_at(_ivec(vec), j+1)) per dimension
+        # re-derives the O(dim) transform dim times (O(dim²) per row;
+        # fatal at 1024-4096 dims, measured ~3x at 64)
         means = (
-            assigned.groupBy("cluster")
+            assigned.withColumn("_miv", _ivec(F.col(vec)))
+            .groupBy("cluster")
             .agg(*[
-                F.avg(F.element_at(_ivec(F.col(vec)), j + 1)).alias(f"m{j}")
+                F.avg(F.element_at(F.col("_miv"), j + 1)).alias(f"m{j}")
                 for j in range(len(centroids[0]))
             ])
             .collect()
@@ -104,10 +109,20 @@ def _dists_arr(ivec_col, centroids: list[list[int]]):
     )
 
 
+def _let(bound_col, body):
+    """Bind ``bound_col`` as a lambda variable so ``body`` references an
+    EVALUATED value (dedup/neardup.py:_let): the distance array below is
+    referenced twice (position + min) and would otherwise run its k×dim
+    fold twice per row."""
+    return F.element_at(F.transform(F.array(bound_col), body), 1)
+
+
 def _best_cluster(ivec_col, centroids: list[list[int]]):
-    d = _dists_arr(ivec_col, centroids)
     # first occurrence of the min == smallest centroid index (the tie-break)
-    return (F.array_position(d, F.array_min(d)) - 1).cast("int")
+    return _let(
+        _dists_arr(ivec_col, centroids),
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
+    )
 
 
 def assign_clusters(corpus: DataFrame, centroids: list[list[int]],

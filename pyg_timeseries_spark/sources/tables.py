@@ -32,8 +32,28 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+# Tables whose queries do heavy PER-ROW map work (text expressions, array
+# HOFs over embedding vectors).  When such a table arrives as a single
+# file with one parquet row group — the testdata layout — every map stage
+# runs on one core no matter the cluster size (scan splits can't cut
+# inside a row group; spark.sql.files.minPartitionNum only yields empty
+# splits).  That is the guide's "input skew: one huge unsplittable file →
+# repartition immediately after the read" case (§2.5): one cheap shuffle
+# of the payload unlocks full-parallel maps.  Guarded to fire only on
+# pathologically under-split scans, so real multi-file tables at scale
+# skip it; numeric tables (events, lineitem, …) are exempt — their map
+# work is trivial and their first aggregate/window exchange redistributes
+# anyway, so a blanket repartition would only add a shuffle.
+_WIDE_MAP_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in _WIDE_MAP_TABLES:
+        cores = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(cores // 2, 1):
+            df = df.repartition(cores)
+    return df
 
 
 def events_series(spark: SparkSession, sf_dir: str) -> DataFrame:

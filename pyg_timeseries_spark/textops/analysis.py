@@ -48,11 +48,16 @@ def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
     in [0,1] — the usual cheap pre-filters for web-scale corpus cleaning."""
     t = F.col(text)
     n_chars = F.length(t)
-    ws_ = words(t)
-    n_words = F.size(ws_)
-    punct = n_chars - F.length(F.regexp_replace(t, PUNCT_RE, ""))
-    mean_wlen = (F.length(F.regexp_replace(t, WS, ""))) / n_words
-    upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    # separator runs + 1 == size(split(trim, \s+)) without allocating the
+    # word array (empty/all-space text: both give 1)
+    n_words = F.regexp_count(F.trim(t), F.lit(WS)) + F.lit(1)
+    # regexp_count of the single-char classes == chars removed by the old
+    # regexp_replace-then-length construction (each matching char matches
+    # exactly once), without materializing a stripped copy of every
+    # document — counts are integer-identical, ~2x less regex work
+    punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    mean_wlen = (n_chars - F.regexp_count(t, F.lit(r"\s"))) / n_words
+    upper = F.regexp_count(t, F.lit(r"[A-Z]"))
     score = (
         F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
         + F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(0.3)).otherwise(F.lit(0.0))
@@ -109,54 +114,54 @@ def lang_id(df: DataFrame, text: str = "text", out: str = "pred_lang") -> DataFr
 
 def _mode_covered_chars(arr: Column) -> Column:
     """Characters covered by the most frequent element of ``arr``
-    (count × element length), via a single fold over the SORTED array
-    (equal elements are adjacent, so the longest run is the mode; ties
-    break to the lexicographically smallest element, first run winning
-    on strict >).  The finish lambda reduces to ONE scalar so the fold
-    is evaluated exactly once — a struct field access would re-run the
-    whole aggregate per field.  No explode, no shuffle."""
-    gs = F.array_sort(arr)
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(None).cast("string").alias("best"),
-        F.lit(0).cast("long").alias("bestn"),
-    )
+    (count × element length); ties break to the lexicographically
+    smallest element.  Run-boundary construction over the SORTED array
+    (equal elements are adjacent): run starts = positions whose value
+    changed, run lengths = diffs of consecutive starts, mode = first
+    (== smallest) run of maximal length.  Every intermediate is
+    _let-bound and every lambda body is a scalar comparison — the
+    previous rendition folded a 4-field STRUCT per element through
+    F.aggregate, which Catalyst interprets (no codegen for lambda
+    functions) at ~10x the cost (the same trap token_diversity's
+    docstring records as 24s → sub-second).  No explode, no shuffle."""
+    def _with_sorted(gs):
+        n = F.size(gs)
+        changes = F.when(
+            n >= 2,
+            F.filter(
+                F.sequence(F.lit(2), n),
+                lambda i: F.element_at(gs, i) != F.element_at(gs, i - 1),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
 
-    def step(acc, x):
-        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
-        better = run > acc["bestn"]
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.when(better, x).otherwise(acc["best"]).alias("best"),
-            F.when(better, run).otherwise(acc["bestn"]).alias("bestn"),
-        )
+        def _with_starts(starts):
+            nxt = F.concat(
+                F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+                F.array(n + 1),
+            )
 
-    return F.aggregate(
-        gs, zero, step,
-        lambda acc: acc["bestn"] * F.coalesce(F.length(acc["best"]), F.lit(0)),
-    )
+            def _with_lengths(lengths):
+                bestn = F.array_max(lengths)
+                best = F.element_at(
+                    gs,
+                    F.element_at(
+                        starts, F.array_position(lengths, bestn).cast("int")
+                    ),
+                )
+                # the empty-array case guards HERE (lazily): element_at
+                # on an empty gs is an ANSI error, and when() skips the
+                # branch without evaluating it
+                return F.when(
+                    n >= 1,
+                    bestn.cast("long") * F.coalesce(F.length(best), F.lit(0)),
+                ).otherwise(F.lit(0).cast("long"))
 
+            return _let(F.zip_with(starts, nxt, lambda a, b: b - a),
+                        _with_lengths)
 
-def _dup_fold(arr: Column, weigh_chars: bool) -> Column:
-    """Occurrences beyond the first of each distinct element of ``arr``
-    (count or character-weighted), one sorted fold reduced to one scalar."""
-    gs = F.array_sort(arr)
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("acc"),
-    )
+        return _let(F.concat(F.array(F.lit(1)), changes), _with_starts)
 
-    def step(acc, x):
-        inc = F.length(x) if weigh_chars else F.lit(1)
-        rep = acc["prev"].eqNullSafe(x)
-        return F.struct(
-            x.alias("prev"),
-            F.when(rep, acc["acc"] + inc).otherwise(acc["acc"]).alias("acc"),
-        )
-
-    return F.aggregate(gs, zero, step, lambda acc: acc["acc"])
+    return _let(F.array_sort(arr), _with_sorted)
 
 
 def _let(bound_col: Column, body) -> Column:
@@ -208,22 +213,51 @@ def repetition_stats(
     n_chars = F.length(t)
     lines = F.split(t, line_sep)
     n_lines = F.size(lines)
-    line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    # every fold reduces to ONE scalar via the aggregate's finish lambda —
-    # a struct field access would re-evaluate the whole fold per field
+    # Closed forms replace the per-element struct folds (interpreted,
+    # ~10x slower than the codegen'd equivalents):
+    #   Σ len(line)                       = len(text) − (n_lines − 1)
+    #     (split on a single-char separator: every separator char is
+    #      removed exactly once; falls back to the fold for a custom
+    #      multi-char/regex separator where the identity doesn't hold)
+    #   dup occurrences beyond first      = n_lines − n_distinct
+    #   dup chars beyond first            = Σ len − Σ len(distinct)
+    # with Σ len(distinct) = length(array_join(distinct, "")) — one
+    # codegen'd concatenation pass, no lambda.
+    simple_sep = len(line_sep) == 1 and line_sep not in r".^$*+?()[]{}|\\"
+
+    def _with_lines(la):
+        nl = F.size(la)
+        if simple_sep:
+            lc = (n_chars - (nl - 1)).cast("long")
+        else:
+            lc = F.aggregate(
+                la, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            )
+        dl = F.array_distinct(la)
+        return F.struct(
+            nl.alias("n_lines"),
+            lc.alias("line_chars"),
+            (nl - F.size(dl)).cast("long").alias("dup_n"),
+            (lc - F.length(F.array_join(dl, ""))).cast("long")
+            .alias("dup_chars"),
+        )
+
+    dup = _let(lines, _with_lines)
     out = (
-        df.withColumn(
+        df.withColumn("__dup", dup)
+        .withColumn(
             "dup_line_frac",
-            F.when(n_lines > 0, _dup_fold(lines, False) / n_lines)
+            F.when(F.col("__dup.n_lines") > 0,
+                   F.col("__dup.dup_n") / F.col("__dup.n_lines"))
             .otherwise(F.lit(0.0)),
         )
         .withColumn(
             "dup_line_char_frac",
-            F.when(line_chars > 0, _dup_fold(lines, True) / line_chars)
+            F.when(F.col("__dup.line_chars") > 0,
+                   F.col("__dup.dup_chars") / F.col("__dup.line_chars"))
             .otherwise(F.lit(0.0)),
         )
+        .drop("__dup")
     )
     w = words(F.lower(t))
     for n in top_ngrams:

@@ -204,17 +204,30 @@ def boilerplate_coverage(
     shingles and the boilerplate subset.
 
     Scale shape: shingles explode map-side; one (shingle) aggregate
-    computes document frequency; the boilerplate set joins back on the
-    shingle hash — the corpus text itself never shuffles.  At 100 TB the
-    doc-frequency aggregate is the standard wordcount shape (map-side
-    partial combine), and the join key is a single string column."""
+    computes document frequency; the boilerplate set joins back BY
+    BROADCAST while small (``broadcast_rows`` guard — boilerplate is by
+    definition the repeated minority of the shingle vocabulary), so the
+    corpus text never shuffles and the exploded shingle rows never ride
+    an exchange either: the only shuffle is the wordcount-shaped
+    doc-frequency aggregate (map-side partial combine), plus per-doc
+    count rows.  word_shingles applies array_distinct per document, so
+    the exploded (id, shingle) rows are ALREADY distinct — an explicit
+    distinct() here would re-shuffle the whole shingle table for
+    nothing."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text), shingle_k)).alias("s"),
-    ).distinct()
-    df_counts = sh.groupBy("s").agg(F.count("*").alias("__df"))
-    boiler = df_counts.filter(F.col("__df") >= min_doc_freq).select("s")
-    per_doc = sh.join(boiler.withColumn("__b", F.lit(1)), "s", "left").groupBy(
+    )
+    broadcast_rows = 5_000_000
+    boiler = (
+        sh.groupBy("s").agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_doc_freq).select("s")
+        .withColumn("__b", F.lit(1))
+        .persist()
+    )
+    n_boiler_rows = boiler.count()
+    _bcast = (lambda d: F.broadcast(d)) if n_boiler_rows <= broadcast_rows else (lambda d: d)
+    per_doc = sh.join(_bcast(boiler), "s", "left").groupBy(
         "id"
     ).agg(
         F.count("*").alias("n_grams"),
@@ -278,7 +291,10 @@ def source_similarity(
 ) -> DataFrame:
     """Pairwise Jaccard similarity between the per-``by``-group word
     ``shingle_k``-gram SETS: one row per unordered group pair (a < b)
-    with the exact intersection size, both set sizes, and
+    WITH A NON-EMPTY INTERSECTION — pairs sharing no shingle are absent
+    (the inner self-join yields no row for them); outer-complete against
+    the group list if a dense jaccard=0 matrix is needed.  Columns: the
+    exact intersection size, both set sizes, and
     jaccard = |∩| / (|A| + |B| − |∩|).  The corpus-overlap matrix a
     mixture designer reads before weighting sources (near-identical
     sources double-count; see also mixture_sample) — the exact
@@ -291,10 +307,15 @@ def source_similarity(
     Σ_s m_s² with m_s ≤ |groups|, fine for the handful-of-sources case
     this exact form targets.  The text itself never shuffles; set sizes
     ride a broadcast."""
+    # sh is referenced THREE times below (sizes + both self-join sides);
+    # without materialization Spark re-runs the explode + distinct per
+    # reference.  Persist the already-slim distinct (group, shingle) rows
+    # once — at scale this is bounded by the shingle vocabulary × groups,
+    # not the corpus (MEMORY_AND_DISK default spills gracefully).
     sh = docs.select(
         F.col(by).alias("g"),
         F.explode(word_shingles(F.col(text), shingle_k)).alias("s"),
-    ).distinct()
+    ).distinct().persist()
     sizes = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

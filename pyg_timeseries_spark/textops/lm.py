@@ -82,26 +82,38 @@ def perplexity_score(
     corpus can push the bigram table toward ~10⁸ rows, where a forced
     broadcast would OOM the driver — above the threshold we fall back to
     a plain shuffle join on the already-slim (prev, cur) keys."""
-    stats = model.agg(
-        F.count("*").alias("rows"), F.count_distinct("cur").alias("v")
-    ).first()
-    n_model, v = stats["rows"], stats["v"]
-    if v == 0:
-        raise ValueError("perplexity_score: empty bigram model")
-    _bcast = (lambda d: F.broadcast(d)) if n_model <= broadcast_rows else (lambda d: d)
-    ctx = model.groupBy("prev").agg(F.sum("n").alias("n_prev"))
-    probs = model.join(ctx, "prev").select(
-        "prev", "cur",
-        ((F.col("n") + F.lit(k))
-         / (F.col("n_prev") + F.lit(k * v))).alias("p"),
-    )
-    floor_ctx = ctx.select(
-        "prev", (F.lit(k) / (F.col("n_prev") + F.lit(k * v))).alias("p_floor")
-    )
-    # pre-aggregate per-doc bigram counts: natural text repeats bigrams
-    # heavily, so the broadcast join sees distinct (doc, prev, cur) rows
-    # (~10-20x fewer than raw bigram occurrences at corpus doc lengths)
-    bg = (
+    bg = _doc_bigram_counts(docs, id_col, text)
+    return _score_counts(bg, model, id_col, k, out, broadcast_rows)
+
+
+def perplexity_score_self(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: float = 0.5,
+    out: str = "xent",
+    broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """``perplexity_score(docs, char_bigram_counts(docs))`` — identical
+    values — sharing ONE bigram pass over the corpus.  The naive
+    composition explodes the corpus once for the model and again for the
+    per-doc counts, and the model subtree is additionally recomputed for
+    each of its plan references (stats action, context sums, probability
+    join) — ~5 full corpus passes per execution.  Here the per-doc
+    counts materialize once (persist) and the corpus-wide model is their
+    re-aggregation (sum of per-doc counts == global count), so the text
+    is scanned and exploded exactly once."""
+    bg = _doc_bigram_counts(docs, id_col, text).persist()
+    model = bg.groupBy("prev", "cur").agg(F.sum("__c").alias("n"))
+    return _score_counts(bg, model, id_col, k, out, broadcast_rows)
+
+
+def _doc_bigram_counts(docs: DataFrame, id_col: str, text: str) -> DataFrame:
+    """Pre-aggregated per-doc bigram counts (id, prev, cur, __c): natural
+    text repeats bigrams heavily, so the model join sees distinct
+    (doc, prev, cur) rows (~10-20x fewer than raw bigram occurrences at
+    corpus doc lengths)."""
+    return (
         docs.select(
             F.col(id_col).alias("id"),
             F.explode(_bigrams(F.col(text))).alias("bg"),
@@ -113,6 +125,30 @@ def perplexity_score(
             F.substring("bg", 2, 1).alias("cur"),
         )
         .agg(F.count("*").alias("__c"))
+    )
+
+
+def _score_counts(bg, model, id_col, k, out, broadcast_rows):
+    # The model is REFERENCED three times below (context sums feed both the
+    # probability and the floor tables) plus once by the stats action; a
+    # localCheckpoint materializes its tiny frame (≤ |charset|² rows) once
+    # instead of re-running the corpus aggregate per reference.
+    model = model.localCheckpoint(eager=True)
+    stats = model.agg(
+        F.count("*").alias("rows"), F.count_distinct("cur").alias("v")
+    ).first()
+    n_model, v = stats["rows"], stats["v"]
+    if v == 0 or v is None:
+        raise ValueError("perplexity_score: empty bigram model")
+    _bcast = (lambda d: F.broadcast(d)) if n_model <= broadcast_rows else (lambda d: d)
+    ctx = model.groupBy("prev").agg(F.sum("n").alias("n_prev"))
+    probs = model.join(ctx, "prev").select(
+        "prev", "cur",
+        ((F.col("n") + F.lit(k))
+         / (F.col("n_prev") + F.lit(k * v))).alias("p"),
+    )
+    floor_ctx = ctx.select(
+        "prev", (F.lit(k) / (F.col("n_prev") + F.lit(k * v))).alias("p_floor")
     )
     scored = (
         bg.join(_bcast(probs), ["prev", "cur"], "left")

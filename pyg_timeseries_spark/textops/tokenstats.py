@@ -184,6 +184,46 @@ def token_xent(
     the model join; the model broadcasts only below ``broadcast_rows``
     (a 50k-vocab corpus can reach ~10⁹ observed pairs — past the
     threshold the join shuffles on the slim int pair keys instead)."""
+    bg = _doc_pair_counts(seqs, id_col, tokens)
+    return _score_token_counts(bg, model, id_col, k, out, broadcast_rows)
+
+
+def token_xent_self(
+    seqs: DataFrame,
+    id_col: str = "doc_id",
+    tokens: str = "tokens",
+    k: float = 0.5,
+    out: str = "tok_xent",
+    broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """``token_xent(seqs, token_bigram_counts(seqs))`` — identical values
+    — sharing ONE adjacent-pair pass: the per-doc counts materialize once
+    (persist) and the corpus model is their re-aggregation (sum of
+    per-doc counts == global count), instead of re-exploding the token
+    arrays for the model subtree's every plan reference (~5 corpus
+    passes in the naive composition)."""
+    bg = _doc_pair_counts(seqs, id_col, tokens).persist()
+    model = bg.groupBy("prev", "cur").agg(F.sum("__c").alias("n"))
+    return _score_token_counts(bg, model, id_col, k, out, broadcast_rows)
+
+
+def _doc_pair_counts(seqs, id_col, tokens):
+    """Pre-aggregated per-doc adjacent-pair counts (id, prev, cur, __c)."""
+    return (
+        seqs.select(
+            F.col(id_col).alias("id"),
+            F.explode(_adjacent_pairs(F.col(tokens))).alias("pr"),
+        )
+        .groupBy("id", F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def _score_token_counts(bg, model, id_col, k, out, broadcast_rows):
+    # the model is referenced 3x below plus the stats action — checkpoint
+    # its tiny frame once instead of re-running the corpus aggregate per
+    # reference (textops/lm.py:_score_counts, same rationale)
+    model = model.localCheckpoint(eager=True)
     stats = model.agg(
         F.count(F.lit(1)).alias("rows"), F.count_distinct("cur").alias("v")
     ).first()
@@ -198,14 +238,6 @@ def token_xent(
     )
     floor_ctx = ctx.select(
         "prev", (F.lit(k) / (F.col("n_prev") + F.lit(k * v))).alias("p_floor")
-    )
-    bg = (
-        seqs.select(
-            F.col(id_col).alias("id"),
-            F.explode(_adjacent_pairs(F.col(tokens))).alias("pr"),
-        )
-        .groupBy("id", F.col("pr.prev").alias("prev"), F.col("pr.cur").alias("cur"))
-        .agg(F.count(F.lit(1)).alias("__c"))
     )
     scored = (
         bg.join(_bcast(probs), ["prev", "cur"], "left")

@@ -124,3 +124,27 @@ def test_noncontiguous_inputs():
         trail_py, s_py = EW._ewm_sweep(a, 0.9, upto=2, track_w2=True)
     trail_c, s_c = EW._ewm_sweep(a, 0.9, upto=2, track_w2=True)
     assert _eq(trail_py, trail_c) and _eq(s_py, s_c)
+
+
+@pytest.mark.parametrize("q,r", [(0.04, 1.0), (0.0, 0.5), (2.5, 0.1)])
+def test_kalman_c_parity(q, r):
+    from pyg_timeseries_spark.operators.kalman import kalman_kernel
+
+    a = _series(seed=7)
+    with cnative.disabled():
+        res_py, s_py = kalman_kernel(a, q, r)
+    res_c, s_c = kalman_kernel(a, q, r)
+    assert _eq(res_py, res_c) and _eq(s_py, s_c)
+
+
+def test_kalman_c_resume_state():
+    from pyg_timeseries_spark.operators.kalman import kalman_kernel
+
+    a = _series(seed=8)
+    with cnative.disabled():
+        _, s_head_py = kalman_kernel(a[:300], 0.04, 1.0)
+        res_tail_py, s_py = kalman_kernel(a[300:], 0.04, 1.0, state=s_head_py)
+    _, s_head_c = kalman_kernel(a[:300], 0.04, 1.0)
+    assert _eq(s_head_py, s_head_c)
+    res_tail_c, s_c = kalman_kernel(a[300:], 0.04, 1.0, state=s_head_c)
+    assert _eq(res_tail_py, res_tail_c) and _eq(s_py, s_c)

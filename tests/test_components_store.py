@@ -177,3 +177,18 @@ def test_random_batches_match_oneshot(spark, tmp_path):
     got = _labels(st.labels())
     expect = _labels(connected_components(_edges(spark, edges)))
     assert got == expect
+
+
+def test_auto_gc_on_add_batch(spark, tmp_path):
+    """gc_keep retention runs from add_batch itself: old version dirs are
+    pruned automatically and the current labels stay intact."""
+    st = ComponentStore(str(tmp_path / "agc"), spark, n_parts=16, gc_keep=2)
+    st.add_batch(_edges(spark, [(1, 2)]))
+    st.add_batch(_edges(spark, [(3, 4)]))
+    st.add_batch(_edges(spark, [(5, 6)]))
+    st.add_batch(_edges(spark, [(2, 3)]))
+    assert st.version() == 4
+    assert not os.path.exists(st._vdir(1, "labels"))
+    assert not os.path.exists(st._vdir(2, "labels"))
+    assert os.path.exists(st._vdir(4, "labels"))
+    assert dict(_labels(st.labels()))[4] == 1  # 1-2-3-4 merged
