@@ -111,10 +111,57 @@ def cc_incremental():
     }))
 
 
+def spot_probe():
+    """~100M-point probe of the two heaviest window ops (rolling_time,
+    interp) + the rollup cascade — validates the no-UNBOUNDED-FOLLOWING
+    rule class and RANGE-frame spill behaviour at ~10x the bench scale
+    (VERDICT r5 next-round #5).  Reuses the scaling harness's generated
+    parquet when present."""
+    from pyspark.sql import functions as F
+
+    from pyg_timeseries_spark.datagen import sequences
+    from pyg_timeseries_spark.operators.fill import interp
+    from pyg_timeseries_spark.operators.rolling import rolling_time_agg
+    from pyg_timeseries_spark.plans.rollup import rollup_from_raw
+
+    n_rows = int(os.environ.get("BENCH_SEQ_ROWS", 100_000_000))
+    data = os.environ.get("BENCH_SEQ_PARQUET",
+                          "/tmp/pyg_ts_scaling_input.parquet")
+    spark = _spark()
+    if not os.path.exists(os.path.join(data, "_SUCCESS")):
+        sequences(spark, n_rows, with_tokens=False).write.mode(
+            "overwrite").parquet(data)
+    raw = spark.read.parquet(data)
+    n = raw.count()
+    # (key, ts, v) series shape with the driver testdata's deterministic
+    # ~30% null injection so interp has gaps to fill
+    s = raw.select(
+        F.col("source").alias("key"), "ts",
+        F.when(F.pmod(F.xxhash64("doc_id", F.lit("null")), F.lit(10)) < 3,
+               F.lit(None)).otherwise(F.col("n_tok").cast("double")).alias("v"),
+    )
+    out = {"rows": n}
+    for label, df in (
+        ("rolling_time", rolling_time_agg(s, 300.0)),
+        ("interp", interp(s)),
+        ("cascade_raw_to_1m", rollup_from_raw(
+            raw, "1m", tokens=None)),
+    ):
+        spark.sparkContext.setJobDescription(f"spot_probe: {label}")
+        t0 = time.time()
+        run_action(df)
+        sec = round(time.time() - t0, 3)
+        out[label] = {"sec": sec, "points_per_sec": round(n / sec)}
+    spark.sparkContext.setJobDescription(None)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "q":
         time_queries(sys.argv[2:])
     elif len(sys.argv) >= 2 and sys.argv[1] == "cc_incremental":
         cc_incremental()
+    elif len(sys.argv) >= 2 and sys.argv[1] == "spot_probe":
+        spot_probe()
     else:
         print(__doc__)

@@ -32,11 +32,19 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str | None = None,
     max_iter: int = 50,
+    broadcast_rows: int = 5_000_000,
 ) -> DataFrame:
     """(node, component) for every node, where component is the smallest
     node id reachable through the undirected ``edges``.  ``nodes``
     (optional, column ``node_col`` or its only column) adds isolated
-    nodes — each its own singleton component."""
+    nodes — each its own singleton component.
+
+    While the label table stays under ``broadcast_rows`` it is BROADCAST
+    into each round's edge join (and the per-round neighbor minima —
+    ≤ label-table rows — broadcast back), collapsing the round from
+    three exchanges (sym-by-v, groupBy-u, labels-by-node) to one tiny
+    partial-aggregated shuffle; past the threshold the shuffle-join
+    rounds below apply unchanged (billion-node graphs)."""
     sym = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
     sym = (
         sym.unionByName(
@@ -55,7 +63,8 @@ def connected_components(
     labels = labels.withColumn("lab", F.col("node")).localCheckpoint()
 
     try:
-        return _propagate(sym, labels, max_iter)
+        small = labels.count() <= broadcast_rows
+        return _propagate(sym, labels, max_iter, small=small)
     finally:
         sym.unpersist()
 
@@ -89,19 +98,20 @@ def cluster_canonical(
     )
 
 
-def _propagate(sym, labels, max_iter):
+def _propagate(sym, labels, max_iter, small: bool = False):
+    _b = (lambda d: F.broadcast(d)) if small else (lambda d: d)
     for _ in range(max_iter):
         neigh = (
             sym.join(
-                labels.select(F.col("node").alias("v"),
-                              F.col("lab").alias("vlab")),
+                _b(labels.select(F.col("node").alias("v"),
+                                 F.col("lab").alias("vlab"))),
                 "v",
             )
             .groupBy("u")
             .agg(F.min("vlab").alias("nlab"))
         )
         new_labels = (
-            labels.join(neigh, labels["node"] == neigh["u"], "left")
+            labels.join(_b(neigh), labels["node"] == neigh["u"], "left")
             .select(
                 "node", "lab",
                 F.least(

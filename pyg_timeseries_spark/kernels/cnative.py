@@ -297,6 +297,77 @@ void kalman_sweep(const double *a, long n, double q, double r,
     s[2] = p;
 }
 
+/* Holt linear-trend sweep — C twin of operators/holt.py:holt_kernel.
+   s: [seen, level, trend], mutated; res pre-filled with NaN. */
+void holt_sweep(const double *a, long n, double alpha, double beta,
+                double horizon, double *s, double *res)
+{
+    double seen = s[0], lvl = s[1], trd = s[2];
+    for (long i = 0; i < n; i++) {
+        double x = a[i];
+        if (x != x)
+            continue;
+        if (seen == 0.0) {
+            lvl = x;
+            trd = 0.0;
+            seen = 1.0;
+        } else {
+            double prev = lvl;
+            lvl = alpha * x + (1.0 - alpha) * (lvl + trd);
+            trd = beta * (lvl - prev) + (1.0 - beta) * trd;
+        }
+        res[i] = lvl + horizon * trd;
+    }
+    s[0] = seen;
+    s[1] = lvl;
+    s[2] = trd;
+}
+
+/* Additive Holt-Winters sweep — C twin of
+   operators/holt.py:holt_winters_kernel.  s: [seen, level, trend,
+   s_0..s_{m-1}] (3+m doubles), mutated; res pre-filled with NaN. */
+void hw_sweep(const double *a, long n, double alpha, double beta,
+              double gamma_, long m, double *s, double *res)
+{
+    double seen = s[0], lvl = s[1], trd = s[2];
+    double *sea = s + 3;
+    for (long i = 0; i < n; i++) {
+        double x = a[i];
+        if (x != x)
+            continue;
+        long t = (long)seen;
+        long p = t % m;
+        if (t < m) {
+            sea[p] = x;
+            res[i] = x;
+            seen = (double)(t + 1);
+            if (t + 1 == m) {
+                /* sequential left-fold, matching the Python twin */
+                double total = 0.0;
+                for (long j = 0; j < m; j++)
+                    total += sea[j];
+                lvl = total / (double)m;
+                trd = 0.0;
+                for (long j = 0; j < m; j++)
+                    sea[j] = sea[j] - lvl;
+            }
+            continue;
+        }
+        double s_old = sea[p];
+        double new_lvl = alpha * (x - s_old) + (1.0 - alpha) * (lvl + trd);
+        double new_trd = beta * (new_lvl - lvl) + (1.0 - beta) * trd;
+        double new_sea = gamma_ * (x - lvl - trd) + (1.0 - gamma_) * s_old;
+        lvl = new_lvl;
+        trd = new_trd;
+        sea[p] = new_sea;
+        res[i] = lvl + sea[p];
+        seen = (double)(t + 1);
+    }
+    s[0] = seen;
+    s[1] = lvl;
+    s[2] = trd;
+}
+
 static double sgn(double x)
 {
     if (x != x)
@@ -396,6 +467,10 @@ _SIGNATURES = {
                      ctypes.c_double, _D, _D],
     "kalman_sweep": [_D, ctypes.c_long, ctypes.c_double, ctypes.c_double,
                      _D, _D],
+    "holt_sweep": [_D, ctypes.c_long, ctypes.c_double, ctypes.c_double,
+                   ctypes.c_double, _D, _D],
+    "hw_sweep": [_D, ctypes.c_long, ctypes.c_double, ctypes.c_double,
+                 ctypes.c_double, ctypes.c_long, _D, _D],
 }
 
 _lib = None
@@ -508,6 +583,21 @@ def kalman_arrays(a, q, r, s, res) -> None:
     lib = _load()
     lib.kalman_sweep(_ptr(a), a.shape[0], float(q), float(r),
                      _ptr(s), _ptr(res))
+
+
+def holt_arrays(a, alpha, beta, horizon, s, res) -> None:
+    """ctypes shim with operators/holt.py:holt_kernel's loop contract."""
+    lib = _load()
+    lib.holt_sweep(_ptr(a), a.shape[0], float(alpha), float(beta),
+                   float(horizon), _ptr(s), _ptr(res))
+
+
+def hw_arrays(a, alpha, beta, gamma, m, s, res) -> None:
+    """ctypes shim with operators/holt.py:holt_winters_kernel's loop
+    contract (s = [seen, level, trend, s_0..s_{m-1}])."""
+    lib = _load()
+    lib.hw_sweep(_ptr(a), a.shape[0], float(alpha), float(beta),
+                 float(gamma), int(m), _ptr(s), _ptr(res))
 
 
 class disabled:

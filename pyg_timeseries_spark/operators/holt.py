@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyg_timeseries_spark.kernels import cnative as _cnative
 from pyg_timeseries_spark.operators._core import KEY, TS, VAL
 
 _STATE_COL = "__state"
@@ -50,6 +51,12 @@ def holt_kernel(
         seen, lvl, trd = 0.0, np.nan, np.nan
     else:
         seen, lvl, trd = float(state[0]), float(state[1]), float(state[2])
+    if _cnative.available():
+        s = np.array([seen, lvl, trd], dtype=np.float64)
+        out = np.full(len(a), np.nan)
+        av = np.ascontiguousarray(a, dtype=np.float64)
+        _cnative.holt_arrays(av, alpha, beta, horizon, s, out)
+        return out, s
     out = np.full(len(a), np.nan)
     for i in range(len(a)):
         x = a[i]
@@ -182,6 +189,12 @@ def holt_winters_kernel(
     else:
         seen, lvl, trd = float(state[0]), float(state[1]), float(state[2])
         sea = np.asarray(state[3:3 + m], dtype=np.float64).copy()
+    if _cnative.available():
+        s = np.concatenate(([seen, lvl, trd], sea)).astype(np.float64)
+        out = np.full(len(a), np.nan)
+        av = np.ascontiguousarray(a, dtype=np.float64)
+        _cnative.hw_arrays(av, alpha, beta, gamma, m, s, out)
+        return out, s
     out = np.full(len(a), np.nan)
     for i in range(len(a)):
         x = a[i]

@@ -84,38 +84,40 @@ def kalman_kernel(
     return out, np.array([seen, lvl, p], dtype=np.float64)
 
 
-def _kalman_combined(df, q, r, key, ts, v, out, state_df):
+def _kalman_combined(df, q, r, key, ts, v, out, state_df, with_state=True):
+    """``with_state=False`` (the plain :func:`kalman` path) keeps the
+    nullable ``array<double>`` state column out of BOTH Arrow transfers —
+    object-typed columns cost far more to (de)serialize than the value
+    columns, and the stateless caller drops the column unread anyway."""
     src = df
     if state_df is None:
-        src = src.withColumn(
-            _PRIOR_COL, F.lit(None).cast(T.ArrayType(T.DoubleType()))
-        )
+        has_prior = False
     else:
+        has_prior = True
         prior = state_df.select(F.col(key), F.col("state").alias(_PRIOR_COL))
         src = src.join(F.broadcast(prior), on=key, how="left")
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField(out, T.DoubleType()),
-            T.StructField(_STATE_COL, T.ArrayType(T.DoubleType())),
-        ]
-    )
+    out_fields = [T.StructField(out, T.DoubleType())]
+    if with_state:
+        out_fields.append(
+            T.StructField(_STATE_COL, T.ArrayType(T.DoubleType()))
+        )
+    out_schema = T.StructType(list(df.schema.fields) + out_fields)
     in_cols = [f.name for f in df.schema.fields]
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts, kind="mergesort").reset_index(drop=True)
         a = pdf[v].to_numpy(dtype=np.float64, na_value=np.nan)
-        prior = pdf[_PRIOR_COL].iloc[0]
-        state = (
-            np.asarray(list(prior), dtype=np.float64)
-            if prior is not None and len(list(prior)) == KALMAN_STATE_LEN
-            else None
-        )
+        state = None
+        if has_prior:
+            prior = pdf[_PRIOR_COL].iloc[0]
+            if prior is not None and len(list(prior)) == KALMAN_STATE_LEN:
+                state = np.asarray(list(prior), dtype=np.float64)
         res, s = kalman_kernel(a, q, r, state=state)
         outp = pdf[in_cols].copy()
         outp[out] = res
-        outp[_STATE_COL] = None
-        outp.at[len(outp) - 1, _STATE_COL] = [float(x) for x in s]
+        if with_state:
+            outp[_STATE_COL] = None
+            outp.at[len(outp) - 1, _STATE_COL] = [float(x) for x in s]
         return outp
 
     return src.groupBy(key).applyInPandas(fn, schema=out_schema)
@@ -133,9 +135,8 @@ def kalman(
 ) -> DataFrame:
     """Filtered level per row (local-level model, process var ``q``,
     observation var ``r``)."""
-    return _kalman_combined(df, q, r, key, ts, v, out, state_df).drop(
-        _STATE_COL
-    )
+    return _kalman_combined(df, q, r, key, ts, v, out, state_df,
+                            with_state=False)
 
 
 def kalman_(

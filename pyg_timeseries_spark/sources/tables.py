@@ -44,7 +44,7 @@ def iceberg_available(spark: SparkSession) -> bool:
 # skip it; numeric tables (events, lineitem, …) are exempt — their map
 # work is trivial and their first aggregate/window exchange redistributes
 # anyway, so a blanket repartition would only add a shuffle.
-_WIDE_MAP_TABLES = frozenset({"documents", "embeddings"})
+_WIDE_MAP_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,7 +52,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _WIDE_MAP_TABLES:
         cores = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(cores // 2, 1):
-            df = df.repartition(cores)
+            # hash on the unique id, not round-robin: deterministic under
+            # retries by construction and skips round-robin's
+            # sort-before-repartition pass over the text rows (§2.5)
+            df = df.repartition(cores, F.col(_WIDE_MAP_TABLES[name]))
     return df
 
 

@@ -148,3 +148,40 @@ def test_kalman_c_resume_state():
     assert _eq(s_head_py, s_head_c)
     res_tail_c, s_c = kalman_kernel(a[300:], 0.04, 1.0, state=s_head_c)
     assert _eq(res_tail_py, res_tail_c) and _eq(s_py, s_c)
+
+
+@pytest.mark.parametrize("alpha,beta,horizon", [(0.4, 0.2, 0.0),
+                                                (0.9, 0.0, 2.0)])
+def test_holt_c_parity(alpha, beta, horizon):
+    from pyg_timeseries_spark.operators.holt import holt_kernel
+
+    a = _series(seed=9)
+    with cnative.disabled():
+        res_py, s_py = holt_kernel(a, alpha, beta, horizon)
+    res_c, s_c = holt_kernel(a, alpha, beta, horizon)
+    assert _eq(res_py, res_c) and _eq(s_py, s_c)
+    # resume parity
+    with cnative.disabled():
+        _, sh = holt_kernel(a[:300], alpha, beta, horizon)
+        rt_py, sf_py = holt_kernel(a[300:], alpha, beta, horizon, state=sh)
+    _, sh_c = holt_kernel(a[:300], alpha, beta, horizon)
+    rt_c, sf_c = holt_kernel(a[300:], alpha, beta, horizon, state=sh_c)
+    assert _eq(sh, sh_c) and _eq(rt_py, rt_c) and _eq(sf_py, sf_c)
+
+
+@pytest.mark.parametrize("m", [2, 7])
+def test_hw_c_parity(m):
+    from pyg_timeseries_spark.operators.holt import holt_winters_kernel
+
+    a = _series(seed=10, nan_frac=0.2)
+    args = (0.3, 0.1, 0.2, m)
+    with cnative.disabled():
+        res_py, s_py = holt_winters_kernel(a, *args)
+    res_c, s_c = holt_winters_kernel(a, *args)
+    assert _eq(res_py, res_c) and _eq(s_py, s_c)
+    with cnative.disabled():
+        _, sh = holt_winters_kernel(a[:150], *args)
+        rt_py, sf_py = holt_winters_kernel(a[150:], *args, state=sh)
+    _, sh_c = holt_winters_kernel(a[:150], *args)
+    rt_c, sf_c = holt_winters_kernel(a[150:], *args, state=sh_c)
+    assert _eq(sh, sh_c) and _eq(rt_py, rt_c) and _eq(sf_py, sf_c)
