@@ -199,7 +199,9 @@ class ComponentStore:
         )
         remap = cc.filter(F.col("node") != F.col("component")).select(
             F.col("node").alias("old_comp"), F.col("component").alias("new_comp")
-        ).localCheckpoint()  # tiny: one row per absorbed component
+        ).localCheckpoint(eager=False)  # tiny (one row per absorbed
+        # component); the dom_cparts collect below materializes it in the
+        # same driver job — an eager checkpoint would cost one extra
 
         # 3. label partitions holding members of merged components — via
         # the cindex inverted index, pruned to the merged comps' cparts
@@ -213,11 +215,16 @@ class ComponentStore:
                   F.col("component") == F.col("old_comp"), "left_semi")
             if dom_cparts else cix_cur.filter(F.lit(False))
         )
-        member_nparts = {r[0] for r in dom_rows.select("npart").distinct().collect()}
-        new_node_nparts = {
-            r[0] for r in ep_lab.filter("is_new").select("npart").distinct().collect()
+        # merged-member nparts and new-node nparts in ONE driver job (the
+        # two sources are independent, so the union collapses two small
+        # sequential collects into one)
+        touched_nparts = {
+            r[0]
+            for r in dom_rows.select("npart")
+            .unionByName(ep_lab.filter("is_new").select("npart"))
+            .distinct()
+            .collect()
         }
-        touched_nparts = member_nparts | new_node_nparts
 
         new_v = cur_v + 1
         if not touched_nparts:

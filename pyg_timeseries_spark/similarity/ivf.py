@@ -217,6 +217,10 @@ def kmeans_profile(corpus: DataFrame, n_clusters: int = 8,
     table, ``n_clusters × dim`` ints); the final profile is a map-only
     assignment + distance fold feeding one hash aggregate on ≤ k keys.
     The corpus never shuffles."""
+    # NULL vectors are skipped (sibling convention: embedding_stats /
+    # embedding_quantize) — a NULL row would yield a NULL cluster group
+    # and could crash seed_centroids if it ranked among the md5-smallest
+    corpus = corpus.filter(F.col(vec).isNotNull())
     cents = seed_centroids(corpus, n_clusters, id_col=id_col, vec=vec)
     if kmeans_iters:
         cents = refine_centroids(corpus, cents, kmeans_iters,

@@ -40,11 +40,35 @@ def test_max_iter_guard(spark):
     e = spark.createDataFrame(
         pd.DataFrame([(i, i + 1) for i in range(20)], columns=["id_a", "id_b"])
     )
+    # driver_uf_edges=0 forces the iterative propagation tier (the driver
+    # union-find tier has no round limit to trip)
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(e, max_iter=2)
+        connected_components(e, max_iter=2, driver_uf_edges=0)
 
 
 def test_edge_direction_irrelevant(spark):
     a = _cc(spark, [(3, 1), (2, 3)])
     b = _cc(spark, [(1, 3), (3, 2)])
     assert a == b == {1: 1, 2: 1, 3: 1}
+
+
+def test_execution_tiers_identical(spark):
+    """The three size tiers (driver union-find / broadcast rounds /
+    shuffle rounds) must produce the identical min-label components."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    nodes = list(range(70))
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    n = spark.createDataFrame(pd.DataFrame({"id": nodes}))
+
+    def run(**kw):
+        out = connected_components(e, nodes=n, **kw)
+        return dict((r["node"], r["component"]) for r in out.collect())
+
+    uf = run()  # 80 edges -> driver union-find tier
+    bcast = run(driver_uf_edges=0)  # broadcast-propagation tier
+    shuffle = run(driver_uf_edges=0, broadcast_rows=0)  # shuffle tier
+    assert uf == bcast == shuffle
+    assert len(uf) == 70
