@@ -156,11 +156,87 @@ def spot_probe():
     print(json.dumps(out))
 
 
+def cc_incremental_large():
+    """The regime the ComponentStore is FOR: a label table big enough
+    that full CC recompute is expensive (default 20M nodes — past the
+    driver-union-find tier) while the arriving batch is small (200
+    edges).  At bench-corpus scale (50k nodes) cc_incremental honestly
+    shows the merge LOSING to in-memory recompute (its fixed versioning
+    overhead dwarfs a 3s recompute); this mode shows the crossover.
+
+    Synthetic deterministic graph: nodes 0..N-1, edges (i, i - (i % 97))
+    for i % 97 != 0 — 97-node star components, diameter 2, no hot key.
+    The batch adds CC_LARGE_BATCH new nodes (ids >= N); CC_LARGE_MERGES
+    of them attach to existing components, the rest pair up among
+    themselves (the dedup steady state: most new content is novel).
+    CC_LARGE_MERGES=batch reproduces the worst case, where the merged
+    components' members hash across ~every label partition and the
+    rewrite degenerates to a full store rewrite.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyg_timeseries_spark.dedup.components import connected_components
+    from pyg_timeseries_spark.dedup.components_store import ComponentStore
+
+    n = int(os.environ.get("CC_LARGE_NODES", 20_000_000))
+    batch = int(os.environ.get("CC_LARGE_BATCH", 200))
+    merges = int(os.environ.get("CC_LARGE_MERGES", 5))
+    n_parts = int(os.environ.get("CC_LARGE_PARTS", 4096))
+    spark = _spark()
+    ids = spark.range(n).select(F.col("id"))
+    base_edges = (
+        ids.filter(F.pmod(F.col("id"), F.lit(97)) != 0)
+        .select(
+            F.col("id").alias("id_a"),
+            (F.col("id") - F.pmod(F.col("id"), F.lit(97))).alias("id_b"),
+        )
+    )
+    delta_edges = spark.range(batch).select(
+        (F.col("id") + n).alias("id_a"),
+        F.when(F.col("id") < merges, F.col("id") * 97)  # attach to a star
+        .otherwise(F.col("id") - F.pmod(F.col("id"), F.lit(2)) + n)
+        .alias("id_b"),  # else: pair up with another NEW node
+    ).filter(F.col("id_a") != F.col("id_b"))
+
+    base = tempfile.mkdtemp(prefix="cclarge_")
+    st = ComponentStore(base, spark, n_parts=n_parts)
+    spark.sparkContext.setJobDescription("cc_large: seed store (untimed)")
+    st.add_batch(base_edges, nodes=ids.select(F.col("id").alias("doc_id")))
+
+    spark.sparkContext.setJobDescription(
+        f"cc_large: merge {batch}-node batch")
+    t0 = time.time()
+    st.add_batch(delta_edges)
+    merge_sec = round(time.time() - t0, 3)
+
+    spark.sparkContext.setJobDescription("cc_large: full recompute")
+    all_edges = base_edges.unionByName(delta_edges)
+    t0 = time.time()
+    run_action(connected_components(
+        all_edges, nodes=ids.select(F.col("id").alias("doc_id"))))
+    full_sec = round(time.time() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
+
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    print(json.dumps({
+        "n_nodes": n, "batch_nodes": batch, "merges_into_old": merges,
+        "n_parts": n_parts,
+        "incremental_merge_sec": merge_sec, "full_recompute_sec": full_sec,
+        "speedup": round(full_sec / max(merge_sec, 1e-9), 2),
+    }))
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 2 and sys.argv[1] == "q":
         time_queries(sys.argv[2:])
     elif len(sys.argv) >= 2 and sys.argv[1] == "cc_incremental":
         cc_incremental()
+    elif len(sys.argv) >= 2 and sys.argv[1] == "cc_incremental_large":
+        cc_incremental_large()
     elif len(sys.argv) >= 2 and sys.argv[1] == "spot_probe":
         spot_probe()
     else:
