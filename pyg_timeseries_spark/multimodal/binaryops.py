@@ -156,7 +156,14 @@ def image_features(df: DataFrame, use_real_decode: bool = False) -> DataFrame:
                 rows, columns=[f.name for f in out_schema.fields]
             )
 
-    imgs = df.filter(F.col("kind") == "image")
+    # project to EXACTLY the columns fn reads before the Python boundary:
+    # mapInPandas is opaque to Catalyst, so without the select every
+    # column (kind, sample_rate, n_frames, …) is read from storage and
+    # shipped through Arrow per batch (guide §4: pass only what the
+    # function needs)
+    imgs = df.filter(F.col("kind") == "image").select(
+        "media_id", "payload", "width", "height"
+    )
     return imgs.mapInPandas(fn, schema=out_schema)
 
 
@@ -179,7 +186,12 @@ def resize_image(df: DataFrame, target: int = 64) -> DataFrame:
                 thumbs.append(img[yi][:, xi].tobytes())
             yield pd.DataFrame({"media_id": ids, "thumb": thumbs})
 
-    return df.filter(F.col("kind") == "image").mapInPandas(fn, schema=out_schema)
+    # same column-pruning-at-the-boundary rule as image_features
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "payload", "width", "height")
+        .mapInPandas(fn, schema=out_schema)
+    )
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
