@@ -259,14 +259,25 @@ def repetition_stats(
         )
         .drop("__dup")
     )
-    w = words(F.lower(t))
+    # ONE struct evaluates all n-gram modes over a SHARED words array —
+    # three separate withColumn trees would each re-run the split+lower
+    # pass over the document (the gram sort dominates, but the shared
+    # split is a free ~15-20% of the map)
+    covered_struct = _let(
+        words(F.lower(t)),
+        lambda wa: F.struct(*[
+            _mode_covered_chars(word_ngrams(wa, n)).alias(f"c{n}")
+            for n in top_ngrams
+        ]),
+    )
+    out = out.withColumn("__cov", covered_struct)
     for n in top_ngrams:
-        covered = _mode_covered_chars(word_ngrams(w, n))
         out = out.withColumn(
             f"top{n}_char_frac",
-            F.when(n_chars > 0, covered / n_chars).otherwise(F.lit(0.0)),
+            F.when(n_chars > 0, F.col(f"__cov.c{n}") / n_chars)
+            .otherwise(F.lit(0.0)),
         )
-    return out
+    return out.drop("__cov")
 
 
 def fingerprint(df: DataFrame, text: str = "text", shingle: int = 8,
